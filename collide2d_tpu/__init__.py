@@ -1,0 +1,68 @@
+"""collide2d_tpu — a TPU-native 2D convex collision engine.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the CUDA
+reference `beautifulv0id/Convex-2D-GPU-Collision-Detection`:
+
+- fixed-runtime Separating-Axis-Theorem (SAT) collision tests between 2D
+  rectangles and fixed-k convex polygons, batched over millions of pairs
+  (reference primitive: ``utils.cu:159-184``),
+- Monte Carlo estimation of collision probabilities under Gaussian
+  pose/shape noise with a per-configuration adaptive stopping rule
+  (reference: ``generate_dataset.cu:175-253``, ``utils.cu:186-207``),
+- an end-to-end labeled-dataset pipeline — generation, relabeling, z-test
+  validation, balancing, visualization — emitting the same ``.npy``
+  artifact schemas as the reference
+  (``generate_dataset.cu:255-524``, ``compute_collision_probability.cu``,
+  ``ztest.cu``, ``balance_datasets.py``, ``show_data.ipynb``).
+
+The design is TPU-first rather than a port: the SAT inner loop is a
+fixed-shape Pallas kernel vmapped over pairs, randomness uses JAX's
+counter-based PRNG, the reference's thrust stream compaction is replaced
+by masked accumulation + halving-bucket recompaction under XLA's static
+shapes, a batched AABB broad-phase prunes candidates before narrow-phase
+SAT, and the configuration/sample axes shard across chips over ICI.
+"""
+
+from collide2d_tpu.ops.geometry import (
+    rect_vertices,
+    transform_vertices,
+    rects_from_params,
+    polygon_aabb,
+)
+from collide2d_tpu.ops.sat import (
+    sat_rects_reference,
+    sat_rects,
+    sat_polygons,
+    obb_collide,
+)
+from collide2d_tpu.ops.broad_phase import aabb_overlap, candidate_mask
+from collide2d_tpu.mc.stats import calc_slack, get_bin
+from collide2d_tpu.mc.estimator import (
+    collision_probability,
+    mc_round,
+    AdaptiveConfig,
+    adaptive_collision_probabilities,
+)
+from collide2d_tpu.models.collision_model import CollisionProbabilityModel
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "rect_vertices",
+    "transform_vertices",
+    "rects_from_params",
+    "polygon_aabb",
+    "sat_rects_reference",
+    "sat_rects",
+    "sat_polygons",
+    "obb_collide",
+    "aabb_overlap",
+    "candidate_mask",
+    "calc_slack",
+    "get_bin",
+    "collision_probability",
+    "mc_round",
+    "AdaptiveConfig",
+    "adaptive_collision_probabilities",
+    "CollisionProbabilityModel",
+]

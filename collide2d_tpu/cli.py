@@ -1,0 +1,283 @@
+"""Command-line interface: the reference's three binaries as subcommands.
+
+    collide2d generate  ...   # generate_dataset.cu         (L4)
+    collide2d relabel   ...   # compute_collision_probability.cu
+    collide2d ztest     ...   # ztest.cu
+    collide2d balance   ...   # balance_datasets.py
+    collide2d show      ...   # show_data.ipynb contour plot
+    collide2d bench     ...   # throughput benchmarks (no reference analog)
+
+Flag names and defaults mirror the reference's boost::program_options
+schemas (generate_dataset.cu:66-169, compute_collision_probability.cu:
+44-85, ztest.cu:49-101), including the short options -n/-b/-s/-w/-h.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+from collide2d_tpu.data.pipeline import (
+    GenerateConfig,
+    RelabelConfig,
+    ZTestConfig,
+    generate_dataset,
+    relabel_dataset,
+    ztest,
+)
+
+
+def _add_generate(sub: argparse._SubParsersAction) -> None:
+    d = GenerateConfig()
+    p = sub.add_parser("generate", help="create a labeled collision dataset")
+    p.add_argument("--data_dir", default=d.data_dir, help="where to store the data")
+    p.add_argument("--num_batches", "-n", type=int, default=d.num_batches,
+                   help="number of batches")
+    p.add_argument("--batch_size", "-b", type=int, default=d.batch_size,
+                   help="number of samples per batch")
+    p.add_argument("--start_batch_count", "-s", type=int, default=d.start_batch_count,
+                   help="start value for batches")
+    p.add_argument("--num_poses", type=int, default=d.num_poses, help="number of poses")
+    p.add_argument("--num_variances", type=int, default=d.num_variances,
+                   help="number of variances")
+    p.add_argument("--shape_variance", action="store_true",
+                   help="whether or not to have shape variance")
+    p.add_argument("--max_samples", type=int, default=d.max_samples,
+                   help="maximum number of samples for z-test")
+    p.add_argument("--accuracy_bins", type=float, nargs="+",
+                   default=list(d.accuracy_bins),
+                   help="accuracy bins e.g. 0.0 0.01 0.1 1.0")
+    p.add_argument("--bin_accuracy", type=float, nargs="+",
+                   default=list(d.bin_accuracy),
+                   help="accuracy for each bin e.g. 0.0001 0.001 0.01")
+    p.add_argument("--min_variance", type=float, nargs=5, default=list(d.min_variance),
+                   help="min variance for each dimension")
+    p.add_argument("--max_variance", type=float, nargs=5, default=list(d.max_variance),
+                   help="max variance for each dimension")
+    p.add_argument("--min_pose", type=float, nargs=3, default=list(d.min_pose),
+                   help="min pose for each dimension")
+    p.add_argument("--max_pose", type=float, nargs=3, default=list(d.max_pose),
+                   help="max pose for each dimension")
+    p.add_argument("--robot_width", "-w", type=float, default=d.robot_width)
+    p.add_argument("--robot_height", type=float, default=d.robot_height)
+    p.add_argument("--spread", type=float, default=d.spread, help="spread of poses")
+    p.add_argument("--pose_dir", default=d.pose_dir, help="directory of poses")
+    p.add_argument("--variance_dir", default=d.variance_dir,
+                   help="directory of variances")
+    p.add_argument("--seed", type=int, default=None,
+                   help="device PRNG seed (default: time-based, like the reference)")
+    p.add_argument("--refcompat_tables", action="store_true",
+                   help="bit-identical libstdc++ pose/variance table sampling")
+    p.add_argument("--no_shuffle", action="store_true")
+    p.set_defaults(func=_run_generate)
+
+
+def _run_generate(args: argparse.Namespace) -> int:
+    cfg = GenerateConfig(
+        data_dir=args.data_dir,
+        pose_dir=args.pose_dir,
+        variance_dir=args.variance_dir,
+        num_batches=args.num_batches,
+        batch_size=args.batch_size,
+        start_batch_count=args.start_batch_count,
+        num_poses=args.num_poses,
+        num_variances=args.num_variances,
+        max_samples=args.max_samples,
+        min_variance=tuple(args.min_variance),
+        max_variance=tuple(args.max_variance),
+        min_pose=tuple(args.min_pose),
+        max_pose=tuple(args.max_pose),
+        accuracy_bins=tuple(args.accuracy_bins),
+        bin_accuracy=tuple(args.bin_accuracy),
+        robot_width=args.robot_width,
+        robot_height=args.robot_height,
+        spread=args.spread,
+        shape_variance=args.shape_variance,
+        seed=args.seed,
+        refcompat_tables=args.refcompat_tables,
+        shuffle=not args.no_shuffle,
+    )
+    generate_dataset(cfg)
+    return 0
+
+
+def _add_relabel(sub: argparse._SubParsersAction) -> None:
+    d = RelabelConfig()
+    p = sub.add_parser(
+        "relabel",
+        help="recompute collision probabilities for an existing dataset",
+    )
+    p.add_argument("--data_in", default=d.data_in, help="where to read the data")
+    p.add_argument("--data_out", default=d.data_out, help="where to write the data")
+    p.add_argument("--max_samples", type=int, default=d.max_samples)
+    p.add_argument("--robot_width", "-w", type=float, default=d.robot_width)
+    p.add_argument("--robot_height", type=float, default=d.robot_height)
+    p.add_argument("--shuffle", type=_bool_flag, default=d.shuffle,
+                   help="whether or not to shuffle data")
+    p.add_argument("--seed", type=int, default=None)
+    p.set_defaults(func=_run_relabel)
+
+
+def _run_relabel(args: argparse.Namespace) -> int:
+    relabel_dataset(
+        RelabelConfig(
+            data_in=args.data_in,
+            data_out=args.data_out,
+            max_samples=args.max_samples,
+            robot_width=args.robot_width,
+            robot_height=args.robot_height,
+            shuffle=args.shuffle,
+            seed=args.seed,
+        )
+    )
+    return 0
+
+
+def _add_ztest(sub: argparse._SubParsersAction) -> None:
+    d = ZTestConfig()
+    p = sub.add_parser("ztest", help="high-precision relabel of one file")
+    p.add_argument("--data_dir", default=d.data_dir, help="where to read the data")
+    p.add_argument("--data_file_in", default=d.data_file_in)
+    p.add_argument("--data_file_out", default=d.data_file_out)
+    p.add_argument("--max_samples", type=int, default=d.max_samples)
+    p.add_argument("--robot_width", "-w", type=float, default=d.robot_width)
+    p.add_argument("--robot_height", type=float, default=d.robot_height)
+    p.add_argument("--shuffle", type=_bool_flag, default=d.shuffle,
+                   help="shuffle the written artifact (reference's flag is a "
+                        "no-op due to an inverted condition; ours works)")
+    p.add_argument("--cps_only", type=_bool_flag, default=d.cps_only,
+                   help="whether or not to only compute collision probabilities")
+    p.add_argument("--meta_dir", default=d.meta_dir,
+                   help="path to meta folder containing accuracy_bins.npy and "
+                        "bin_accuracy.npy")
+    p.add_argument("--n_batch", type=int, default=d.n_batch,
+                   help="samples per round (fixed schedule)")
+    p.add_argument("--seed", type=int, default=None)
+    p.set_defaults(func=_run_ztest)
+
+
+def _run_ztest(args: argparse.Namespace) -> int:
+    ztest(
+        ZTestConfig(
+            data_dir=args.data_dir,
+            data_file_in=args.data_file_in,
+            data_file_out=args.data_file_out,
+            max_samples=args.max_samples,
+            robot_width=args.robot_width,
+            robot_height=args.robot_height,
+            shuffle=args.shuffle,
+            cps_only=args.cps_only,
+            meta_dir=args.meta_dir,
+            n_batch=args.n_batch,
+            seed=args.seed,
+        )
+    )
+    return 0
+
+
+def _add_balance(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("balance", help="balance datasets across cp bins / plot histogram")
+    p.add_argument("data_dirs", nargs="+", help="one or two dataset directories")
+    p.add_argument("--bins", type=float, nargs="+",
+                   default=[0.0, 0.001, 0.01, 0.1, 1.0])
+    p.add_argument("--out", default=None, help="save balanced dataset(s) to .npy")
+    p.add_argument("--hist", default="hist.svg", help="histogram output path")
+    p.set_defaults(func=_run_balance)
+
+
+def _run_balance(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from collide2d_tpu.data import balance as bal
+
+    datasets = [bal.load_data(d) for d in args.data_dirs]
+    bal.plot_histogram(datasets[0], np.asarray(args.bins), args.hist)
+    print(f"histogram -> {args.hist}")
+    if len(datasets) == 2:
+        bins0 = bal.compute_bin_idx(datasets[0][:, 2], args.bins)
+        bins1 = bal.compute_bin_idx(datasets[1][:, 2], args.bins)
+        b0, b1 = bal.balance(datasets[0], datasets[1], bins0, bins1)
+        print(f"balanced sizes: {b0.shape} {b1.shape}")
+        if args.out:
+            np.save(args.out + "_0.npy", b0)
+            np.save(args.out + "_1.npy", b1)
+            print(f"saved {args.out}_0.npy {args.out}_1.npy")
+    elif args.out:
+        bins0 = bal.compute_bin_idx(datasets[0][:, 2], args.bins)
+        np.save(args.out, bal.balance_single(datasets[0], bins0))
+        print(f"saved {args.out}")
+    return 0
+
+
+def _add_show(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("show", help="contour-plot cp(x,y) for one (var,pose) slice")
+    p.add_argument("data_file", help="a labeled batch .npy file")
+    p.add_argument("--var_idx", type=float, default=0)
+    p.add_argument("--pose_idx", type=float, default=0)
+    p.add_argument("--out", default="contour.png")
+    p.set_defaults(func=_run_show)
+
+
+def _run_show(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from collide2d_tpu.data import visualize as viz
+
+    data = np.load(args.data_file)
+    x, y, z = viz.get_data_for_specific_var_and_pos(data, args.var_idx, args.pose_idx)
+    if len(z) < 4:
+        print(
+            f"only {len(z)} rows for (var_idx={args.var_idx}, "
+            f"pose_idx={args.pose_idx}); need >= 4 for interpolation. "
+            "Generate with small --num_poses/--num_variances to densify slices.",
+            file=sys.stderr,
+        )
+        return 1
+    viz.plot_contour(x, y, z, args.out)
+    print(f"contour -> {args.out}")
+    return 0
+
+
+def _add_bench(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("bench", help="throughput benchmarks on the local device")
+    p.add_argument("--pairs", type=int, default=1 << 20)
+    p.add_argument("--iters", type=int, default=20)
+    p.set_defaults(func=_run_bench)
+
+
+def _run_bench(args: argparse.Namespace) -> int:
+    from collide2d_tpu.utils.benchmarks import run_all
+
+    for line in run_all(pairs=args.pairs, iters=args.iters):
+        print(line)
+    return 0
+
+
+def _bool_flag(value: str) -> bool:
+    if value.lower() in ("1", "true", "yes", "on"):
+        return True
+    if value.lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="collide2d",
+        description="TPU-native 2D convex collision engine "
+                    "(dataset generation / relabeling / validation)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_generate(sub)
+    _add_relabel(sub)
+    _add_ztest(sub)
+    _add_balance(sub)
+    _add_show(sub)
+    _add_bench(sub)
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

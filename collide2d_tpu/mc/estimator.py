@@ -1,0 +1,318 @@
+"""Monte Carlo collision-probability estimator with adaptive stopping.
+
+TPU-native re-design of the reference's device kernel + host driver pair
+(`monte_carlo_sample_collision_dataset_uniform`, generate_dataset.cu:
+175-253, and the while-loop at generate_dataset.cu:425-468):
+
+- One CUDA thread per configuration becomes a vmapped configuration axis
+  (P1 in SURVEY.md §2), shardable across chips.
+- The per-thread scalar sample loop becomes a lane-parallel sample axis
+  reduced on-chip inside `lax.fori_loop` (P2), so only (C,)-shaped
+  accumulators ever live in HBM.
+- thrust count/sort_by_key stream compaction becomes masked accumulation
+  plus HALVING-BUCKET recompaction: the active set is repacked into a
+  buffer of half the size whenever it can be, so XLA sees only
+  O(log C) distinct shapes (each compiled once) instead of dynamic ones.
+- The noisy-obstacle SAT test uses the closed-form oriented-box test
+  (`ops.sat.obb_collide`) — boolean-equivalent to the reference's
+  vertex-buffer SAT, ~40 flops + 4 transcendentals per sample, with a
+  vertex-path implementation available for cross-checking.
+
+Statistical contract: labels match the reference's within Monte Carlo
+noise (curand != threefry), and each converged label satisfies the same
+Wald/rule-of-three CI criterion (`mc.stats`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from collide2d_tpu.mc import stats
+from collide2d_tpu.mc.noise import sampled_obstacle_vertices, NoiseParams
+from collide2d_tpu.ops.sat import obb_collide, sat_rects
+from collide2d_tpu.ops.geometry import rects_from_params
+
+
+class Configs(NamedTuple):
+    """A batch of C dataset configurations (the per-thread state of the
+    reference kernel, generate_dataset.cu:199-227, as arrays).
+
+    position:    (C, 2) robot center in the obstacle frame
+    pose_theta:  (C,)   robot orientation
+    obstacle_wh: (C, 2) obstacle width/height (obstacle sits at origin)
+    std_dev:     (C, 5) noise sigmas (x, y, theta, width, height)
+    """
+
+    position: Array
+    pose_theta: Array
+    obstacle_wh: Array
+    std_dev: Array
+
+    @property
+    def num(self) -> int:
+        return self.position.shape[0]
+
+
+def _per_config_keys(key: Array, uids: Array) -> Array:
+    """Stable per-configuration keys: fold the config uid into the base
+    key so results are invariant under compaction/re-ordering."""
+    return jax.vmap(lambda u: jax.random.fold_in(key, u))(uids)
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for s in range(min(cap, n), 0, -1):
+        if n % s == 0:
+            return s
+    return 1
+
+
+def _counts_chunk(
+    keys: Array, configs: Configs, robot_wh: Array, n_lanes: int, use_vertices: bool
+) -> Array:
+    """Collision count over ``n_lanes`` samples for each configuration."""
+    z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 5), jnp.float32))(keys)
+    d = z * configs.std_dev[:, None, :]  # (C, S, 5)
+    if use_vertices:
+        # Bit-faithful vertex path: mirrors sample_rectangle +
+        # convex_collide (utils.cu:144-184) through rect algebra.
+        noise = NoiseParams(d[..., 0], d[..., 1], d[..., 2], d[..., 3], d[..., 4])
+        obstacle = sampled_obstacle_vertices(configs.obstacle_wh[:, None, :], noise)
+        robot = rects_from_params(
+            configs.position,
+            jnp.broadcast_to(robot_wh, configs.position.shape),
+            configs.pose_theta,
+        )  # (C, 4, 2)
+        hit = sat_rects(jnp.broadcast_to(robot[:, None], obstacle.shape), obstacle)
+    else:
+        # Closed-form OBB path (fast): the sampled obstacle is an oriented
+        # box with center (dx,dy), extents wh+(dw,dh), angle dtheta.
+        hit = obb_collide(
+            configs.position[:, None, :],
+            jnp.broadcast_to(robot_wh, (1, 1, 2)),
+            configs.pose_theta[:, None],
+            d[..., 0:2],
+            configs.obstacle_wh[:, None, :] + d[..., 3:5],
+            d[..., 2],
+        )
+    return jnp.sum(hit, axis=-1, dtype=jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_batch", "step_samples", "use_vertices")
+)
+def mc_round(
+    key: Array,
+    uids: Array,
+    configs: Configs,
+    robot_wh: Array,
+    chunk_offset: Array,
+    *,
+    n_batch: int,
+    step_samples: int = 0,
+    use_vertices: bool = False,
+) -> Array:
+    """One adaptive round: ``n_batch`` Monte Carlo samples per config.
+
+    The TPU equivalent of one launch of the reference kernel's hot loop
+    (generate_dataset.cu:238-242). Samples run ``step_samples`` lanes at a
+    time inside a ``fori_loop`` so intermediates stay fused on-chip;
+    ``chunk_offset`` keeps the per-config random stream continuous across
+    rounds regardless of compaction.
+
+    Returns int32 (C,) collision counts out of ``n_batch``.
+    """
+    if step_samples <= 0:
+        step_samples = _largest_divisor_leq(n_batch, 512)
+    assert n_batch % step_samples == 0, (n_batch, step_samples)
+    n_steps = n_batch // step_samples
+    base_keys = _per_config_keys(key, uids)
+    robot_wh = jnp.asarray(robot_wh, jnp.float32)
+
+    def body(i, counts):
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+            base_keys, chunk_offset + i
+        )
+        return counts + _counts_chunk(
+            step_keys, configs, robot_wh, step_samples, use_vertices
+        )
+
+    counts0 = jnp.zeros((configs.num,), jnp.int32)
+    return jax.lax.fori_loop(0, n_steps, body, counts0)
+
+
+def collision_probability(
+    key: Array,
+    configs: Configs,
+    robot_wh,
+    n_samples: int,
+    *,
+    step_samples: int = 0,
+    use_vertices: bool = False,
+) -> Array:
+    """Fixed-sample-count Monte Carlo collision probability.
+
+    The single-pair/fixed-budget entry point (BASELINE.json config #3:
+    "Monte Carlo collision probability for one rectangle pair, fixed +
+    supplied variance (10k samples)"). Returns float32 (C,) estimates.
+    """
+    uids = jnp.arange(configs.num, dtype=jnp.int32)
+    counts = mc_round(
+        key,
+        uids,
+        configs,
+        jnp.asarray(robot_wh, jnp.float32),
+        jnp.int32(0),
+        n_batch=int(n_samples),
+        step_samples=step_samples,
+        use_vertices=use_vertices,
+    )
+    return counts.astype(jnp.float32) / jnp.float32(n_samples)
+
+
+@dataclass(frozen=True)
+class AdaptiveConfig:
+    """Adaptive-stop schedule + accuracy targets.
+
+    Defaults mirror the reference exactly: accuracy bins {0, .01, .1, 1}
+    with per-bin CI targets {1e-4, 1e-3, 1e-2} (generate_dataset.cu:58-59),
+    sample schedule 1000/round until 20k then 100000/round
+    (generate_dataset.cu:427-430), cap 4e6 (generate_dataset.cu:53).
+    ``fixed_batch`` (ztest.cu:332 uses 10000) overrides the two-phase
+    schedule when set.
+    """
+
+    accuracy_bins: Sequence[float] = (0.0, 0.01, 0.1, 1.0)
+    bin_accuracy: Sequence[float] = (0.0001, 0.001, 0.01)
+    max_samples: int = 4_000_000
+    initial_batch: int = 1_000
+    initial_phase_samples: int = 20_000
+    later_batch: int = 100_000
+    fixed_batch: int | None = None
+    step_samples: int = 0
+    min_active: int = 256  # smallest compaction bucket
+    use_vertices: bool = False
+
+    def batch_for(self, n_samples_so_far: int) -> int:
+        if self.fixed_batch is not None:
+            return self.fixed_batch
+        if n_samples_so_far < self.initial_phase_samples:
+            return self.initial_batch
+        return self.later_batch
+
+
+@functools.partial(jax.jit, static_argnames=("accuracy_bins", "bin_accuracy"))
+def _convergence(n_samples, n_true, accuracy_bins, bin_accuracy):
+    done = stats.is_converged(
+        n_samples, n_true, jnp.asarray(accuracy_bins), jnp.asarray(bin_accuracy)
+    )
+    return done, jnp.sum(done.astype(jnp.int32))
+
+
+def _round_up_bucket(n: int, min_bucket: int) -> int:
+    b = max(min_bucket, 1)
+    while b < n:
+        b *= 2
+    return b
+
+
+def adaptive_collision_probabilities(
+    key: Array,
+    configs: Configs,
+    robot_wh,
+    cfg: AdaptiveConfig = AdaptiveConfig(),
+    *,
+    progress=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Label every configuration to its bin's CI accuracy target.
+
+    Host-side driver equivalent of the reference's while-loop
+    (generate_dataset.cu:425-468) with thrust compaction replaced by
+    halving buckets: after each round the still-active configurations are
+    repacked into a buffer of the smallest power-of-two bucket that holds
+    them, so each bucket shape compiles once and finished configurations
+    stop consuming FLOPs — the XLA-native analogue of shrinking the CUDA
+    grid to ``num_left``.
+
+    Returns (cp, n_samples_used, converged) as host numpy arrays in the
+    ORIGINAL configuration order (the reference restores order via a
+    device-side index column, compute_collision_probability.cu:337-344;
+    here the uid array serves that role).
+    """
+    C = configs.num
+    out_cp = np.zeros((C,), np.float32)
+    out_n = np.zeros((C,), np.int64)
+    out_done = np.zeros((C,), bool)
+
+    # Active state (device): uids identify original rows through repacking.
+    uids = jnp.arange(C, dtype=jnp.int32)
+    active = configs
+    n_true = jnp.zeros((C,), jnp.int32)
+    robot_wh = jnp.asarray(robot_wh, jnp.float32)
+    acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
+    bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
+
+    n_samples = 0
+    chunk_offset = 0
+    num_real = C  # rows of the current buffer that are real (not padding)
+    rnd = 0
+    while num_real > 0 and n_samples < cfg.max_samples:
+        n_batch = cfg.batch_for(n_samples)
+        step = cfg.step_samples or _largest_divisor_leq(n_batch, 512)
+        counts = mc_round(
+            key,
+            uids,
+            active,
+            robot_wh,
+            jnp.int32(chunk_offset),
+            n_batch=n_batch,
+            step_samples=step,
+            use_vertices=cfg.use_vertices,
+        )
+        n_true = n_true + counts
+        chunk_offset += n_batch // step
+        n_samples += n_batch
+        rnd += 1
+
+        done, _ = _convergence(jnp.int32(n_samples), n_true, acc_bins, bin_acc)
+        done_np = np.asarray(jax.device_get(done))
+        emit = done_np.copy()
+        emit[num_real:] = False  # padding rows never emit
+        if n_samples >= cfg.max_samples:
+            # Tail flush (generate_dataset.cu:470-479): unconverged rows
+            # get their current estimate at the final n_samples.
+            emit[:num_real] = True
+        if emit.any():
+            uids_np = np.asarray(jax.device_get(uids))
+            ntrue_np = np.asarray(jax.device_get(n_true))
+            idx = np.flatnonzero(emit)
+            rows = uids_np[idx]
+            out_cp[rows] = ntrue_np[idx].astype(np.float32) / np.float32(n_samples)
+            out_n[rows] = n_samples
+            out_done[rows] = done_np[idx]
+
+            # Repack the surviving rows (always, so nothing emits twice)
+            # into the smallest halving bucket, padding by repeating the
+            # first kept row; padding is masked out on emit via num_real.
+            keep = np.flatnonzero(~emit[:num_real])
+            num_real = len(keep)
+            if num_real == 0:
+                break
+            bucket = _round_up_bucket(num_real, cfg.min_active)
+            pad = np.concatenate(
+                [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
+            )
+            gather = jnp.asarray(pad, jnp.int32)
+            uids = jnp.take(uids, gather, axis=0)
+            n_true = jnp.take(n_true, gather, axis=0)
+            active = Configs(*(jnp.take(a, gather, axis=0) for a in active))
+        if progress is not None:
+            progress(num_left=num_real, n_samples=n_samples, round=rnd)
+
+    return out_cp, out_n, out_done

@@ -1,0 +1,81 @@
+"""The flagship model: batched collision-probability estimation.
+
+Wraps the ops/mc layers into one object with jittable forward steps —
+the user-facing surface equivalent to "one launch" of the reference's
+monte_carlo_sample_collision_dataset_uniform kernel
+(generate_dataset.cu:175-253) plus its deterministic SAT primitive.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from collide2d_tpu.mc.estimator import (
+    AdaptiveConfig,
+    Configs,
+    adaptive_collision_probabilities,
+    collision_probability,
+)
+from collide2d_tpu.ops.broad_phase import candidate_mask
+from collide2d_tpu.ops.sat import sat_rects, sat_polygons
+from collide2d_tpu.ops.geometry import rects_from_params
+
+
+class CollisionProbabilityModel:
+    """Collision labels + probabilities for a rectangular robot.
+
+    Parameters mirror the reference CLI's robot knobs
+    (generate_dataset.cu:60-61): ``robot_wh`` defaults to the reference's
+    4.07 x 1.74 vehicle.
+    """
+
+    def __init__(self, robot_wh: Sequence[float] = (4.07, 1.74)):
+        self.robot_wh = jnp.asarray(robot_wh, jnp.float32)
+
+    # ---- deterministic narrow phase -------------------------------------
+    def collide(self, position: Array, pose_theta: Array, obstacle_wh: Array) -> Array:
+        """Deterministic SAT label for robot-at-(position, theta) vs an
+        axis-aligned obstacle at the origin. int32 (C,)."""
+        robot = rects_from_params(
+            position, jnp.broadcast_to(self.robot_wh, position.shape), pose_theta
+        )
+        obstacle = rects_from_params(
+            jnp.zeros_like(position), obstacle_wh, jnp.zeros_like(pose_theta)
+        )
+        return sat_rects(robot, obstacle)
+
+    def collide_polygons(self, p1, p2, mask1=None, mask2=None, *, broad_phase=True):
+        """Convex k-gon pairs with optional AABB broad-phase pruning
+        (BASELINE.json config #4). int32 (C,)."""
+        narrow = sat_polygons(p1, p2, mask1, mask2)
+        if not broad_phase:
+            return narrow
+        return jnp.where(candidate_mask(p1, p2, mask1, mask2), narrow, 0)
+
+    # ---- Monte Carlo -----------------------------------------------------
+    def forward(self, key: Array, configs: Configs, n_samples: int) -> Array:
+        """Fixed-budget MC collision probabilities; jittable. f32 (C,)."""
+        return collision_probability(key, configs, self.robot_wh, n_samples)
+
+    def label(self, key: Array, configs: Configs, cfg: AdaptiveConfig = AdaptiveConfig()):
+        """Adaptive labeling to per-bin CI accuracy (host loop around the
+        jitted round step). Returns (cp, n_samples, converged) numpy."""
+        return adaptive_collision_probabilities(key, configs, self.robot_wh, cfg)
+
+
+def example_configs(n: int = 8, seed: int = 0) -> Configs:
+    """Small deterministic Configs batch for smoke tests / compile checks."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return Configs(
+        position=jax.random.uniform(k1, (n, 2), jnp.float32, -6.0, 6.0),
+        pose_theta=jax.random.uniform(k2, (n,), jnp.float32, 0.0, 2.0 * jnp.pi),
+        obstacle_wh=jax.random.uniform(k3, (n, 2), jnp.float32, 0.1, 5.0),
+        std_dev=jax.random.uniform(k4, (n, 5), jnp.float32, 0.0, 0.55)
+        .at[:, 3:]
+        .set(0.0),
+    )

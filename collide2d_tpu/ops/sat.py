@@ -1,0 +1,187 @@
+"""Separating-Axis-Theorem narrow phase — fixed runtime, branch free.
+
+The reference's hot primitive is `convex_collide` (utils.cu:159-184): a
+rectangle-rectangle SAT test that (quirks preserved here, documented in
+SURVEY.md §2):
+
+1. projects onto the EDGE VECTOR itself, not its perpendicular
+   (utils.cu:170-171) — correct-by-accident for rectangles, where the edge
+   direction set equals the normal set;
+2. never exits early — all 8 axes are always evaluated (fixed runtime);
+3. uses UNNORMALIZED axes and STRICT ``<`` interval comparisons
+   (utils.cu:178), so exactly-touching rectangles count as colliding.
+
+`sat_rects_reference` reproduces those semantics bit-for-bit (same axis
+set, same comparison). `sat_polygons` is the general fixed-k convex
+polygon test with TRUE perpendicular edge normals (fixing quirk 1, as the
+reference README's extension path requires), masked for padded vertices.
+`obb_collide` is the closed-form oriented-box test used by the fused
+Monte-Carlo kernels — boolean-equivalent to the vertex formulation.
+
+All functions are elementwise/VPU-friendly: no data-dependent control
+flow, static shapes, safe under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from collide2d_tpu.ops.geometry import edge_normals, polygon_edges
+
+
+def _project_all(axes: Array, verts: Array) -> Array:
+    """Project vertices onto axes: ``B+(a,2) x B+(k,2) -> B+(a,k)``.
+
+    Written as an explicit ``ax*x + ay*y`` (separately-rounded f32 mul and
+    add on the VPU) rather than einsum/dot_general: contraction kernels
+    may use FMA or reordered accumulation, which breaks the bit-for-bit
+    parity with the reference's scalar projections (utils.cu:173-174)
+    that `sat_rects_reference` guarantees (verified against SAT.py).
+    """
+    ax = axes[..., 0][..., None]  # B+(a,1)
+    ay = axes[..., 1][..., None]
+    x = verts[..., None, :, 0]  # B+(1,k)
+    y = verts[..., None, :, 1]
+    return ax * x + ay * y
+
+
+def sat_rects_reference(r1: Array, r2: Array) -> Array:
+    """Bit-compatible rectangle-rectangle SAT (reference semantics).
+
+    Mirrors `convex_collide` (utils.cu:159-184) exactly: for each of the
+    2x4 edges, use the edge vector (NOT its perpendicular) as the axis,
+    project all 8 vertices, and declare separation when one interval is
+    strictly to the left of the other (strict ``<``, utils.cu:178). No
+    early exit. Touching rectangles therefore collide.
+
+    ``r1``/``r2``: ``B + (4, 2)`` vertex arrays (layout per
+    `geometry.rect_vertices`). Returns int32 ``B`` (1 = collide).
+    """
+    # Axis set: edge vectors of both rects — 8 axes, matching the
+    # reference's j-loop over {r1, r2} and i-loop over 4 edges.
+    axes = jnp.concatenate([polygon_edges(r1), polygon_edges(r2)], axis=-2)  # B+(8,2)
+    p1 = _project_all(axes, r1)  # B+(8,4)
+    p2 = _project_all(axes, r2)
+    min1, max1 = jnp.min(p1, axis=-1), jnp.max(p1, axis=-1)
+    min2, max2 = jnp.min(p2, axis=-1), jnp.max(p2, axis=-1)
+    separated = jnp.logical_or(max1 < min2, max2 < min1)  # strict <, per axis
+    return jnp.logical_not(jnp.any(separated, axis=-1)).astype(jnp.int32)
+
+
+def sat_rects(r1: Array, r2: Array) -> Array:
+    """Fast rectangle-rectangle SAT over 4 unique axes.
+
+    For a rectangle, edges 2 and 3 are exact float negations of edges 0
+    and 1, so projections onto them are exact negations: the interval test
+    mirrors bitwise and the 8-axis reference result equals this 4-axis
+    result for every input (tested exhaustively against
+    `sat_rects_reference`). Half the work of the reference semantics with
+    an identical label.
+    """
+    e1 = r1[..., 1:3, :] - r1[..., 0:2, :]  # first two edges of r1
+    e2 = r2[..., 1:3, :] - r2[..., 0:2, :]
+    axes = jnp.concatenate([e1, e2], axis=-2)  # B+(4,2)
+    p1 = _project_all(axes, r1)
+    p2 = _project_all(axes, r2)
+    min1, max1 = jnp.min(p1, axis=-1), jnp.max(p1, axis=-1)
+    min2, max2 = jnp.min(p2, axis=-1), jnp.max(p2, axis=-1)
+    separated = jnp.logical_or(max1 < min2, max2 < min1)
+    return jnp.logical_not(jnp.any(separated, axis=-1)).astype(jnp.int32)
+
+
+def sat_polygons(
+    p1: Array,
+    p2: Array,
+    mask1: Array | None = None,
+    mask2: Array | None = None,
+) -> Array:
+    """Convex k-gon vs k-gon SAT with true perpendicular edge normals.
+
+    The general-shape path the reference README names as the extension
+    (README.md:3) but never implements; this fixes the edge-direction
+    quirk of utils.cu:170-171 by projecting onto perpendiculars. For
+    rectangle inputs the axis SET coincides with the reference's (each
+    rect edge direction = adjacent edge's normal), so labels agree with
+    `sat_rects_reference` on rectangles.
+
+    Padded fixed-k polygons: pass ``mask``s (``B + (k,)`` bool, True =
+    real vertex). Padding convention: repeat any real vertex in padded
+    slots. Masked vertices are excluded from both interval min/max and
+    axis generation (a padded slot's edge would be spurious).
+
+    ``p1``/``p2``: ``B + (k, 2)`` CCW convex vertices. Returns int32 ``B``.
+    Touching polygons collide (strict ``<`` separation), matching the
+    reference's convention.
+    """
+    k1 = p1.shape[-2]
+    k2 = p2.shape[-2]
+
+    def _axes(p, mask):
+        n = edge_normals(p)  # B+(k,2)
+        if mask is not None:
+            # Edge i connects vertex i to vertex (i+1)%k: real only when
+            # both endpoints are real. Zero axes never separate (interval
+            # [0,0] vs [0,0] overlaps), so zeroing padded axes is inert.
+            edge_real = jnp.logical_and(mask, jnp.roll(mask, -1, axis=-1))
+            n = jnp.where(edge_real[..., None], n, 0.0)
+        return n
+
+    axes = jnp.concatenate([_axes(p1, mask1), _axes(p2, mask2)], axis=-2)
+
+    def _interval(p, mask):
+        proj = _project_all(axes, p)  # B+(a,k)
+        if mask is None:
+            return jnp.min(proj, axis=-1), jnp.max(proj, axis=-1)
+        big = jnp.asarray(jnp.inf, proj.dtype)
+        m = mask[..., None, :]
+        lo = jnp.min(jnp.where(m, proj, big), axis=-1)
+        hi = jnp.max(jnp.where(m, proj, -big), axis=-1)
+        return lo, hi
+
+    min1, max1 = _interval(p1, mask1)
+    min2, max2 = _interval(p2, mask2)
+    separated = jnp.logical_or(max1 < min2, max2 < min1)
+    del k1, k2
+    return jnp.logical_not(jnp.any(separated, axis=-1)).astype(jnp.int32)
+
+
+def obb_collide(c1, ext1, th1, c2, ext2, th2) -> Array:
+    """Closed-form oriented-box overlap test (boolean-equal to vertex SAT).
+
+    Separation on the 4 unit axes of the two boxes; on axis u the boxes
+    are separated iff |(c1-c2)·u| > h1·|u·a1| + ... (projected extents).
+    Because the axes here are normalized and the arithmetic is refactored,
+    the float rounding differs from the vertex path on measure-zero
+    near-touching inputs — labels agree everywhere else (tested). This is
+    the form the fused Monte-Carlo kernels use: ~40 flops + 4
+    transcendentals per test, no vertex materialization.
+
+    Negative extents (possible under the reference's additive shape noise,
+    utils.cu:144-157, when dw < -w) are handled via abs(), which matches
+    the vertex formulation's min/max behavior on inverted rectangles.
+
+    ``c1``/``c2``: ``B + (2,)`` centers; ``ext1``/``ext2``: ``B + (2,)``
+    FULL widths/heights; ``th1``/``th2``: ``B`` angles. Returns int32 ``B``.
+    """
+    hx1 = jnp.abs(ext1[..., 0]) * 0.5
+    hy1 = jnp.abs(ext1[..., 1]) * 0.5
+    hx2 = jnp.abs(ext2[..., 0]) * 0.5
+    hy2 = jnp.abs(ext2[..., 1]) * 0.5
+    dx = c1[..., 0] - c2[..., 0]
+    dy = c1[..., 1] - c2[..., 1]
+    c1_, s1_ = jnp.cos(th1), jnp.sin(th1)
+    c2_, s2_ = jnp.cos(th2), jnp.sin(th2)
+    # Relative rotation: |cos(th1-th2)|, |sin(th1-th2)| via angle addition.
+    cd = jnp.abs(c1_ * c2_ + s1_ * s2_)
+    sd = jnp.abs(s1_ * c2_ - c1_ * s2_)
+    # Center offset projected on each box's axes.
+    d_a1 = jnp.abs(dx * c1_ + dy * s1_)
+    d_a2 = jnp.abs(-dx * s1_ + dy * c1_)
+    d_b1 = jnp.abs(dx * c2_ + dy * s2_)
+    d_b2 = jnp.abs(-dx * s2_ + dy * c2_)
+    sep = (d_a1 > hx1 + hx2 * cd + hy2 * sd)
+    sep |= d_a2 > hy1 + hx2 * sd + hy2 * cd
+    sep |= d_b1 > hx2 + hx1 * cd + hy1 * sd
+    sep |= d_b2 > hy2 + hx1 * sd + hy1 * cd
+    return jnp.logical_not(sep).astype(jnp.int32)

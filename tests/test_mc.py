@@ -1,0 +1,215 @@
+"""Monte Carlo estimator: analytic cases, oracle agreement, adaptive stop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import SAT
+from collide2d_tpu.mc.estimator import (
+    AdaptiveConfig,
+    Configs,
+    adaptive_collision_probabilities,
+    collision_probability,
+    mc_round,
+)
+from collide2d_tpu.mc.noise import sample_configurations, sampled_obstacle_vertices, NoiseParams
+from collide2d_tpu.mc.stats import calc_slack, get_bin
+
+ROBOT_WH = (4.07, 1.74)
+
+
+def _configs(rng, n, sigma=0.3, shape_sigma=0.0):
+    return Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (n, 2)).astype(np.float32)),
+        std_dev=jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(0, sigma, (n, 3)),
+                    rng.uniform(0, shape_sigma, (n, 2)),
+                ],
+                axis=1,
+            ).astype(np.float32)
+        ),
+    )
+
+
+def test_zero_variance_equals_deterministic_label(rng):
+    # sigma = 0 => every sample is the base obstacle => cp is exactly the
+    # deterministic SAT label (SURVEY.md §4b analytic case).
+    n = 128
+    cfgs = Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (n, 2)).astype(np.float32)),
+        std_dev=jnp.zeros((n, 5), jnp.float32),
+    )
+    cp = np.array(collision_probability(jax.random.PRNGKey(0), cfgs, ROBOT_WH, 512))
+    want = np.array(
+        [
+            SAT.convex_collide(
+                SAT.rot_trans_rectangle(
+                    SAT.create_rect(*ROBOT_WH),
+                    float(cfgs.position[i, 0]),
+                    float(cfgs.position[i, 1]),
+                    float(cfgs.pose_theta[i]),
+                ),
+                SAT.create_rect(
+                    float(cfgs.obstacle_wh[i, 0]), float(cfgs.obstacle_wh[i, 1])
+                ),
+            )
+            for i in range(n)
+        ],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(cp, want)
+
+
+def test_vertex_and_obb_paths_agree_statistically(rng):
+    n = 64
+    cfgs = _configs(rng, n, sigma=0.3, shape_sigma=0.2)
+    key = jax.random.PRNGKey(7)
+    cp_obb = np.array(
+        collision_probability(key, cfgs, ROBOT_WH, 4000, use_vertices=False)
+    )
+    cp_vtx = np.array(
+        collision_probability(key, cfgs, ROBOT_WH, 4000, use_vertices=True)
+    )
+    # Same keys, same samples: paths may only differ on exact-boundary
+    # draws, which have measure ~0.
+    np.testing.assert_allclose(cp_obb, cp_vtx, atol=2e-3)
+
+
+def test_mc_vs_numpy_oracle_estimate(rng):
+    # TPU estimate within MC tolerance of an independent NumPy MC using
+    # the SAT.py oracle (BASELINE ±0.005 agreement criterion at 10k).
+    n = 12
+    cfgs = _configs(rng, n, sigma=0.25, shape_sigma=0.1)
+    cp = np.array(collision_probability(jax.random.PRNGKey(3), cfgs, ROBOT_WH, 10_000))
+
+    n_ref = 10_000
+    for i in range(n):
+        robot = SAT.rot_trans_rectangle(
+            SAT.create_rect(*ROBOT_WH),
+            float(cfgs.position[i, 0]),
+            float(cfgs.position[i, 1]),
+            float(cfgs.pose_theta[i]),
+        )
+        sd = np.array(cfgs.std_dev[i])
+        d = rng.normal(size=(n_ref, 5)).astype(np.float32) * sd
+        w = float(cfgs.obstacle_wh[i, 0]) + d[:, 3]
+        h = float(cfgs.obstacle_wh[i, 1]) + d[:, 4]
+        hits = 0
+        for s in range(n_ref):
+            obst = SAT.rot_trans_rectangle(
+                SAT.create_rect(w[s], h[s]), d[s, 0], d[s, 1], d[s, 2]
+            )
+            hits += SAT.convex_collide(robot, obst)
+        want = hits / n_ref
+        # Two independent 10k-sample estimates: 3-sigma of the difference.
+        tol = 3 * np.sqrt(2 * max(want * (1 - want), 1e-4) / n_ref) + 0.005
+        assert abs(cp[i] - want) <= tol, (i, cp[i], want, tol)
+
+
+def test_mc_round_compaction_invariance(rng):
+    # Per-config uid keys: results must not depend on position within the
+    # buffer (the property the halving-bucket repacking relies on).
+    n = 32
+    cfgs = _configs(rng, n)
+    key = jax.random.PRNGKey(11)
+    uids = jnp.arange(n, dtype=jnp.int32)
+    full = np.array(
+        mc_round(key, uids, cfgs, jnp.asarray(ROBOT_WH), jnp.int32(0), n_batch=500)
+    )
+    perm = rng.permutation(n)
+    permuted = Configs(*(jnp.asarray(np.array(a)[perm]) for a in cfgs))
+    got = np.array(
+        mc_round(
+            key,
+            jnp.asarray(perm.astype(np.int32)),
+            permuted,
+            jnp.asarray(ROBOT_WH),
+            jnp.int32(0),
+            n_batch=500,
+        )
+    )
+    np.testing.assert_array_equal(got, full[perm])
+
+
+def test_adaptive_meets_ci_criterion(rng):
+    n = 64
+    cfgs = _configs(rng, n, sigma=0.3)
+    cfg = AdaptiveConfig(
+        max_samples=100_000, initial_batch=1000, later_batch=20_000,
+        initial_phase_samples=20_000, bin_accuracy=(0.002, 0.004, 0.01),
+    )
+    cp, n_used, converged = adaptive_collision_probabilities(
+        jax.random.PRNGKey(5), cfgs, ROBOT_WH, cfg
+    )
+    assert (n_used > 0).all()
+    assert converged.mean() > 0.5  # most configs converge at these targets
+    # Every converged label satisfies its bin's CI criterion at emit time.
+    k = np.round(cp * n_used).astype(np.int64)
+    slack = np.array(calc_slack(jnp.asarray(n_used), jnp.asarray(k)))
+    target = np.array(jnp.asarray(cfg.bin_accuracy))[
+        np.array(get_bin(jnp.asarray(cp), jnp.asarray(cfg.accuracy_bins)))
+    ]
+    assert (slack[converged] <= target[converged] + 1e-7).all()
+    # Unconverged rows were flushed at the cap.
+    assert (n_used[~converged] >= cfg.max_samples).all() or converged.all()
+
+
+def test_adaptive_matches_fixed_estimate(rng):
+    # Adaptive cp ~ fixed-budget cp for the same configs (statistical).
+    n = 24
+    cfgs = _configs(rng, n, sigma=0.2)
+    cfg = AdaptiveConfig(
+        max_samples=40_000, initial_batch=2000, later_batch=10_000,
+        initial_phase_samples=10_000,
+    )
+    cp_a, _, _ = adaptive_collision_probabilities(
+        jax.random.PRNGKey(9), cfgs, ROBOT_WH, cfg
+    )
+    cp_f = np.array(collision_probability(jax.random.PRNGKey(10), cfgs, ROBOT_WH, 40_000))
+    np.testing.assert_allclose(cp_a, cp_f, atol=0.03)
+
+
+def test_sampled_obstacle_vertices_semantics():
+    # Additive shape noise then rotate+translate (utils.cu:144-157):
+    # equals rect(w+dw, h+dh) transformed.
+    noise = NoiseParams(
+        dx=jnp.float32(0.3), dy=jnp.float32(-0.2), dtheta=jnp.float32(0.7),
+        dw=jnp.float32(0.1), dh=jnp.float32(-0.4),
+    )
+    got = np.array(sampled_obstacle_vertices(jnp.asarray([2.0, 3.0]), noise))
+    want = SAT.rot_trans_rectangle(SAT.create_rect(2.1, 2.6), 0.3, -0.2, 0.7).reshape(4, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_configurations_geometry(rng):
+    # Positions land on the sigma-padded elliptical ring of
+    # generate_dataset.cu:207-219 (statistically: radius distribution).
+    poses = jnp.asarray(rng.uniform(0.1, 5, (16, 3)).astype(np.float32))
+    stds = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 0.5, (8, 3)), np.zeros((8, 2))], axis=1
+        ).astype(np.float32)
+    )
+    pos, pose_idx, var_idx = sample_configurations(
+        jax.random.PRNGKey(2), 4096, poses, stds, r_offset=1.4525, spread=4.0
+    )
+    pos = np.array(pos)
+    pose_idx = np.array(pose_idx)
+    var_idx = np.array(var_idx)
+    assert pose_idx.min() >= 0 and pose_idx.max() < 16
+    assert var_idx.min() >= 0 and var_idx.max() < 8
+    # Indices roughly uniform.
+    counts = np.bincount(pose_idx, minlength=16)
+    assert counts.min() > 4096 / 16 * 0.5
+    # With spread*sigma shift, positions concentrate in an annulus-ish
+    # region: no positions at the origin (min radius >= 2.35 + w/2 +
+    # r_offset - |shift| and shift is zero-mean).
+    r = np.hypot(pos[:, 0], pos[:, 1])
+    assert np.quantile(r, 0.05) > 1.0

@@ -1,0 +1,162 @@
+"""SAT narrow phase vs the SAT.py oracle: bitwise parity + adversarial cases."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import SAT
+from collide2d_tpu.ops.sat import (
+    sat_rects_reference,
+    sat_rects,
+    sat_polygons,
+    obb_collide,
+)
+from collide2d_tpu.ops.geometry import rect_vertices, transform_vertices
+from tests.conftest import random_rect_params, oracle_vertices
+
+
+def _oracle_labels(V1, V2):
+    return np.array(
+        [SAT.convex_collide(V1[i].ravel(), V2[i].ravel()) for i in range(len(V1))]
+    )
+
+
+@pytest.fixture(scope="module")
+def random_pairs(rng):
+    n = 3000
+    V1 = oracle_vertices(*random_rect_params(rng, n))
+    V2 = oracle_vertices(*random_rect_params(rng, n))
+    return V1, V2, _oracle_labels(V1, V2)
+
+
+def test_reference_semantics_bitwise(random_pairs):
+    V1, V2, labels = random_pairs
+    got = np.array(sat_rects_reference(jnp.asarray(V1), jnp.asarray(V2)))
+    assert labels.mean() > 0.05  # the sample actually exercises both classes
+    np.testing.assert_array_equal(got, labels)
+
+
+def test_fast_4axis_equals_reference(random_pairs):
+    # Edges 2,3 of a rect are exact float negations of edges 0,1, so the
+    # 4-axis test is bitwise-equal to the 8-axis reference semantics.
+    V1, V2, _ = random_pairs
+    a = np.array(sat_rects_reference(jnp.asarray(V1), jnp.asarray(V2)))
+    b = np.array(sat_rects(jnp.asarray(V1), jnp.asarray(V2)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_polygon_sat_agrees_on_rectangles(random_pairs):
+    # For rectangles the true-normal axis set coincides with the
+    # reference's edge-direction set, so labels agree.
+    V1, V2, labels = random_pairs
+    got = np.array(sat_polygons(jnp.asarray(V1), jnp.asarray(V2)))
+    np.testing.assert_array_equal(got, labels)
+
+
+def test_touching_rectangles_collide():
+    # Strict < separation (utils.cu:178): shared-edge contact => collide.
+    a = rect_vertices(2.0, 2.0)
+    b = transform_vertices(rect_vertices(2.0, 2.0), 2.0, 0.0, 0.0)
+    assert int(sat_rects_reference(a, b)) == 1
+    assert int(sat_rects(a, b)) == 1
+    # ...and an exact corner touch also collides
+    c = transform_vertices(rect_vertices(2.0, 2.0), 2.0, 2.0, 0.0)
+    assert int(sat_rects_reference(a, c)) == 1
+
+
+def test_separated_contained_identical():
+    a = rect_vertices(2.0, 2.0)
+    far = transform_vertices(rect_vertices(1.0, 1.0), 10.0, 0.0, 0.5)
+    inside = transform_vertices(rect_vertices(0.5, 0.5), 0.1, 0.1, 0.3)
+    assert int(sat_rects(a, far)) == 0
+    assert int(sat_rects(a, inside)) == 1  # containment: no separating axis
+    assert int(sat_rects(a, a)) == 1
+
+
+def test_near_touching_adversarial(rng):
+    # Pairs straddling the contact boundary by +-eps along x.
+    eps = np.float32(1e-6)
+    a = rect_vertices(2.0, 2.0)
+    overlapping = transform_vertices(rect_vertices(2.0, 2.0), 2.0 - eps, 0.0, 0.0)
+    separated = transform_vertices(rect_vertices(2.0, 2.0), 2.0 + eps, 0.0, 0.0)
+    assert int(sat_rects_reference(a, overlapping)) == 1
+    assert int(sat_rects_reference(a, separated)) == 0
+
+
+def test_negative_extent_rect_is_mirrored():
+    # Shape noise can drive w+dw negative (utils.cu:144-157); the vertex
+    # SAT handles the inverted rect via min/max, and obb_collide via abs.
+    a = rect_vertices(2.0, 2.0)
+    b = transform_vertices(rect_vertices(-1.0, 1.0), 1.2, 0.0, 0.0)
+    b_pos = transform_vertices(rect_vertices(1.0, 1.0), 1.2, 0.0, 0.0)
+    assert int(sat_rects_reference(a, b)) == int(sat_rects_reference(a, b_pos))
+
+
+def _regular_polygon(k, radius, cx, cy, phase=0.0):
+    ang = phase + 2 * np.pi * np.arange(k) / k
+    return np.stack(
+        [cx + radius * np.cos(ang), cy + radius * np.sin(ang)], -1
+    ).astype(np.float32)
+
+
+def test_polygon_sat_vs_polygon_oracle(rng):
+    # k-gons (k in 3..8) vs the true-normal NumPy oracle.
+    n = 400
+    for k1 in (3, 5, 8):
+        for k2 in (4, 6):
+            got, want = [], []
+            for _ in range(n // 8):
+                p1 = _regular_polygon(
+                    k1, rng.uniform(0.5, 2), rng.uniform(-3, 3), rng.uniform(-3, 3),
+                    rng.uniform(0, 2 * np.pi),
+                )
+                p2 = _regular_polygon(
+                    k2, rng.uniform(0.5, 2), rng.uniform(-3, 3), rng.uniform(-3, 3),
+                    rng.uniform(0, 2 * np.pi),
+                )
+                want.append(SAT.convex_collide_polygons(p1, p2))
+                got.append((p1, p2))
+            P1 = jnp.asarray(np.stack([g[0] for g in got]))
+            P2 = jnp.asarray(np.stack([g[1] for g in got]))
+            res = np.array(sat_polygons(P1, P2))
+            np.testing.assert_array_equal(res, np.array(want))
+
+
+def test_polygon_padding_mask(rng):
+    # A triangle padded to k=8 (repeat last vertex) with a mask must give
+    # the same label as the unpadded triangle.
+    for _ in range(50):
+        p1 = _regular_polygon(3, rng.uniform(0.5, 2), rng.uniform(-2, 2), 0.0)
+        p2 = _regular_polygon(4, rng.uniform(0.5, 2), rng.uniform(-2, 2), 0.0)
+        want = SAT.convex_collide_polygons(p1, p2)
+        pad = np.concatenate([p1, np.repeat(p1[-1:], 5, axis=0)])
+        mask = np.array([True] * 3 + [False] * 5)
+        got = int(
+            sat_polygons(
+                jnp.asarray(pad)[None], jnp.asarray(p2)[None], jnp.asarray(mask)[None]
+            )[0]
+        )
+        assert got == want
+
+
+def test_obb_closed_form_agrees(random_pairs, rng):
+    # Closed-form OBB test vs vertex SAT on fresh random parameter sets
+    # (allowing measure-zero boundary disagreements: none expected here).
+    n = 3000
+    w1, h1, x1, y1, t1 = random_rect_params(rng, n)
+    w2, h2, x2, y2, t2 = random_rect_params(rng, n)
+    V1 = oracle_vertices(w1, h1, x1, y1, t1)
+    V2 = oracle_vertices(w2, h2, x2, y2, t2)
+    want = np.array(sat_rects(jnp.asarray(V1), jnp.asarray(V2)))
+    got = np.array(
+        obb_collide(
+            jnp.asarray(np.stack([x1, y1], -1)),
+            jnp.asarray(np.stack([w1, h1], -1)),
+            jnp.asarray(t1),
+            jnp.asarray(np.stack([x2, y2], -1)),
+            jnp.asarray(np.stack([w2, h2], -1)),
+            jnp.asarray(t2),
+        )
+    )
+    disagreement = (got != want).mean()
+    assert disagreement <= 2e-4, disagreement
