@@ -1,0 +1,156 @@
+"""Multi-chip SPMD: the framework's complete parallelism surface.
+
+The reference is single-GPU/single-process (SURVEY.md §2 checklist): its
+only decompositions are P1 (one CUDA thread per configuration) and P2
+(sequential samples within a thread). The TPU-native equivalents scale
+across chips over ICI:
+
+- P1 -> the CONFIG axis: shard configurations across a ``config`` mesh
+  axis with `NamedSharding`. Embarrassingly parallel — XLA inserts no
+  collectives; only the final host gather crosses the ICI.
+- P2 -> the SAMPLE axis: for very deep per-pair budgets (ztest's 4e6
+  samples/pair), `shard_map` splits the sample budget across a
+  ``sample`` mesh axis, every device draws an independent key stream
+  (fold_in of its axis index), and partial true-counts reduce with one
+  `psum` over ICI.
+
+Both compose on a 2-D ``(config, sample)`` mesh: `sharded_mc_round` is
+the full sharded round step the multichip dry-run compiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from collide2d_tpu.mc.estimator import Configs, _counts_chunk, _per_config_keys
+
+
+def make_mesh(
+    devices=None, *, sample_axis: int | None = None
+) -> Mesh:
+    """A 2-D ``(config, sample)`` mesh over the available devices.
+
+    ``sample_axis`` fixes the sample-axis size (must divide the device
+    count); by default the mesh is all-config (pure data parallel), which
+    is optimal for the dataset workloads where C >> devices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    s = sample_axis or 1
+    if n % s:
+        raise ValueError(f"sample_axis={s} does not divide {n} devices")
+    dev_array = np.asarray(devices).reshape(n // s, s)
+    return Mesh(dev_array, ("config", "sample"))
+
+
+def config_spec() -> P:
+    return P("config")
+
+
+def shard_configs(configs: Configs, mesh: Mesh) -> Configs:
+    """Place a Configs batch with the configuration axis sharded over the
+    ``config`` mesh axis (fields: (C,2),(C,),(C,2),(C,5) all shard dim 0)."""
+    sharding = NamedSharding(mesh, P("config"))
+    return Configs(*(jax.device_put(a, sharding) for a in configs))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_batch", "step_samples", "mesh", "use_vertices"),
+)
+def sharded_mc_round(
+    key: Array,
+    uids: Array,
+    configs: Configs,
+    robot_wh: Array,
+    chunk_offset: Array,
+    *,
+    n_batch: int,
+    step_samples: int,
+    mesh: Mesh,
+    use_vertices: bool = False,
+) -> Array:
+    """One MC round sharded over a ``(config, sample)`` mesh.
+
+    Per (config-shard, sample-shard) device: C/n_config configurations x
+    n_batch/n_sample samples, independent key streams via fold_in of the
+    sample-axis index, partial counts `psum`'d over the ``sample`` axis.
+    Output: int32 (C,) counts, sharded over ``config`` / replicated over
+    ``sample`` — ICI traffic is exactly one (C/n_config,) psum.
+    """
+    n_sample = mesh.shape["sample"]
+    assert n_batch % (n_sample * step_samples) == 0, (n_batch, n_sample, step_samples)
+    local_steps = n_batch // (n_sample * step_samples)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("config"), Configs(P("config"), P("config"), P("config"), P("config")), P(), P()),
+        out_specs=P("config"),
+    )
+    def body(key, uids, cfgs, robot_wh, chunk_offset):
+        sidx = jax.lax.axis_index("sample")
+        base_keys = _per_config_keys(jax.random.fold_in(key, sidx), uids)
+
+        def step(i, counts):
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+                base_keys, chunk_offset + i
+            )
+            return counts + _counts_chunk(
+                step_keys, cfgs, robot_wh, step_samples, use_vertices
+            )
+
+        # The carry must be marked device-varying over both mesh axes (the
+        # counts depend on the config shard and the sample-axis key
+        # stream) to satisfy shard_map's varying-axes type check.
+        counts0 = jax.lax.pvary(
+            jnp.zeros((cfgs.num,), jnp.int32), ("config", "sample")
+        )
+        local = jax.lax.fori_loop(0, local_steps, step, counts0)
+        return jax.lax.psum(local, "sample")
+
+    return body(key, uids, configs, robot_wh, chunk_offset)
+
+
+def sample_sharded_probability(
+    key: Array,
+    configs: Configs,
+    robot_wh,
+    n_samples: int,
+    mesh: Mesh | None = None,
+    *,
+    step_samples: int = 0,
+) -> Array:
+    """Collision probability with the SAMPLE budget sharded across chips.
+
+    The scaling axis the reference handles only temporally (n_batch
+    rounds up to 4e6 samples, SURVEY.md §5 long-context note) becomes a
+    spatial mesh axis: per-chip partial-sample accumulation + one psum.
+    """
+    if mesh is None:
+        mesh = make_mesh(sample_axis=len(jax.devices()))
+    n_sample = mesh.shape["sample"]
+    if step_samples <= 0:
+        per_dev = n_samples // n_sample
+        step_samples = max(1, min(per_dev, 512))
+        while per_dev % step_samples:
+            step_samples -= 1
+    uids = jnp.arange(configs.num, dtype=jnp.int32)
+    counts = sharded_mc_round(
+        key,
+        uids,
+        configs,
+        jnp.asarray(robot_wh, jnp.float32),
+        jnp.int32(0),
+        n_batch=int(n_samples),
+        step_samples=int(step_samples),
+        mesh=mesh,
+    )
+    return counts.astype(jnp.float32) / jnp.float32(n_samples)

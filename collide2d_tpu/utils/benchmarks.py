@@ -2,9 +2,17 @@
 reference publishes no numbers (BASELINE.md). Measures:
 
   (a) raw batched SAT rectangle-pair tests/sec (north star: >= 1e9/chip),
-  (b) Monte Carlo collision-probability samples/sec,
-  (c) end-to-end configurations labeled per second at reference-default
-      accuracy bins (scaled-down batch).
+  (b) fused Monte Carlo collision-probability samples/sec,
+  (c) end-to-end configurations labeled/sec at reference-default bins.
+
+Methodology (required by the remote-TPU tunnel this image uses):
+`block_until_ready` can acknowledge before work completes and a host
+readback costs a ~30 ms round trip, so each benchmark runs its kernel K
+times INSIDE one jitted `fori_loop` with an iteration-dependent input
+perturbation (so XLA cannot hoist the body), ends in a scalar readback,
+and reports the difference quotient (T(K1+K) - T(K1)) / K — which
+cancels both the round trip and any fixed dispatch overhead. The loop
+bound is a traced argument so both timings share one compilation.
 """
 
 from __future__ import annotations
@@ -16,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from collide2d_tpu.mc.estimator import Configs, mc_round
+from collide2d_tpu.mc.estimator import Configs, _counts_chunk, _per_config_keys
 from collide2d_tpu.ops.sat import sat_rects
 from collide2d_tpu.ops.geometry import rects_from_params
 
@@ -25,7 +33,7 @@ SAT_TARGET = 1e9  # BASELINE.json north star: SAT pairs/sec/chip
 
 def _random_pairs(n: int, seed: int = 0):
     key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 6)
     mk = lambda i, lo, hi, shape: jax.random.uniform(
         ks[i], shape, jnp.float32, lo, hi
     )
@@ -38,23 +46,38 @@ def _random_pairs(n: int, seed: int = 0):
     return r1, r2
 
 
-def _time(fn, iters: int) -> float:
-    fn()  # warmup/compile
-    jax.block_until_ready(fn())
+def _readback_seconds(fn, *args) -> float:
+    """Wall time until the scalar result is actually on the host."""
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(fn(*args))
+    return time.perf_counter() - t0
 
 
-def bench_sat(pairs: int = 1 << 20, iters: int = 20) -> dict:
+def _diff_time(fn, args_small, args_big, reps: int) -> float:
+    """Per-unit time via difference quotient over the traced loop bound."""
+    _readback_seconds(fn, *args_small)  # compile + warm
+    t_small = min(_readback_seconds(fn, *args_small) for _ in range(3))
+    t_big = min(_readback_seconds(fn, *args_big) for _ in range(3))
+    return (t_big - t_small) / reps
+
+
+@jax.jit
+def _sat_loop(r1, r2, k):
+    def body(i, acc):
+        # Iteration-dependent shift defeats loop-invariant hoisting while
+        # adding only 8 flops/pair to the ~100-flop SAT body.
+        shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+        return acc + jnp.sum(sat_rects(r1, r2 + shift), dtype=jnp.int32)
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
+def bench_sat(pairs: int = 1 << 22, iters: int = 20) -> dict:
     """Batched SAT over random rectangle pairs (BASELINE config #2)."""
-    r1, r2 = _random_pairs(pairs)
-    r1, r2 = jax.block_until_ready((r1, r2))
-    f = jax.jit(lambda a, b: jnp.sum(sat_rects(a, b)))
-    dt = _time(lambda: f(r1, r2), iters)
+    r1, r2 = jax.block_until_ready(_random_pairs(pairs))
+    k1 = jnp.int32(1)
+    k2 = jnp.int32(1 + iters)
+    dt = _diff_time(_sat_loop, (r1, r2, k1), (r1, r2, k2), iters)
     rate = pairs / dt
     return {
         "metric": "sat_rect_pairs_per_sec",
@@ -66,37 +89,57 @@ def bench_sat(pairs: int = 1 << 20, iters: int = 20) -> dict:
     }
 
 
-def bench_mc(configs: int = 8192, n_batch: int = 4096, iters: int = 10) -> dict:
-    """Fused MC sampling throughput (noise draw + obstacle build + SAT)."""
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    cfgs = Configs(
-        position=jax.random.uniform(ks[0], (configs, 2), jnp.float32, -6, 6),
-        pose_theta=jax.random.uniform(ks[1], (configs,), jnp.float32, 0, 2 * np.pi),
-        obstacle_wh=jax.random.uniform(ks[2], (configs, 2), jnp.float32, 0.1, 5),
-        std_dev=jax.random.uniform(ks[3], (configs, 5), jnp.float32, 0, 0.55),
+def _bench_configs(n: int) -> Configs:
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    return Configs(
+        position=jax.random.uniform(ks[0], (n, 2), jnp.float32, -6, 6),
+        pose_theta=jax.random.uniform(ks[1], (n,), jnp.float32, 0, 2 * np.pi),
+        obstacle_wh=jax.random.uniform(ks[2], (n, 2), jnp.float32, 0.1, 5),
+        std_dev=jax.random.uniform(ks[3], (n, 5), jnp.float32, 0, 0.55),
     )
-    cfgs = jax.block_until_ready(cfgs)
+
+
+def _mc_loop_factory(step_samples: int):
+    @jax.jit
+    def loop(key, uids, configs, robot_wh, k):
+        base_keys = _per_config_keys(key, uids)
+
+        def body(i, acc):
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(base_keys, i)
+            return acc + jnp.sum(
+                _counts_chunk(step_keys, configs, robot_wh, step_samples, False),
+                dtype=jnp.int32,
+            )
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    return loop
+
+
+def bench_mc(configs: int = 65536, step_samples: int = 128, iters: int = 20) -> dict:
+    """Fused MC sampling throughput: noise draw + obstacle build + SAT +
+    reduction, the hot loop of the dataset generator."""
+    cfgs = jax.block_until_ready(_bench_configs(configs))
     uids = jnp.arange(configs, dtype=jnp.int32)
     robot = jnp.asarray([4.07, 1.74], jnp.float32)
-
-    def f():
-        return mc_round(key, uids, cfgs, robot, jnp.int32(0), n_batch=n_batch)
-
-    dt = _time(f, iters)
-    rate = configs * n_batch / dt
+    loop = _mc_loop_factory(step_samples)
+    key = jax.random.PRNGKey(0)
+    args1 = (key, uids, cfgs, robot, jnp.int32(1))
+    args2 = (key, uids, cfgs, robot, jnp.int32(1 + iters))
+    dt = _diff_time(loop, args1, args2, iters)
+    rate = configs * step_samples / dt
     return {
         "metric": "mc_samples_per_sec",
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / SAT_TARGET,
-        "seconds_per_iter": dt,
+        "seconds_per_step": dt,
         "configs": configs,
-        "n_batch": n_batch,
+        "step_samples": step_samples,
     }
 
 
-def run_all(pairs: int = 1 << 20, iters: int = 20) -> list[str]:
+def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     return [
         json.dumps(bench_sat(pairs=pairs, iters=iters)),
         json.dumps(bench_mc()),

@@ -2,20 +2,32 @@
 
 Tests never require TPU hardware: sharded paths run on a spoofed
 8-device CPU mesh (the TPU-world analogue of multi-node testing without
-a cluster, SURVEY.md §4e). Must run before the first jax import.
+a cluster, SURVEY.md §4e). Env vars must be set before the first jax
+import. NOTE: this container's sitecustomize force-registers the `axon`
+TPU plugin as the default backend no matter what JAX_PLATFORMS says, so
+we additionally pin jax_default_device to a CPU device.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_NUM_CPU_DEVICES"] = "8"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+_CPU_DEVICES = jax.devices("cpu")
+jax.config.update("jax_default_device", _CPU_DEVICES[0])
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def cpu_devices():
+    return _CPU_DEVICES
 
 
 @pytest.fixture(scope="session")

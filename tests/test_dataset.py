@@ -1,0 +1,191 @@
+"""End-to-end dataset pipeline: artifacts, schemas, resume, modes."""
+
+import numpy as np
+import pytest
+
+from collide2d_tpu.data import schemas
+from collide2d_tpu.data.pipeline import (
+    GenerateConfig,
+    RelabelConfig,
+    ZTestConfig,
+    generate_dataset,
+    relabel_dataset,
+    ztest,
+)
+from collide2d_tpu.mc.estimator import AdaptiveConfig
+from collide2d_tpu.utils.io_npy import get_num_batches_in_dir
+
+# Small, fast adaptive schedule for CPU tests.
+FAST = AdaptiveConfig(
+    max_samples=4000, initial_batch=1000, initial_phase_samples=2000,
+    later_batch=2000, bin_accuracy=(0.02, 0.02, 0.05), min_active=64,
+)
+
+
+def _gen_cfg(tmp_path, **kw):
+    defaults = dict(
+        data_dir=str(tmp_path / "data"),
+        num_batches=2,
+        batch_size=128,
+        num_poses=16,
+        num_variances=16,
+        seed=0,
+        verbose=False,
+        adaptive=FAST,
+        max_samples=FAST.max_samples,
+    )
+    defaults.update(kw)
+    return GenerateConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def generated(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("gen")
+    cfg = _gen_cfg(tmp_path)
+    generate_dataset(cfg)
+    return tmp_path / "data", cfg
+
+
+def test_generate_artifacts(generated):
+    data_dir, cfg = generated
+    # Golden artifact set (SURVEY.md §4d): tables, meta, numbered batches.
+    assert (data_dir / "poses.npy").exists()
+    assert (data_dir / "variances.npy").exists()
+    assert (data_dir / "meta" / "accuracy_bins.npy").exists()
+    assert (data_dir / "meta" / "bin_accuracy.npy").exists()
+    poses = np.load(data_dir / "poses.npy")
+    variances = np.load(data_dir / "variances.npy")
+    assert poses.shape == (16, 3) and poses.dtype == np.float32
+    assert variances.shape == (16, 5) and variances.dtype == np.float32
+    # shape_variance defaults off: width/height noise dims are zero
+    # (generate_dataset.cu:285-290).
+    assert (variances[:, 3:] == 0).all()
+    np.testing.assert_array_equal(
+        np.load(data_dir / "meta" / "accuracy_bins.npy"),
+        np.asarray(cfg.accuracy_bins, np.float32),
+    )
+    for i in range(2):
+        batch = np.load(data_dir / f"{i}.npy")
+        assert batch.shape == (128, 5) and batch.dtype == np.float32
+        pos, cp, var_idx, pose_idx = schemas.unpack_dataset_rows(batch)
+        assert (cp >= 0).all() and (cp <= 1).all()
+        assert set(np.unique(var_idx)) <= set(np.arange(16.0))
+        assert set(np.unique(pose_idx)) <= set(np.arange(16.0))
+        # positions live on the sampled ring, never at the origin
+        assert np.hypot(pos[:, 0], pos[:, 1]).min() > 0.1
+
+
+def test_generate_deterministic_with_seed(tmp_path, generated):
+    data_dir, cfg = generated
+    cfg2 = _gen_cfg(tmp_path, data_dir=str(tmp_path / "data2"), num_batches=1)
+    generate_dataset(cfg2)
+    a = np.load(data_dir / "0.npy")
+    b = np.load(tmp_path / "data2" / "0.npy")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_resume_numbering(tmp_path, generated):
+    data_dir, cfg = generated
+    cfg2 = _gen_cfg(
+        tmp_path,
+        data_dir=str(data_dir),
+        num_batches=1,
+        start_batch_count=2,
+        pose_dir=str(data_dir / "poses.npy"),
+        variance_dir=str(data_dir / "variances.npy"),
+    )
+    generate_dataset(cfg2)
+    assert (data_dir / "2.npy").exists()
+    assert get_num_batches_in_dir(data_dir) == 3
+
+
+def test_pose_variance_reuse(tmp_path, generated):
+    # --pose_dir/--variance_dir reuse pregenerated tables
+    # (generate_dataset.cu:282-307,319-336).
+    data_dir, _ = generated
+    out = tmp_path / "reuse"
+    cfg = _gen_cfg(
+        tmp_path,
+        data_dir=str(out),
+        num_batches=1,
+        pose_dir=str(data_dir / "poses.npy"),
+        variance_dir=str(data_dir / "variances.npy"),
+    )
+    generate_dataset(cfg)
+    # reused tables are NOT re-saved into the new dir (reference behavior:
+    # tables are only saved when sampled).
+    assert not (out / "poses.npy").exists()
+    assert (out / "0.npy").exists()
+
+
+def test_relabel_round_trip(tmp_path, generated):
+    data_dir, cfg = generated
+    batch = np.load(data_dir / "0.npy")
+    data_in = tmp_path / "in"
+    data_in.mkdir()
+    np.save(data_in / "0.npy", batch[:, [0, 1, 3, 4]].astype(np.float32))
+
+    n_before = get_num_batches_in_dir(data_dir)
+    relabel_dataset(
+        RelabelConfig(
+            data_in=str(data_in), data_out=str(data_dir), shuffle=False,
+            seed=1, verbose=False, adaptive=FAST, max_samples=FAST.max_samples,
+        )
+    )
+    out = np.load(data_dir / f"{n_before}.npy")
+    assert out.shape == batch.shape
+    # Unshuffled relabel restores input row order exactly
+    # (the reference's index-column machinery, cc.cu:337-344).
+    np.testing.assert_array_equal(out[:, [0, 1, 3, 4]], batch[:, [0, 1, 3, 4]])
+    # Labels agree within the (loose) test accuracy targets.
+    assert np.abs(out[:, 2] - batch[:, 2]).mean() < 0.05
+
+
+def test_ztest_cps_only_and_default_paths(tmp_path, generated):
+    data_dir, cfg = generated
+    batch = np.load(data_dir / "0.npy")[:64]
+    tmp_in = data_dir / "tmp"
+    tmp_in.mkdir(exist_ok=True)
+    np.save(tmp_in / "0.npy", batch[:, [0, 1, 3, 4]].astype(np.float32))
+
+    cps = ztest(
+        ZTestConfig(
+            data_dir=str(data_dir), cps_only=True, seed=2, verbose=False,
+            n_batch=1000, max_samples=4000, adaptive=FAST,
+        )
+    )
+    assert cps.shape == (64,)
+    # default output path: data_dir/0.npy is OVERWRITTEN (ztest.cu:200-206)
+    out = np.load(data_dir / "0.npy")
+    np.testing.assert_array_equal(out, cps)
+    assert np.abs(cps - batch[:, 2]).mean() < 0.05
+
+
+def test_ztest_full_records(tmp_path, generated):
+    data_dir, _ = generated
+    batch = np.load(data_dir / "1.npy")[:32]
+    inp = tmp_path / "zin.npy"
+    np.save(inp, batch[:, [0, 1, 3, 4]].astype(np.float32))
+    outp = tmp_path / "zout.npy"
+    ztest(
+        ZTestConfig(
+            data_dir=str(data_dir), data_file_in=str(inp),
+            data_file_out=str(outp), seed=3, verbose=False,
+            n_batch=1000, max_samples=4000, adaptive=FAST,
+        )
+    )
+    out = np.load(outp)
+    assert out.shape == (32, 5)
+    np.testing.assert_array_equal(out[:, [0, 1, 3, 4]], batch[:, [0, 1, 3, 4]])
+
+
+def test_missing_tables_raise(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ztest(ZTestConfig(data_dir=str(tmp_path / "nope"), verbose=False))
+
+
+def test_schema_validation():
+    with pytest.raises(ValueError):
+        schemas.unpack_dataset_rows(np.zeros((4, 4), np.float32))
+    with pytest.raises(ValueError):
+        schemas.unpack_relabel_rows(np.zeros((4, 5), np.float32))

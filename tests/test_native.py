@@ -1,0 +1,69 @@
+"""Native runtime: libstdc++-compatible RNG/shuffle + async npy writer."""
+
+import numpy as np
+import pytest
+
+from collide2d_tpu.utils import native
+from collide2d_tpu.utils.io_npy import get_num_batches_in_dir, mkdirs
+
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain for the native runtime"
+)
+
+
+@needs_native
+def test_ref_engine_deterministic():
+    # std::default_random_engine is default-seeded => identical tables on
+    # every run, matching the reference's host sampling determinism
+    # (generate_dataset.cu:279, SURVEY.md §2 latent-bug list).
+    t1 = native.RefEngine().uniform_table(8, [0.0] * 5, [0.3] * 5)
+    t2 = native.RefEngine().uniform_table(8, [0.0] * 5, [0.3] * 5)
+    np.testing.assert_array_equal(t1, t2)
+    assert t1.dtype == np.float32 and t1.shape == (8, 5)
+    assert (t1 >= 0).all() and (t1 <= 0.3).all()
+
+
+@needs_native
+def test_ref_engine_stream_continuity():
+    # Variances then poses from ONE engine must differ from two engines —
+    # the reference shares a single generator across both tables.
+    e = native.RefEngine()
+    v = e.uniform_table(4, [0.0] * 5, [1.0] * 5)
+    p_cont = e.uniform_table(4, [0.0] * 3, [1.0] * 3)
+    p_fresh = native.RefEngine().uniform_table(4, [0.0] * 3, [1.0] * 3)
+    assert not np.array_equal(p_cont, p_fresh)
+
+
+@needs_native
+def test_std_shuffle_perm_properties():
+    p1 = native.std_shuffle_perm(1000, 0)
+    p2 = native.std_shuffle_perm(1000, 0)
+    np.testing.assert_array_equal(p1, p2)  # seed-0 engine is deterministic
+    assert sorted(p1) == list(range(1000))
+    assert not np.array_equal(p1, np.arange(1000))
+    # NOTE: minstd_rand0 remaps seed 0 -> 1, so seeds 0 and 1 coincide
+    # (libstdc++ behavior the reference inherits); use 2 for a contrast.
+    p3 = native.std_shuffle_perm(1000, 2)
+    assert not np.array_equal(p1, p3)
+
+
+def test_async_writer_roundtrip(tmp_path):
+    with native.AsyncNpyWriter() as w:
+        for i in range(5):
+            w.submit(tmp_path / f"{i}.npy", np.full((7, 5), i, np.float32))
+        assert w.flush() == 0
+    for i in range(5):
+        back = np.load(tmp_path / f"{i}.npy")
+        assert back.shape == (7, 5) and back.dtype == np.float32
+        assert (back == i).all()
+
+
+def test_get_num_batches_numeric_only(tmp_path):
+    mkdirs(tmp_path)
+    for name in ["0.npy", "1.npy", "7.npy", "poses.npy", "variances.npy",
+                 "checkpoint3.npy", "notes.txt"]:
+        (tmp_path / name).write_bytes(b"x")
+    # utils.cu:36-56 semantics: numeric stems only.
+    assert get_num_batches_in_dir(tmp_path) == 3
+    assert get_num_batches_in_dir(tmp_path / "missing") == 0
