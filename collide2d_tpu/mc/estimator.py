@@ -104,9 +104,27 @@ def _counts_chunk(
     return jnp.sum(hit, axis=-1, dtype=jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_batch", "step_samples", "use_vertices")
-)
+def resolve_impl(impl: str, example: Array | None = None) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, threefry-jnp elsewhere.
+
+    Resolution uses the platform the DATA actually lives on when an
+    example array is given — `jax.default_backend()` alone is unreliable
+    in environments where a TPU plugin registers itself as the default
+    while computation is pinned to CPU (e.g. the test harness).
+    """
+    if impl != "auto":
+        return impl
+    platform = None
+    if example is not None and hasattr(example, "devices"):
+        try:
+            platform = next(iter(example.devices())).platform
+        except Exception:
+            platform = None
+    if platform is None:
+        platform = jax.default_backend()
+    return "pallas" if platform in ("tpu", "axon") else "jnp"
+
+
 def mc_round(
     key: Array,
     uids: Array,
@@ -117,21 +135,61 @@ def mc_round(
     n_batch: int,
     step_samples: int = 0,
     use_vertices: bool = False,
+    impl: str = "jnp",
 ) -> Array:
     """One adaptive round: ``n_batch`` Monte Carlo samples per config.
 
     The TPU equivalent of one launch of the reference kernel's hot loop
-    (generate_dataset.cu:238-242). Samples run ``step_samples`` lanes at a
-    time inside a ``fori_loop`` so intermediates stay fused on-chip;
-    ``chunk_offset`` keeps the per-config random stream continuous across
-    rounds regardless of compaction.
+    (generate_dataset.cu:238-242). Returns int32 (C,) collision counts.
 
-    Returns int32 (C,) collision counts out of ``n_batch``.
+    impl='jnp' (default): threefry path — per-uid key streams, bitwise
+    reproducible under compaction/resharding, runs anywhere.
+    impl='pallas': the fused TPU kernel (ops.mc_pallas) — ~1.5-2x faster,
+    streams tied to (round, block) instead of uid (each round reseeds, so
+    samples stay i.i.d., but results are not compaction-invariant).
+    impl='auto': pallas on TPU, jnp elsewhere.
     """
+    impl = resolve_impl(impl, configs.position)
+    if impl == "pallas":
+        from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+
+        return mc_round_pallas(key, configs, robot_wh, chunk_offset, n_batch=n_batch)
     if step_samples <= 0:
         step_samples = _largest_divisor_leq(n_batch, 512)
     assert n_batch % step_samples == 0, (n_batch, step_samples)
-    n_steps = n_batch // step_samples
+    # n_steps rides in as a TRACED scalar: one compilation per buffer
+    # shape serves every n_batch in the adaptive schedule (remote TPU
+    # compiles cost minutes; see utils/benchmarks.py methodology note).
+    return _mc_round_jnp(
+        key,
+        uids,
+        configs,
+        robot_wh,
+        chunk_offset,
+        jnp.int32(n_batch // step_samples),
+        step_samples=step_samples,
+        use_vertices=use_vertices,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("step_samples", "use_vertices")
+)
+def _mc_round_jnp(
+    key: Array,
+    uids: Array,
+    configs: Configs,
+    robot_wh: Array,
+    chunk_offset: Array,
+    n_steps: Array,
+    *,
+    step_samples: int,
+    use_vertices: bool = False,
+) -> Array:
+    """threefry round step: ``step_samples`` lanes at a time inside a
+    ``fori_loop`` (traced bound) so intermediates stay fused on-chip;
+    ``chunk_offset`` keeps the per-config random stream continuous across
+    rounds regardless of compaction."""
     base_keys = _per_config_keys(key, uids)
     robot_wh = jnp.asarray(robot_wh, jnp.float32)
 
@@ -155,6 +213,7 @@ def collision_probability(
     *,
     step_samples: int = 0,
     use_vertices: bool = False,
+    impl: str = "jnp",
 ) -> Array:
     """Fixed-sample-count Monte Carlo collision probability.
 
@@ -172,6 +231,7 @@ def collision_probability(
         n_batch=int(n_samples),
         step_samples=step_samples,
         use_vertices=use_vertices,
+        impl=impl,
     )
     return counts.astype(jnp.float32) / jnp.float32(n_samples)
 
@@ -198,6 +258,7 @@ class AdaptiveConfig:
     step_samples: int = 0
     min_active: int = 256  # smallest compaction bucket
     use_vertices: bool = False
+    impl: str = "auto"  # 'jnp' | 'pallas' | 'auto' (see mc_round)
 
     def batch_for(self, n_samples_so_far: int) -> int:
         if self.fixed_batch is not None:
@@ -274,6 +335,7 @@ def adaptive_collision_probabilities(
             n_batch=n_batch,
             step_samples=step,
             use_vertices=cfg.use_vertices,
+            impl=cfg.impl,
         )
         n_true = n_true + counts
         chunk_offset += n_batch // step

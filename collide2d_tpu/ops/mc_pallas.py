@@ -1,0 +1,217 @@
+"""Pallas TPU kernel: fused Monte Carlo collision sampling.
+
+One kernel fuses the entire per-sample pipeline of the reference's hot
+loop (generate_dataset.cu:238-242 — curand draws, noisy-obstacle
+construction, SAT, accumulation) with NOTHING touching HBM except the
+per-configuration parameter rows (64 bytes/config, read once per round)
+and the final counts (4 bytes/config):
+
+  - randomness: the on-core hardware PRNG (`pltpu.prng_random_bits`),
+    seeded per (round, grid block); normals via Box-Muller, mirroring
+    curand_normal's method;
+  - the sampled obstacle is used in closed OBB form (`ops.sat.obb_collide`
+    math): center (dx,dy), half-extents |wh/2 + z*sigma_wh/2|, angle
+    dtheta — no vertex materialization;
+  - the 4-axis separation test runs on (SUB, 128) register tiles:
+    SUB samples x 128 configurations per VPU op.
+
+Layout: configurations are LANES. `pack_mc_params` builds the (16, C)
+parameter matrix; counts come back as float32 (C,).
+
+Statistical contract: same noise model as `mc.estimator` (threefry path)
+— labels agree statistically, not bitwise (different PRNG). Unlike the
+threefry path, streams are tied to (seed, block position), so results
+change under repacking; the adaptive driver reseeds every round, which
+keeps all samples i.i.d. regardless.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from collide2d_tpu.mc.estimator import Configs
+
+LANE_CONFIGS = 128  # configurations per grid block (one lane each)
+PARAM_ROWS = 16
+
+_TWO_PI = 6.2831853071795865
+_INV_2_24 = 1.0 / (1 << 24)
+
+
+def pack_mc_params(configs: Configs, robot_wh) -> Array:
+    """Configs + robot -> (16, C) parameter rows for the kernel.
+
+    Rows: 0 px, 1 py, 2 cos(theta), 3 sin(theta), 4 rw/2, 5 rh/2,
+    6 ow/2, 7 oh/2, 8 sigma_x, 9 sigma_y, 10 sigma_theta,
+    11 sigma_w/2, 12 sigma_h/2, 13-15 zero padding.
+    """
+    robot_wh = jnp.broadcast_to(
+        jnp.asarray(robot_wh, jnp.float32), configs.position.shape
+    )
+    c = jnp.cos(configs.pose_theta)
+    s = jnp.sin(configs.pose_theta)
+    zero = jnp.zeros_like(c)
+    rows = [
+        configs.position[:, 0],
+        configs.position[:, 1],
+        c,
+        s,
+        robot_wh[:, 0] * 0.5,
+        robot_wh[:, 1] * 0.5,
+        configs.obstacle_wh[:, 0] * 0.5,
+        configs.obstacle_wh[:, 1] * 0.5,
+        configs.std_dev[:, 0],
+        configs.std_dev[:, 1],
+        configs.std_dev[:, 2],
+        configs.std_dev[:, 3] * 0.5,
+        configs.std_dev[:, 4] * 0.5,
+        zero,
+        zero,
+        zero,
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def _uniform01(shape):
+    """Uniform floats in (0, 1] from raw PRNG bits (24-bit mantissa)."""
+    bits = pltpu.prng_random_bits(shape)
+    # Mosaic has no uint32->f32 cast; shift as int32 (>> 8 of a uint is
+    # the same as of its int reinterpretation's logical shift) and the
+    # result fits in 24 bits, so the int32->f32 cast is exact.
+    bits = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), 8)
+    return (bits.astype(jnp.float32) + 1.0) * jnp.float32(_INV_2_24)
+
+
+def _box_muller(shape):
+    """One Box-Muller pair of standard normals (curand_normal's method)."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    a = jnp.float32(_TWO_PI) * u2
+    return r * jnp.cos(a), r * jnp.sin(a)
+
+
+def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    n_steps = n_steps_ref[0, 0]
+
+    p = params_ref[...]  # (16, LANE_CONFIGS)
+    row = lambda i: p[i, :][None, :]  # (1, L), broadcasts over sublanes
+    px, py = row(0), row(1)
+    cos_a, sin_a = row(2), row(3)
+    hx1, hy1 = row(4), row(5)
+    ow_h, oh_h = row(6), row(7)
+    sx, sy, sth = row(8), row(9), row(10)
+    swh, shh = row(11), row(12)
+
+    shape = (sub, LANE_CONFIGS)
+
+    def step(_, acc):
+        z_dx, z_dy = _box_muller(shape)
+        z_th, z_dw = _box_muller(shape)
+        z_dh, _unused = _box_muller(shape)
+
+        dx = z_dx * sx
+        dy = z_dy * sy
+        phi = z_th * sth
+        a = jnp.abs(ow_h + z_dw * swh)
+        b = jnp.abs(oh_h + z_dh * shh)
+
+        cos_p = jnp.cos(phi)
+        sin_p = jnp.sin(phi)
+        cd = jnp.abs(cos_a * cos_p + sin_a * sin_p)
+        sd = jnp.abs(sin_a * cos_p - cos_a * sin_p)
+        dxv = px - dx
+        dyv = py - dy
+        d_a1 = jnp.abs(dxv * cos_a + dyv * sin_a)
+        d_a2 = jnp.abs(-dxv * sin_a + dyv * cos_a)
+        d_b1 = jnp.abs(dxv * cos_p + dyv * sin_p)
+        d_b2 = jnp.abs(-dxv * sin_p + dyv * cos_p)
+
+        sep = d_a1 > hx1 + a * cd + b * sd
+        sep = jnp.logical_or(sep, d_a2 > hy1 + a * sd + b * cd)
+        sep = jnp.logical_or(sep, d_b1 > a + hx1 * cd + hy1 * sd)
+        sep = jnp.logical_or(sep, d_b2 > b + hx1 * sd + hy1 * cd)
+        hit = jnp.logical_not(sep).astype(jnp.float32)
+        return acc + jnp.sum(hit, axis=0, keepdims=True)
+
+    acc = jax.lax.fori_loop(
+        0, n_steps, step, jnp.zeros((1, LANE_CONFIGS), jnp.float32)
+    )
+    out_ref[...] = acc
+
+
+def _pick_sub(n_batch: int) -> int:
+    for sub in (32, 16, 8):
+        if n_batch % sub == 0:
+            return sub
+    raise ValueError(f"n_batch={n_batch} must be a multiple of 8")
+
+
+@functools.partial(jax.jit, static_argnames=("sub",))
+def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
+    """Collision counts out of ``n_steps * sub`` noise samples per config.
+
+    ``seed``: int32 scalar (vary per round!); ``n_steps``: TRACED int32
+    scalar — one compilation per (C, sub) serves the whole adaptive
+    schedule (remote compiles cost minutes). ``params``: (16, C) from
+    `pack_mc_params`, C a multiple of 128. Returns float32 (C,) counts.
+    """
+    c = params.shape[1]
+    assert params.shape[0] == PARAM_ROWS, params.shape
+    assert c % LANE_CONFIGS == 0, c
+    kernel = functools.partial(_mc_kernel, sub=sub)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, c), jnp.float32),
+        grid=(c // LANE_CONFIGS,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (PARAM_ROWS, LANE_CONFIGS), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, LANE_CONFIGS), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        jnp.asarray(n_steps, jnp.int32).reshape(1, 1),
+        params,
+    )
+    return out[0]
+
+
+def mc_round_pallas(
+    key: Array,
+    configs: Configs,
+    robot_wh,
+    round_tag,
+    *,
+    n_batch: int,
+) -> Array:
+    """Drop-in round step on the fused kernel: int32 (C,) counts.
+
+    ``round_tag`` must differ across rounds (e.g. the chunk offset) so
+    every round draws fresh i.i.d. samples.
+    """
+    c = configs.num
+    params = pack_mc_params(configs, robot_wh)
+    pad = -(-c // LANE_CONFIGS) * LANE_CONFIGS - c
+    if pad:
+        params = jnp.concatenate(
+            [params, jnp.broadcast_to(params[:, :1], (PARAM_ROWS, pad))], axis=1
+        )
+    seed = jax.random.randint(
+        jax.random.fold_in(key, round_tag), (), -(2**31), 2**31 - 1, jnp.int32
+    )
+    sub = _pick_sub(n_batch)
+    counts = mc_counts_pallas(seed, params, n_batch // sub, sub=sub)
+    return counts[:c].astype(jnp.int32)

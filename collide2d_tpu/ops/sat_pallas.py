@@ -1,0 +1,188 @@
+"""Pallas TPU kernel: batched rectangle-pair SAT at HBM speed-of-light.
+
+The XLA path (`ops.sat.sat_rects`) materializes intermediate (N,4,k)
+tensors between fusions, reaching ~1e9 pairs/s on a v5e. This kernel
+reads each pair's 16 coordinates exactly once into VMEM, runs the fully
+unrolled 4-axis interval test on full (8, L) vector tiles, and writes one
+float per pair — its ceiling is pure HBM bandwidth (~132 bytes/pair).
+
+Layout contract (SoA, full-sublane): a rect batch is an
+(8, 8, N/8) float32 array `V` where
+
+  V[c, s, l]  =  coordinate c of pair  p = s * (N/8) + l
+  c in 0..7   =  [x0 x1 x2 x3 y0 y1 y2 y3]   (vertex order per
+                 `geometry.rect_vertices` = the reference's create_rect
+                 layout, utils.cu:119-130)
+
+so every kernel temporary is a fully-populated (8, L) VPU tile — an
+earlier (8, N) 2-D layout wasted 7/8 sublanes per temporary and blew the
+16 MB scoped-VMEM stack at large blocks. `pack_rects` converts from the
+(N, 4, 2) API layout; throughput-critical pipelines should build the SoA
+layout directly.
+
+Semantics match `ops.sat.sat_rects` / `sat_rects_reference` (strict `<`
+separation on unnormalized edge axes; touching collides) and are tested
+bit-for-bit against them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_BLOCK = 1024  # lanes per grid step = 8 * 1024 pairs per block
+PAIR_ALIGN = 8 * LANE_BLOCK
+
+
+def pack_rects(rects: Array) -> Array:
+    """(N, 4, 2) vertex batch -> (8, 8, N/8) SoA layout (N % 8 == 0)."""
+    n = rects.shape[0]
+    assert n % 8 == 0, n
+    coords = rects.reshape(n, 8).T[jnp.asarray([0, 2, 4, 6, 1, 3, 5, 7])]
+    return coords.reshape(8, 8, n // 8)
+
+
+def unpack_labels(out: Array) -> Array:
+    """(8, N/8) kernel output -> (N,) labels (row-major pair order)."""
+    return out.reshape(-1)
+
+
+def _sat_body(shift_ref, r1_ref, r2_ref):
+    """Shared SAT math on (8, L) tiles; returns the per-pair collide mask."""
+    v1 = r1_ref[...]  # (8, 8, L)
+    v2 = r2_ref[...] + shift_ref[0, 0]
+
+    x1 = [v1[i] for i in range(4)]
+    y1 = [v1[4 + i] for i in range(4)]
+    x2 = [v2[i] for i in range(4)]
+    y2 = [v2[4 + i] for i in range(4)]
+
+    # 4 unique axes: first two edges of each rect (edges 2,3 are exact
+    # negations — identical interval test; see ops.sat.sat_rects).
+    axes = [
+        (x1[1] - x1[0], y1[1] - y1[0]),
+        (x1[2] - x1[1], y1[2] - y1[1]),
+        (x2[1] - x2[0], y2[1] - y2[0]),
+        (x2[2] - x2[1], y2[2] - y2[1]),
+    ]
+
+    separated = None
+    for ax, ay in axes:
+        mn1 = mx1 = ax * x1[0] + ay * y1[0]
+        for k in range(1, 4):
+            p = ax * x1[k] + ay * y1[k]
+            mn1 = jnp.minimum(mn1, p)
+            mx1 = jnp.maximum(mx1, p)
+        mn2 = mx2 = ax * x2[0] + ay * y2[0]
+        for k in range(1, 4):
+            p = ax * x2[k] + ay * y2[k]
+            mn2 = jnp.minimum(mn2, p)
+            mx2 = jnp.maximum(mx2, p)
+        sep = jnp.logical_or(mx1 < mn2, mx2 < mn1)
+        separated = sep if separated is None else jnp.logical_or(separated, sep)
+    return jnp.logical_not(separated)
+
+
+def _label_kernel(shift_ref, r1_ref, r2_ref, out_ref):
+    out_ref[...] = _sat_body(shift_ref, r1_ref, r2_ref).astype(jnp.float32)
+
+
+def _count_kernel(shift_ref, r1_ref, r2_ref, out_ref):
+    i = pl.program_id(0)
+    partial = jnp.sum(
+        _sat_body(shift_ref, r1_ref, r2_ref).astype(jnp.float32)
+    ).reshape(1, 1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = partial
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[...] = out_ref[...] + partial
+
+
+def _in_specs(block: int):
+    return [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def sat_rects_pallas_t(
+    r1t: Array, r2t: Array, shift=0.0, *, block: int = LANE_BLOCK,
+    interpret: bool = False,
+) -> Array:
+    """SAT over SoA pairs: (8, 8, M) x (8, 8, M) -> float32 (8*M,) in {0,1}.
+
+    M (= N/8 lanes) must be a multiple of ``block``. ``shift`` is a scalar
+    added to every r2 coordinate inside the kernel (zero in production;
+    benchmarks use it to defeat loop-invariant hoisting without touching
+    HBM).
+    """
+    m = r1t.shape[2]
+    assert m % block == 0, (m, block)
+    out = pl.pallas_call(
+        _label_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
+        grid=(m // block,),
+        in_specs=_in_specs(block),
+        out_specs=pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=110 * 8 * m, bytes_accessed=(64 + 64 + 4) * 8 * m, transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shift, jnp.float32).reshape(1, 1), r1t, r2t)
+    return unpack_labels(out)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def sat_count_pallas_t(
+    r1t: Array, r2t: Array, shift=0.0, *, block: int = LANE_BLOCK,
+    interpret: bool = False,
+) -> Array:
+    """Total collision count over SoA pairs — the pure-bandwidth variant
+    (132 bytes/pair in, 4 bytes out total)."""
+    m = r1t.shape[2]
+    assert m % block == 0, (m, block)
+    out = pl.pallas_call(
+        _count_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid=(m // block,),
+        in_specs=_in_specs(block),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=110 * 8 * m, bytes_accessed=128 * 8 * m, transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shift, jnp.float32).reshape(1, 1), r1t, r2t)
+    return out[0, 0]
+
+
+def sat_rects_pallas(
+    r1: Array, r2: Array, *, block: int = LANE_BLOCK, interpret: bool = False
+) -> Array:
+    """Drop-in for `ops.sat.sat_rects` on (N, 4, 2) inputs: int32 (N,).
+
+    Handles padding to the block alignment; the transpose to SoA costs one
+    extra pass over the data — keep data SoA end-to-end when chasing
+    speed-of-light.
+    """
+    n = r1.shape[0]
+    align = 8 * block
+    padded = -(-n // align) * align
+    if padded != n:
+        pad = ((0, padded - n), (0, 0), (0, 0))
+        r1 = jnp.pad(r1, pad)
+        r2 = jnp.pad(r2, pad)  # zero rects collide; sliced away below
+    r1t = pack_rects(r1)
+    r2t = pack_rects(r2)
+    out = sat_rects_pallas_t(r1t, r2t, block=block, interpret=interpret)
+    return out[:n].astype(jnp.int32)

@@ -89,6 +89,43 @@ def bench_sat(pairs: int = 1 << 22, iters: int = 20) -> dict:
     }
 
 
+@jax.jit
+def _sat_pallas_loop(r1t, r2t, k):
+    from collide2d_tpu.ops.sat_pallas import sat_count_pallas_t
+
+    def body(i, acc):
+        # Shift rides into the kernel via SMEM — no input re-copy in HBM.
+        shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+        return acc + sat_count_pallas_t(r1t, r2t, shift, block=4096)
+
+    return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+
+def bench_sat_pallas(pairs: int = 1 << 22, iters: int = 20, block: int = 4096) -> dict:
+    """Pallas SAT counting kernel over SoA-packed pairs (HBM-bound)."""
+    from collide2d_tpu.ops.sat_pallas import pack_rects
+
+    r1, r2 = _random_pairs(pairs)
+    r1t = jax.block_until_ready(pack_rects(r1))
+    r2t = jax.block_until_ready(pack_rects(r2))
+    dt = _diff_time(
+        _sat_pallas_loop,
+        (r1t, r2t, jnp.int32(1)),
+        (r1t, r2t, jnp.int32(1 + iters)),
+        iters,
+    )
+    rate = pairs / dt
+    return {
+        "metric": "sat_rect_pairs_per_sec_pallas",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "seconds_per_iter": dt,
+        "pairs": pairs,
+        "effective_gbps": 128 * pairs / dt / 1e9,
+    }
+
+
 def _bench_configs(n: int) -> Configs:
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
     return Configs(

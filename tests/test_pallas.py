@@ -1,0 +1,117 @@
+"""Pallas kernels vs the XLA paths.
+
+The SAT kernels run in interpreter mode on CPU (bitwise checks); the MC
+kernel needs the hardware PRNG, so its statistical test is gated to real
+TPU (it also runs in the `bench.py`/pipeline flows on hardware).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from collide2d_tpu.ops.sat import sat_rects
+from collide2d_tpu.ops.sat_pallas import (
+    pack_rects,
+    sat_count_pallas_t,
+    sat_rects_pallas,
+    sat_rects_pallas_t,
+    unpack_labels,
+)
+from collide2d_tpu.utils.benchmarks import _random_pairs
+
+BLOCK = 128  # small block for fast interpreter runs
+
+
+@pytest.fixture(scope="module")
+def pairs():
+    r1, r2 = _random_pairs(8 * 4 * BLOCK, seed=7)
+    return r1, r2
+
+
+def test_pack_unpack_roundtrip(pairs):
+    r1, _ = pairs
+    t = pack_rects(r1)
+    assert t.shape == (8, 8, r1.shape[0] // 8)
+    # pair p lives at (s, l) = (p // M, p % M); coordinate rows are
+    # x0..x3,y0..y3 of the (N, 4, 2) layout.
+    p = 37
+    m = r1.shape[0] // 8
+    np.testing.assert_array_equal(
+        np.array(t[:, p // m, p % m]),
+        np.array(r1[p]).reshape(8)[[0, 2, 4, 6, 1, 3, 5, 7]],
+    )
+
+
+def test_label_kernel_bitwise(pairs):
+    r1, r2 = pairs
+    want = np.array(sat_rects(r1, r2))
+    got = np.array(
+        sat_rects_pallas_t(
+            pack_rects(r1), pack_rects(r2), block=BLOCK, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_count_kernel_matches_sum(pairs):
+    r1, r2 = pairs
+    want = int(np.array(sat_rects(r1, r2)).sum())
+    got = float(
+        sat_count_pallas_t(pack_rects(r1), pack_rects(r2), block=BLOCK, interpret=True)
+    )
+    assert int(got) == want
+
+
+def test_wrapper_pads_arbitrary_n():
+    r1, r2 = _random_pairs(1000, seed=3)  # not a multiple of 8*BLOCK
+    want = np.array(sat_rects(r1, r2))
+    got = np.array(sat_rects_pallas(r1, r2, block=BLOCK, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shift_scalar_moves_r2(pairs):
+    # shift is a real geometric translation of r2 (both coords), used by
+    # benchmarks to defeat hoisting; a huge shift separates every pair.
+    r1, r2 = pairs
+    got = np.array(
+        sat_rects_pallas_t(
+            pack_rects(r1), pack_rects(r2), shift=1e6, block=BLOCK, interpret=True
+        )
+    )
+    assert got.sum() == 0
+
+
+def _on_tpu():
+    # Where do fresh arrays actually land? (jax.devices() alone lies in
+    # environments where a TPU plugin registers itself as default while
+    # computation is pinned to CPU — exactly our conftest.)
+    try:
+        return next(iter(jnp.zeros(1).devices())).platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="MC kernel needs the TPU hardware PRNG")
+def test_mc_kernel_statistics_tpu():
+    from collide2d_tpu.mc.estimator import Configs, mc_round
+    from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+
+    rng = np.random.default_rng(0)
+    C = 96
+    cfgs = Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (C, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, C).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (C, 2)).astype(np.float32)),
+        std_dev=jnp.asarray(rng.uniform(0, 0.4, (C, 5)).astype(np.float32)),
+    )
+    key = jax.random.PRNGKey(0)
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    n = 8000
+    got = np.array(mc_round_pallas(key, cfgs, robot, 0, n_batch=n)) / n
+    uids = jnp.arange(C, dtype=jnp.int32)
+    want = np.array(
+        mc_round(key, uids, cfgs, robot, jnp.int32(0), n_batch=n)
+    ) / n
+    tol = 3 * np.sqrt(2 * np.maximum(want * (1 - want), 1e-4) / n)
+    assert (np.abs(got - want) <= tol).all()
