@@ -15,7 +15,6 @@ schemas (generate_dataset.cu:66-169, compute_collision_probability.cu:
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 
 from collide2d_tpu.data.pipeline import (
@@ -70,6 +69,11 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--refcompat_tables", action="store_true",
                    help="bit-identical libstdc++ pose/variance table sampling")
     p.add_argument("--no_shuffle", action="store_true")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="rounds between mid-batch checkpoints (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip existing batch files and resume mid-batch from "
+                        "checkpoint.npz (requires a fixed --seed)")
     p.set_defaults(func=_run_generate)
 
 
@@ -97,6 +101,8 @@ def _run_generate(args: argparse.Namespace) -> int:
         seed=args.seed,
         refcompat_tables=args.refcompat_tables,
         shuffle=not args.no_shuffle,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     generate_dataset(cfg)
     return 0
@@ -239,6 +245,36 @@ def _run_show(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_compare(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "compare",
+        help="label-agreement report between two labelings (the z-test "
+             "comparison the reference leaves outside the repo)",
+    )
+    p.add_argument("file_a", help=".npy: (N,5) dataset rows or (N,) cps")
+    p.add_argument("file_b", help=".npy: same configurations, same order")
+    p.add_argument("--n_samples_a", type=float, default=4_000_000)
+    p.add_argument("--n_samples_b", type=float, default=4_000_000)
+    p.add_argument("--tolerance", type=float, default=0.005)
+    p.set_defaults(func=_run_compare)
+
+
+def _run_compare(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from collide2d_tpu.data.validate import compare_labels
+
+    report = compare_labels(
+        np.load(args.file_a),
+        np.load(args.file_b),
+        n_samples_a=args.n_samples_a,
+        n_samples_b=args.n_samples_b,
+        tolerance=args.tolerance,
+    )
+    print(report)
+    return 0 if report.frac_within_tolerance >= 0.95 else 1
+
+
 def _add_bench(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("bench", help="throughput benchmarks on the local device")
     p.add_argument("--pairs", type=int, default=1 << 20)
@@ -274,6 +310,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_ztest(sub)
     _add_balance(sub)
     _add_show(sub)
+    _add_compare(sub)
     _add_bench(sub)
     args = parser.parse_args(argv)
     return args.func(args)

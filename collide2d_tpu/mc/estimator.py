@@ -26,7 +26,7 @@ Wald/rule-of-three CI criterion (`mc.stats`).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Sequence
 
 import numpy as np
@@ -290,6 +290,8 @@ def adaptive_collision_probabilities(
     cfg: AdaptiveConfig = AdaptiveConfig(),
     *,
     progress=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Label every configuration to its bin's CI accuracy target.
 
@@ -305,6 +307,13 @@ def adaptive_collision_probabilities(
     ORIGINAL configuration order (the reference restores order via a
     device-side index column, compute_collision_probability.cu:337-344;
     here the uid array serves that role).
+
+    Checkpoint/resume: with ``checkpoint_path`` + ``checkpoint_every`` >
+    0, the full loop state is written every N rounds and restored on the
+    next call with the same key/configs — finer-grained than the
+    reference's batch-level artifact resume (SURVEY.md §5), whose killed
+    runs lose up to one whole batch. The file is validated against the
+    PRNG key; a mismatched checkpoint is ignored.
     """
     C = configs.num
     out_cp = np.zeros((C,), np.float32)
@@ -323,6 +332,20 @@ def adaptive_collision_probabilities(
     chunk_offset = 0
     num_real = C  # rows of the current buffer that are real (not padding)
     rnd = 0
+
+    key_data = np.asarray(jax.random.key_data(key)).ravel()
+    if checkpoint_path is not None:
+        state = _load_checkpoint(checkpoint_path, key_data, C)
+        if state is not None:
+            out_cp, out_n, out_done = state["out_cp"], state["out_n"], state["out_done"]
+            uids = jnp.asarray(state["uids"], jnp.int32)
+            n_true = jnp.asarray(state["n_true"], jnp.int32)
+            active = Configs(*(jnp.asarray(a) for a in state["active"]))
+            n_samples = int(state["n_samples"])
+            chunk_offset = int(state["chunk_offset"])
+            num_real = int(state["num_real"])
+            rnd = int(state["round"])
+
     while num_real > 0 and n_samples < cfg.max_samples:
         n_batch = cfg.batch_for(n_samples)
         step = cfg.step_samples or _largest_divisor_leq(n_batch, 512)
@@ -376,5 +399,74 @@ def adaptive_collision_probabilities(
             active = Configs(*(jnp.take(a, gather, axis=0) for a in active))
         if progress is not None:
             progress(num_left=num_real, n_samples=n_samples, round=rnd)
+        if checkpoint_path is not None and checkpoint_every and rnd % checkpoint_every == 0:
+            _save_checkpoint(
+                checkpoint_path, key_data, C,
+                out_cp=out_cp, out_n=out_n, out_done=out_done,
+                uids=np.asarray(jax.device_get(uids)),
+                n_true=np.asarray(jax.device_get(n_true)),
+                active=[np.asarray(jax.device_get(a)) for a in active],
+                n_samples=n_samples, chunk_offset=chunk_offset,
+                num_real=num_real, round=rnd,
+            )
 
+    if checkpoint_path is not None:
+        import os
+
+        try:
+            os.remove(checkpoint_path)  # labeling finished cleanly
+        except OSError:
+            pass
     return out_cp, out_n, out_done
+
+
+def _save_checkpoint(path, key_data, n_configs, *, active, **state) -> None:
+    import os
+
+    tmp = f"{path}.tmp"
+    np.savez(
+        tmp,
+        key_data=key_data,
+        n_configs=n_configs,
+        active_position=active[0],
+        active_pose_theta=active[1],
+        active_obstacle_wh=active[2],
+        active_std_dev=active[3],
+        **state,
+    )
+    # np.savez appends .npz to names lacking it.
+    os.replace(tmp if str(tmp).endswith(".npz") else f"{tmp}.npz", path)
+
+
+def _load_checkpoint(path, key_data, n_configs):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            if (
+                z["n_configs"] != n_configs
+                or z["key_data"].shape != key_data.shape
+                or not (z["key_data"] == key_data).all()
+            ):
+                return None  # stale checkpoint from a different run
+            return {
+                "out_cp": z["out_cp"],
+                "out_n": z["out_n"],
+                "out_done": z["out_done"],
+                "uids": z["uids"],
+                "n_true": z["n_true"],
+                "active": [
+                    z["active_position"],
+                    z["active_pose_theta"],
+                    z["active_obstacle_wh"],
+                    z["active_std_dev"],
+                ],
+                "n_samples": z["n_samples"],
+                "chunk_offset": z["chunk_offset"],
+                "num_real": z["num_real"],
+                "round": z["round"],
+            }
+    except (OSError, KeyError, ValueError):
+        return None

@@ -110,8 +110,8 @@ def sharded_mc_round(
         # The carry must be marked device-varying over both mesh axes (the
         # counts depend on the config shard and the sample-axis key
         # stream) to satisfy shard_map's varying-axes type check.
-        counts0 = jax.lax.pvary(
-            jnp.zeros((cfgs.num,), jnp.int32), ("config", "sample")
+        counts0 = jax.lax.pcast(
+            jnp.zeros((cfgs.num,), jnp.int32), ("config", "sample"), to="varying"
         )
         local = jax.lax.fori_loop(0, local_steps, step, counts0)
         return jax.lax.psum(local, "sample")

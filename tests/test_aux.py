@@ -1,0 +1,127 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling, label validation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from collide2d_tpu.data.validate import compare_labels
+from collide2d_tpu.mc.estimator import (
+    AdaptiveConfig,
+    Configs,
+    adaptive_collision_probabilities,
+)
+from collide2d_tpu.utils.profiling import StepTimer, trace
+
+# Tight targets so the loop needs ~4 rounds (a 1-round run would finish
+# before any checkpoint is written).
+CFG = AdaptiveConfig(
+    max_samples=6000, initial_batch=1000, initial_phase_samples=2000,
+    later_batch=2000, bin_accuracy=(0.002, 0.002, 0.005), min_active=32,
+)
+ROBOT = (4.07, 1.74)
+
+
+def _configs(rng, n):
+    return Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (n, 2)).astype(np.float32)),
+        std_dev=jnp.asarray(rng.uniform(0, 0.3, (n, 5)).astype(np.float32)),
+    )
+
+
+def test_checkpoint_resume_identical_result(rng, tmp_path):
+    cfgs = _configs(rng, 48)
+    key = jax.random.PRNGKey(11)
+    base, base_n, base_done = adaptive_collision_probabilities(
+        key, cfgs, ROBOT, CFG
+    )
+
+    # Interrupt after round 2 (checkpoint written every round).
+    ckpt = tmp_path / "checkpoint.npz"
+
+    class Stop(Exception):
+        pass
+
+    def bomb(round, **kw):
+        if round >= 2:
+            raise Stop
+
+    try:
+        adaptive_collision_probabilities(
+            key, cfgs, ROBOT, CFG,
+            progress=lambda **kw: bomb(**kw),
+            checkpoint_path=str(ckpt), checkpoint_every=1,
+        )
+    except Stop:
+        pass
+    assert ckpt.exists()
+
+    # Resume must complete and (threefry impl: uid-keyed streams) exactly
+    # reproduce the uninterrupted run.
+    cp, n_used, done = adaptive_collision_probabilities(
+        key, cfgs, ROBOT, CFG,
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    np.testing.assert_array_equal(cp, base)
+    np.testing.assert_array_equal(n_used, base_n)
+    np.testing.assert_array_equal(done, base_done)
+    assert not ckpt.exists()  # removed after a clean finish
+
+
+def test_checkpoint_key_mismatch_ignored(rng, tmp_path):
+    cfgs = _configs(rng, 32)
+    ckpt = tmp_path / "checkpoint.npz"
+
+    class Stop(Exception):
+        pass
+
+    try:
+        adaptive_collision_probabilities(
+            jax.random.PRNGKey(1), cfgs, ROBOT, CFG,
+            progress=lambda round, **kw: (_ for _ in ()).throw(Stop())
+            if round >= 2 else None,
+            checkpoint_path=str(ckpt), checkpoint_every=1,
+        )
+    except Stop:
+        pass
+    assert ckpt.exists()
+    # Different key: the stale checkpoint must be ignored, not crash.
+    cp, _, _ = adaptive_collision_probabilities(
+        jax.random.PRNGKey(2), cfgs, ROBOT, CFG,
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    want, _, _ = adaptive_collision_probabilities(
+        jax.random.PRNGKey(2), cfgs, ROBOT, CFG
+    )
+    np.testing.assert_array_equal(cp, want)
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.round_done(n_batch=1000, active=64, done_total=10)
+    t.round_done(n_batch=1000, active=54, done_total=30)
+    s = t.summary()
+    assert s["rounds"] == 2
+    assert s["samples_drawn"] == 1000 * 64 + 1000 * 54
+    assert s["configs_done"] == 30
+
+
+def test_trace_noop():
+    with trace(None):
+        pass  # must be a clean no-op without a profiler
+
+
+def test_compare_labels_report():
+    a = np.linspace(0, 1, 100, dtype=np.float32)
+    b = a + 0.001
+    rep = compare_labels(a, b, n_samples_a=1e6, n_samples_b=1e6)
+    assert rep.n == 100
+    assert rep.frac_within_tolerance == 1.0
+    assert 0.0009 < rep.mean_abs_diff < 0.0011
+    # (N,5) rows are accepted and read from column 2
+    rows = np.zeros((100, 5), np.float32)
+    rows[:, 2] = a
+    rep2 = compare_labels(rows, a)
+    assert rep2.max_abs_diff == 0.0
+    assert rep2.frac_z_ok == 1.0
