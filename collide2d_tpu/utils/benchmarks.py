@@ -176,8 +176,69 @@ def bench_mc(configs: int = 65536, step_samples: int = 128, iters: int = 20) -> 
     }
 
 
+def bench_e2e(configs: int = 65536, seed: int = 0) -> dict:
+    """End-to-end adaptive labeling throughput at REFERENCE-DEFAULT
+    accuracy bins and sample schedule (SURVEY.md §6 metric (c): configs
+    labeled per hour). Runs the full driver twice — the first pass warms
+    every bucket-shape compilation — and times the second."""
+    from collide2d_tpu.mc.estimator import (
+        AdaptiveConfig,
+        Configs,
+        adaptive_collision_probabilities,
+    )
+    from collide2d_tpu.mc.noise import sample_configurations
+
+    key = jax.random.PRNGKey(seed)
+    k_tab, k_cfg, k_mc = jax.random.split(key, 3)
+    rngs = jax.random.split(k_tab, 2)
+    poses = jax.random.uniform(
+        rngs[0], (4096, 3), jnp.float32,
+        jnp.asarray([0.1, 0.1, 0.0]), jnp.asarray([5.0, 5.0, 2 * np.pi]),
+    )
+    std_devs = jnp.sqrt(
+        jax.random.uniform(rngs[1], (4096, 5), jnp.float32, 0.0, 0.3)
+        .at[:, 3:].set(0.0)
+    )
+    positions, pose_idx, var_idx = sample_configurations(
+        k_cfg, configs, poses, std_devs, r_offset=(4.07 + 1.74) / 4, spread=4.0
+    )
+    pose = poses[pose_idx]
+    cfgs = Configs(
+        position=positions,
+        pose_theta=pose[:, 2],
+        obstacle_wh=pose[:, 0:2],
+        std_dev=std_devs[var_idx],
+    )
+    adaptive = AdaptiveConfig()  # reference defaults: bins, schedule, 4e6 cap
+
+    def run():
+        t0 = time.perf_counter()
+        cp, n_used, done = adaptive_collision_probabilities(
+            k_mc, cfgs, jnp.asarray([4.07, 1.74]), adaptive
+        )
+        return time.perf_counter() - t0, cp, n_used, done
+
+    run()  # warm every bucket-shape compilation
+    dt, cp, n_used, done = run()
+    rate = configs / dt
+    return {
+        "metric": "configs_labeled_per_sec",
+        "value": rate,
+        "unit": "configs/s",
+        "vs_baseline": rate,  # no reference number exists (BASELINE.md)
+        "configs": configs,
+        "seconds": dt,
+        "configs_per_hour": rate * 3600,
+        "converged_frac": float(done.mean()),
+        "mean_samples_per_config": float(np.asarray(n_used).mean()),
+        "mean_cp": float(np.asarray(cp).mean()),
+    }
+
+
 def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     return [
+        json.dumps(bench_sat_pallas(pairs=pairs, iters=iters)),
         json.dumps(bench_sat(pairs=pairs, iters=iters)),
         json.dumps(bench_mc()),
+        json.dumps(bench_e2e()),
     ]

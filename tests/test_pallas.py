@@ -82,6 +82,58 @@ def test_shift_scalar_moves_r2(pairs):
     assert got.sum() == 0
 
 
+def _regular_polygon(rng, k, rmax=2.0):
+    ang = rng.uniform(0, 2 * np.pi) + 2 * np.pi * np.arange(k) / k
+    r = rng.uniform(0.5, rmax)
+    cx, cy = rng.uniform(-3, 3, 2)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], -1).astype(
+        np.float32
+    )
+
+
+def test_polygon_kernel_vs_jnp_and_oracle(rng):
+    import SAT
+    from collide2d_tpu.ops.polygon_pallas import pad_polygons, sat_polygons_pallas
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    n = 200
+    k1s = rng.integers(3, 9, n)
+    k2s = rng.integers(3, 9, n)
+    P1 = np.zeros((n, 8, 2), np.float32)
+    P2 = np.zeros((n, 8, 2), np.float32)
+    want = np.zeros(n, np.int32)
+    for i in range(n):
+        a = _regular_polygon(rng, int(k1s[i]))
+        b = _regular_polygon(rng, int(k2s[i]))
+        want[i] = SAT.convex_collide_polygons(a, b)
+        P1[i] = np.asarray(pad_polygons(jnp.asarray(a)[None], 8))[0]
+        P2[i] = np.asarray(pad_polygons(jnp.asarray(b)[None], 8))[0]
+
+    # repeat-padding needs no masks: zero axes never separate, duplicate
+    # vertices never move an interval bound
+    got_jnp = np.array(sat_polygons(jnp.asarray(P1), jnp.asarray(P2)))
+    np.testing.assert_array_equal(got_jnp, want)
+    got_pal = np.array(
+        sat_polygons_pallas(jnp.asarray(P1), jnp.asarray(P2), block=64, interpret=True)
+    )
+    np.testing.assert_array_equal(got_pal, want)
+
+
+def test_polygon_kernel_mixed_k(rng):
+    from collide2d_tpu.ops.polygon_pallas import sat_polygons_pallas
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    # K1 != K2 without padding (triangles vs hexagons)
+    n = 128
+    P1 = np.stack([_regular_polygon(rng, 3) for _ in range(n)])
+    P2 = np.stack([_regular_polygon(rng, 6) for _ in range(n)])
+    want = np.array(sat_polygons(jnp.asarray(P1), jnp.asarray(P2)))
+    got = np.array(
+        sat_polygons_pallas(jnp.asarray(P1), jnp.asarray(P2), block=64, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def _on_tpu():
     # Where do fresh arrays actually land? (jax.devices() alone lies in
     # environments where a TPU plugin registers itself as default while
