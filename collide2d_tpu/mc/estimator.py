@@ -276,6 +276,78 @@ def _convergence(n_samples, n_true, accuracy_bins, bin_accuracy):
     return done, jnp.sum(done.astype(jnp.int32))
 
 
+class _LoopState(NamedTuple):
+    """Device-resident adaptive-loop state (one row per buffer slot)."""
+
+    uids: Array      # original row id; -1 marks padding slots
+    active: Configs
+    n_true: Array    # running collision count
+    done: Array      # has the stop criterion EVER held (bool)
+    k_frozen: Array  # n_true at the FIRST round the criterion held
+    n_frozen: Array  # n_samples at that round
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_batch", "step_samples", "use_vertices", "impl",
+        "accuracy_bins", "bin_accuracy",
+    ),
+)
+def _fused_round(
+    key: Array,
+    state: _LoopState,
+    robot_wh: Array,
+    chunk_offset: Array,
+    n_samples_after: Array,
+    *,
+    n_batch: int,
+    step_samples: int,
+    use_vertices: bool,
+    impl: str,
+    accuracy_bins: tuple,
+    bin_accuracy: tuple,
+) -> tuple[_LoopState, Array]:
+    """One round + on-device convergence + label freezing, in ONE program.
+
+    Labels freeze at the FIRST round the stop criterion holds — exactly
+    the reference's semantics, where a converged configuration is
+    compacted out the same round (generate_dataset.cu:455-464) — so the
+    host may dispatch many rounds back-to-back and read only a single
+    done-count scalar when it chooses to synchronize. This is what turns
+    the reference's once-per-round host sync into an amortized one.
+    """
+    if impl == "pallas":
+        from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+
+        counts = mc_round_pallas(
+            key, state.active, robot_wh, chunk_offset, n_batch=n_batch
+        )
+    else:
+        counts = _mc_round_jnp(
+            key, state.uids, state.active, robot_wh, chunk_offset,
+            jnp.int32(n_batch // step_samples),
+            step_samples=step_samples, use_vertices=use_vertices,
+        )
+    n_true = state.n_true + counts
+    conv = stats.is_converged(
+        n_samples_after, n_true,
+        jnp.asarray(accuracy_bins), jnp.asarray(bin_accuracy),
+    )
+    newly = jnp.logical_and(conv, jnp.logical_not(state.done))
+    new_state = _LoopState(
+        uids=state.uids,
+        active=state.active,
+        n_true=n_true,
+        done=jnp.logical_or(state.done, conv),
+        k_frozen=jnp.where(newly, n_true, state.k_frozen),
+        n_frozen=jnp.where(newly, n_samples_after, state.n_frozen),
+    )
+    real = state.uids >= 0
+    num_done = jnp.sum(jnp.logical_and(new_state.done, real).astype(jnp.int32))
+    return new_state, num_done
+
+
 def _round_up_bucket(n: int, min_bucket: int) -> int:
     b = max(min_bucket, 1)
     while b < n:
@@ -320,14 +392,21 @@ def adaptive_collision_probabilities(
     out_n = np.zeros((C,), np.int64)
     out_done = np.zeros((C,), bool)
 
-    # Active state (device): uids identify original rows through repacking.
-    uids = jnp.arange(C, dtype=jnp.int32)
-    active = configs
-    n_true = jnp.zeros((C,), jnp.int32)
     robot_wh = jnp.asarray(robot_wh, jnp.float32)
     acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
     bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
+    impl = resolve_impl(cfg.impl, configs.position)
 
+    # Device state: uids identify original rows through repacking (-1 =
+    # padding); labels freeze on device (see _fused_round).
+    state = _LoopState(
+        uids=jnp.arange(C, dtype=jnp.int32),
+        active=configs,
+        n_true=jnp.zeros((C,), jnp.int32),
+        done=jnp.zeros((C,), bool),
+        k_frozen=jnp.zeros((C,), jnp.int32),
+        n_frozen=jnp.ones((C,), jnp.int32),
+    )
     n_samples = 0
     chunk_offset = 0
     num_real = C  # rows of the current buffer that are real (not padding)
@@ -335,80 +414,124 @@ def adaptive_collision_probabilities(
 
     key_data = np.asarray(jax.random.key_data(key)).ravel()
     if checkpoint_path is not None:
-        state = _load_checkpoint(checkpoint_path, key_data, C)
-        if state is not None:
-            out_cp, out_n, out_done = state["out_cp"], state["out_n"], state["out_done"]
-            uids = jnp.asarray(state["uids"], jnp.int32)
-            n_true = jnp.asarray(state["n_true"], jnp.int32)
-            active = Configs(*(jnp.asarray(a) for a in state["active"]))
-            n_samples = int(state["n_samples"])
-            chunk_offset = int(state["chunk_offset"])
-            num_real = int(state["num_real"])
-            rnd = int(state["round"])
+        ckpt = _load_checkpoint(checkpoint_path, key_data, C)
+        if ckpt is not None:
+            out_cp, out_n, out_done = ckpt["out_cp"], ckpt["out_n"], ckpt["out_done"]
+            state = _LoopState(
+                uids=jnp.asarray(ckpt["uids"], jnp.int32),
+                active=Configs(*(jnp.asarray(a) for a in ckpt["active"])),
+                n_true=jnp.asarray(ckpt["n_true"], jnp.int32),
+                done=jnp.asarray(ckpt["done"], bool),
+                k_frozen=jnp.asarray(ckpt["k_frozen"], jnp.int32),
+                n_frozen=jnp.asarray(ckpt["n_frozen"], jnp.int32),
+            )
+            n_samples = int(ckpt["n_samples"])
+            chunk_offset = int(ckpt["chunk_offset"])
+            num_real = int(ckpt["num_real"])
+            rnd = int(ckpt["round"])
+
+    # Dispatch enough rounds between host syncs to amortize the readback
+    # latency (~30 ms through the remote tunnel) against real compute.
+    SYNC_SAMPLES = 3 * 10**8  # ~40-60 ms of device work per sync
 
     while num_real > 0 and n_samples < cfg.max_samples:
-        n_batch = cfg.batch_for(n_samples)
-        step = cfg.step_samples or _largest_divisor_leq(n_batch, 512)
-        counts = mc_round(
-            key,
-            uids,
-            active,
-            robot_wh,
-            jnp.int32(chunk_offset),
-            n_batch=n_batch,
-            step_samples=step,
-            use_vertices=cfg.use_vertices,
-            impl=cfg.impl,
-        )
-        n_true = n_true + counts
-        chunk_offset += n_batch // step
-        n_samples += n_batch
-        rnd += 1
+        # Plan a sync group; every round still freezes labels on device,
+        # so grouping changes nothing about label semantics.
+        group: list[int] = []
+        work = 0
+        sim_n = n_samples
+        while sim_n < cfg.max_samples:
+            nb = cfg.batch_for(sim_n)
+            sim_n += nb
+            group.append(nb)
+            work += nb * len(state.uids)
+            if work >= SYNC_SAMPLES or (checkpoint_every and len(group) >= checkpoint_every):
+                break
 
-        done, _ = _convergence(jnp.int32(n_samples), n_true, acc_bins, bin_acc)
-        done_np = np.asarray(jax.device_get(done))
-        emit = done_np.copy()
-        emit[num_real:] = False  # padding rows never emit
-        if n_samples >= cfg.max_samples:
+        num_done_dev = None
+        for nb in group:
+            step = cfg.step_samples or _largest_divisor_leq(nb, 512)
+            n_samples += nb
+            state, num_done_dev = _fused_round(
+                key, state, robot_wh,
+                jnp.int32(chunk_offset), jnp.int32(n_samples),
+                n_batch=nb, step_samples=step,
+                use_vertices=cfg.use_vertices, impl=impl,
+                accuracy_bins=acc_bins, bin_accuracy=bin_acc,
+            )
+            chunk_offset += nb // step
+            rnd += 1
+        num_done = int(jax.device_get(num_done_dev))  # the ONE sync point
+
+        def _sync_bookkeeping(active_left):
+            if progress is not None:
+                progress(num_left=active_left, n_samples=n_samples, round=rnd)
+            if checkpoint_path is not None and checkpoint_every:
+                _save_checkpoint(
+                    checkpoint_path, key_data, C,
+                    out_cp=out_cp, out_n=out_n, out_done=out_done,
+                    uids=np.asarray(jax.device_get(state.uids)),
+                    n_true=np.asarray(jax.device_get(state.n_true)),
+                    done=np.asarray(jax.device_get(state.done)),
+                    k_frozen=np.asarray(jax.device_get(state.k_frozen)),
+                    n_frozen=np.asarray(jax.device_get(state.n_frozen)),
+                    active=[np.asarray(jax.device_get(a)) for a in state.active],
+                    n_samples=n_samples, chunk_offset=chunk_offset,
+                    num_real=num_real, round=rnd,
+                )
+
+        at_cap = n_samples >= cfg.max_samples
+        if num_done == 0 and not at_cap:
+            _sync_bookkeeping(num_real)
+            continue
+        if not at_cap and num_done < num_real // 2 and num_real - num_done > cfg.min_active:
+            # Not worth repacking yet: converged rows keep sampling (their
+            # labels are frozen; the extra work is bounded by 2x until the
+            # half-way threshold trips).
+            _sync_bookkeeping(num_real - num_done)
+            continue
+
+        # Emit + repack. One batched readback of the small state arrays.
+        uids_np, done_np, k_np, nfro_np, ntrue_np = jax.device_get(
+            (state.uids, state.done, state.k_frozen, state.n_frozen, state.n_true)
+        )
+        real = uids_np >= 0
+        emit_done = done_np & real
+        rows = uids_np[emit_done]
+        out_cp[rows] = k_np[emit_done].astype(np.float32) / nfro_np[emit_done].astype(
+            np.float32
+        )
+        out_n[rows] = nfro_np[emit_done]
+        out_done[rows] = True
+        if at_cap:
             # Tail flush (generate_dataset.cu:470-479): unconverged rows
             # get their current estimate at the final n_samples.
-            emit[:num_real] = True
-        if emit.any():
-            uids_np = np.asarray(jax.device_get(uids))
-            ntrue_np = np.asarray(jax.device_get(n_true))
-            idx = np.flatnonzero(emit)
-            rows = uids_np[idx]
-            out_cp[rows] = ntrue_np[idx].astype(np.float32) / np.float32(n_samples)
+            flush = real & ~done_np
+            rows = uids_np[flush]
+            out_cp[rows] = ntrue_np[flush].astype(np.float32) / np.float32(n_samples)
             out_n[rows] = n_samples
-            out_done[rows] = done_np[idx]
+            num_real = 0
+            break
 
-            # Repack the surviving rows (always, so nothing emits twice)
-            # into the smallest halving bucket, padding by repeating the
-            # first kept row; padding is masked out on emit via num_real.
-            keep = np.flatnonzero(~emit[:num_real])
-            num_real = len(keep)
-            if num_real == 0:
-                break
-            bucket = _round_up_bucket(num_real, cfg.min_active)
-            pad = np.concatenate(
-                [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
-            )
-            gather = jnp.asarray(pad, jnp.int32)
-            uids = jnp.take(uids, gather, axis=0)
-            n_true = jnp.take(n_true, gather, axis=0)
-            active = Configs(*(jnp.take(a, gather, axis=0) for a in active))
-        if progress is not None:
-            progress(num_left=num_real, n_samples=n_samples, round=rnd)
-        if checkpoint_path is not None and checkpoint_every and rnd % checkpoint_every == 0:
-            _save_checkpoint(
-                checkpoint_path, key_data, C,
-                out_cp=out_cp, out_n=out_n, out_done=out_done,
-                uids=np.asarray(jax.device_get(uids)),
-                n_true=np.asarray(jax.device_get(n_true)),
-                active=[np.asarray(jax.device_get(a)) for a in active],
-                n_samples=n_samples, chunk_offset=chunk_offset,
-                num_real=num_real, round=rnd,
-            )
+        keep = np.flatnonzero(real & ~done_np)
+        num_real = len(keep)
+        if num_real == 0:
+            break
+        bucket = _round_up_bucket(num_real, cfg.min_active)
+        pad = np.concatenate(
+            [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
+        )
+        gather = jnp.asarray(pad, jnp.int32)
+        pad_mask = jnp.arange(bucket) >= num_real
+        state = _LoopState(
+            uids=jnp.where(pad_mask, -1, jnp.take(state.uids, gather, axis=0)),
+            active=Configs(*(jnp.take(a, gather, axis=0) for a in state.active)),
+            n_true=jnp.take(state.n_true, gather, axis=0),
+            done=jnp.take(state.done, gather, axis=0),
+            k_frozen=jnp.take(state.k_frozen, gather, axis=0),
+            n_frozen=jnp.take(state.n_frozen, gather, axis=0),
+        )
+        _sync_bookkeeping(num_real)
 
     if checkpoint_path is not None:
         import os
@@ -457,6 +580,9 @@ def _load_checkpoint(path, key_data, n_configs):
                 "out_done": z["out_done"],
                 "uids": z["uids"],
                 "n_true": z["n_true"],
+                "done": z["done"],
+                "k_frozen": z["k_frozen"],
+                "n_frozen": z["n_frozen"],
                 "active": [
                     z["active_position"],
                     z["active_pose_theta"],
