@@ -74,6 +74,8 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--resume", action="store_true",
                    help="skip existing batch files and resume mid-batch from "
                         "checkpoint.npz (requires a fixed --seed)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the configuration axis across all local chips")
     p.set_defaults(func=_run_generate)
 
 
@@ -103,6 +105,7 @@ def _run_generate(args: argparse.Namespace) -> int:
         shuffle=not args.no_shuffle,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        data_parallel=args.data_parallel,
     )
     generate_dataset(cfg)
     return 0

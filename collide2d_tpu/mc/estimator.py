@@ -364,6 +364,7 @@ def adaptive_collision_probabilities(
     progress=None,
     checkpoint_path=None,
     checkpoint_every: int = 0,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Label every configuration to its bin's CI accuracy target.
 
@@ -386,6 +387,13 @@ def adaptive_collision_probabilities(
     reference's batch-level artifact resume (SURVEY.md §5), whose killed
     runs lose up to one whole batch. The file is validated against the
     PRNG key; a mismatched checkpoint is ignored.
+
+    Multi-chip: pass a `jax.sharding.Mesh` with a ``config`` axis (see
+    parallel.make_mesh) to shard every state array over it — pure data
+    parallelism over ICI (the only collective is the done-count psum XLA
+    inserts), BITWISE-equal to single-chip because the threefry streams
+    are uid-keyed. Forces impl='jnp' (the fused Pallas kernel is
+    single-chip; its streams are block-position-tied).
     """
     C = configs.num
     out_cp = np.zeros((C,), np.float32)
@@ -395,17 +403,33 @@ def adaptive_collision_probabilities(
     robot_wh = jnp.asarray(robot_wh, jnp.float32)
     acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
     bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
-    impl = resolve_impl(cfg.impl, configs.position)
+    if mesh is not None:
+        impl = "jnp"  # uid-keyed streams shard transparently
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row_sharding = NamedSharding(mesh, PartitionSpec("config"))
+        n_shards = mesh.shape["config"]
+
+        def _shard(s: _LoopState) -> _LoopState:
+            return jax.tree.map(lambda a: jax.device_put(a, row_sharding), s)
+    else:
+        impl = resolve_impl(cfg.impl, configs.position)
+        n_shards = 1
+        _shard = lambda s: s
 
     # Device state: uids identify original rows through repacking (-1 =
     # padding); labels freeze on device (see _fused_round).
-    state = _LoopState(
-        uids=jnp.arange(C, dtype=jnp.int32),
-        active=configs,
-        n_true=jnp.zeros((C,), jnp.int32),
-        done=jnp.zeros((C,), bool),
-        k_frozen=jnp.zeros((C,), jnp.int32),
-        n_frozen=jnp.ones((C,), jnp.int32),
+    if C % n_shards:
+        raise ValueError(f"config count {C} must divide over {n_shards} shards")
+    state = _shard(
+        _LoopState(
+            uids=jnp.arange(C, dtype=jnp.int32),
+            active=configs,
+            n_true=jnp.zeros((C,), jnp.int32),
+            done=jnp.zeros((C,), bool),
+            k_frozen=jnp.zeros((C,), jnp.int32),
+            n_frozen=jnp.ones((C,), jnp.int32),
+        )
     )
     n_samples = 0
     chunk_offset = 0
@@ -518,18 +542,21 @@ def adaptive_collision_probabilities(
         if num_real == 0:
             break
         bucket = _round_up_bucket(num_real, cfg.min_active)
+        bucket = -(-bucket // n_shards) * n_shards  # shardable buffer size
         pad = np.concatenate(
             [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
         )
         gather = jnp.asarray(pad, jnp.int32)
         pad_mask = jnp.arange(bucket) >= num_real
-        state = _LoopState(
-            uids=jnp.where(pad_mask, -1, jnp.take(state.uids, gather, axis=0)),
-            active=Configs(*(jnp.take(a, gather, axis=0) for a in state.active)),
-            n_true=jnp.take(state.n_true, gather, axis=0),
-            done=jnp.take(state.done, gather, axis=0),
-            k_frozen=jnp.take(state.k_frozen, gather, axis=0),
-            n_frozen=jnp.take(state.n_frozen, gather, axis=0),
+        state = _shard(
+            _LoopState(
+                uids=jnp.where(pad_mask, -1, jnp.take(state.uids, gather, axis=0)),
+                active=Configs(*(jnp.take(a, gather, axis=0) for a in state.active)),
+                n_true=jnp.take(state.n_true, gather, axis=0),
+                done=jnp.take(state.done, gather, axis=0),
+                k_frozen=jnp.take(state.k_frozen, gather, axis=0),
+                n_frozen=jnp.take(state.n_frozen, gather, axis=0),
+            )
         )
         _sync_bookkeeping(num_real)
 

@@ -189,3 +189,28 @@ def test_schema_validation():
         schemas.unpack_dataset_rows(np.zeros((4, 4), np.float32))
     with pytest.raises(ValueError):
         schemas.unpack_relabel_rows(np.zeros((4, 5), np.float32))
+
+
+def test_generate_data_parallel_bitwise(tmp_path, generated):
+    # DP generation over the 8-device CPU mesh writes byte-identical
+    # batches (uid-keyed threefry streams are placement-independent).
+    from collide2d_tpu.parallel import make_mesh
+    from tests.conftest import cpu_devices
+
+    data_dir, _ = generated
+    cfg = _gen_cfg(
+        tmp_path, data_dir=str(tmp_path / "dp"), num_batches=1,
+        mesh=make_mesh(cpu_devices()),
+        pose_dir=str(data_dir / "poses.npy"),
+        variance_dir=str(data_dir / "variances.npy"),
+    )
+    generate_dataset(cfg)
+    cfg_ref = _gen_cfg(
+        tmp_path, data_dir=str(tmp_path / "sp"), num_batches=1,
+        pose_dir=str(data_dir / "poses.npy"),
+        variance_dir=str(data_dir / "variances.npy"),
+    )
+    generate_dataset(cfg_ref)
+    a = np.load(tmp_path / "dp" / "0.npy")
+    b = np.load(tmp_path / "sp" / "0.npy")
+    np.testing.assert_array_equal(a, b)

@@ -106,3 +106,25 @@ def test_sample_sharding_partition_matches_manual(rng, devices):
 def test_make_mesh_validation(devices):
     with pytest.raises(ValueError):
         make_mesh(devices, sample_axis=3)
+
+
+def test_adaptive_sharded_bitwise_matches_unsharded(rng, devices):
+    # DP labeling over the mesh must be a value-level no-op: uid-keyed
+    # threefry streams are position-independent.
+    from collide2d_tpu.mc.estimator import (
+        AdaptiveConfig,
+        adaptive_collision_probabilities,
+    )
+
+    cfgs = _configs(rng, 64)
+    cfg = AdaptiveConfig(
+        max_samples=8000, initial_batch=1000, initial_phase_samples=2000,
+        later_batch=2000, bin_accuracy=(0.002, 0.002, 0.005), min_active=16,
+        impl="jnp",
+    )
+    key = jax.random.PRNGKey(21)
+    base = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg)
+    mesh = make_mesh(devices)  # (8, 1)
+    got = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg, mesh=mesh)
+    for a, b in zip(got, base):
+        np.testing.assert_array_equal(a, b)
