@@ -1,0 +1,451 @@
+"""The labeled-dataset pipeline: generate / relabel / ztest in ONE driver.
+
+The reference ships three binaries whose device kernels are byte-identical
+(diff-verified, SURVEY.md §2 #9) and whose mains differ only in where
+configurations come from and where labels go:
+
+  generate  (generate_dataset.cu:255-524)            sample configs, label, emit
+  relabel   (compute_collision_probability.cu:152-379) load configs, re-label
+  ztest     (ztest.cu:168-444)                        single file, fixed 10k/round
+
+Here they are three thin entry points over one `_label_batch` core. Flag
+names and defaults mirror the reference CLI exactly (SURVEY.md §2 #15).
+
+TPU-first differences from the reference (all documented divergences):
+- adaptive loop uses masked accumulation + halving-bucket repacking
+  instead of thrust compaction (see mc.estimator);
+- randomness is threefry (labels match statistically, not bitwise);
+- the relabel first-round uninitialized-memory read
+  (compute_collision_probability.cu:119 with d_cp never zeroed) and the
+  double-normalization of the tail flush
+  (compute_collision_probability.cu:325, ztest.cu:379) are fixed;
+- the ztest shuffle flag shuffles what is actually written (the reference
+  inverts the condition at ztest.cu:408-413, so its shuffle never affects
+  the output; our default is therefore shuffle=False for ztest).
+- host table sampling defaults to numpy RNG; `refcompat_tables=True`
+  reproduces the reference's libstdc++ streams bit-for-bit via the native
+  runtime (utils.native), yielding byte-identical poses.npy/variances.npy.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from collide2d_tpu.data import schemas
+from collide2d_tpu.mc.estimator import (
+    AdaptiveConfig,
+    Configs,
+    adaptive_collision_probabilities,
+)
+from collide2d_tpu.mc.noise import sample_configurations
+from collide2d_tpu.utils import native
+from collide2d_tpu.utils.io_npy import (
+    batch_path,
+    get_num_batches_in_dir,
+    load_npy,
+    mkdirs,
+    save_npy,
+)
+
+TWO_PI = 2.0 * math.pi
+
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    """Knobs of the dataset generator — names/defaults per
+    generate_dataset.cu:44-64 (the reference's complete public API)."""
+
+    data_dir: str = "./data/"
+    pose_dir: str = ""
+    variance_dir: str = ""
+    num_batches: int = 100
+    batch_size: int = 100_000
+    start_batch_count: int = 0
+    num_poses: int = 64**4
+    num_variances: int = 64**4
+    max_samples: int = 4_000_000
+    min_variance: Sequence[float] = (0.0, 0.0, 0.0, 0.0, 0.0)
+    max_variance: Sequence[float] = (0.3, 0.3, 0.3, 0.3, 0.3)
+    min_pose: Sequence[float] = (0.1, 0.1, 0.0)
+    max_pose: Sequence[float] = (5.0, 5.0, TWO_PI)
+    accuracy_bins: Sequence[float] = (0.0, 0.01, 0.1, 1.0)
+    bin_accuracy: Sequence[float] = (0.0001, 0.001, 0.01)
+    robot_width: float = 4.07
+    robot_height: float = 1.74
+    spread: float = 4.0
+    shape_variance: bool = False
+    # --- extensions beyond the reference CLI ---
+    seed: int | None = None  # device-PRNG seed (reference: time(0)-seeded curand)
+    table_seed: int = 0  # host table RNG seed (reference: default-seeded engine)
+    refcompat_tables: bool = False  # bit-identical libstdc++ table sampling
+    shuffle: bool = True
+    verbose: bool = True
+    adaptive: AdaptiveConfig | None = None  # schedule override (tests)
+    checkpoint_every: int = 0  # rounds between mid-batch checkpoints (0 = off)
+    resume: bool = False  # skip batches whose files exist; resume mid-batch
+    #   from checkpoint.npz (requires a fixed --seed so keys reproduce)
+    data_parallel: bool = False  # shard the config axis across all chips
+    mesh: object = None  # explicit Mesh override (tests / custom topologies)
+
+    @property
+    def robot_wh(self) -> tuple[float, float]:
+        return (self.robot_width, self.robot_height)
+
+    @property
+    def r_offset(self) -> float:
+        # generate_dataset.cu:398
+        return (self.robot_width + self.robot_height) / 4.0
+
+
+@dataclass(frozen=True)
+class RelabelConfig:
+    """compute_collision_probability.cu:35-42 flag set."""
+
+    data_in: str = "./data_in/"
+    data_out: str = "./data_out/"
+    max_samples: int = 4_000_000
+    robot_width: float = 4.07
+    robot_height: float = 1.74
+    shuffle: bool = True
+    seed: int | None = None
+    verbose: bool = True
+    adaptive: AdaptiveConfig | None = None
+    data_parallel: bool = False
+
+    @property
+    def robot_wh(self) -> tuple[float, float]:
+        return (self.robot_width, self.robot_height)
+
+
+@dataclass(frozen=True)
+class ZTestConfig:
+    """ztest.cu:37-47 flag set. NOTE: shuffle defaults to False here —
+    the reference's inverted shuffle (ztest.cu:408-413) never shuffles
+    the written artifact, and an unshuffled output preserves the row
+    correspondence the z-test comparison needs."""
+
+    data_dir: str = "./data/"
+    data_file_in: str = ""
+    data_file_out: str = ""
+    max_samples: int = 4_000_000
+    robot_width: float = 4.07
+    robot_height: float = 1.74
+    shuffle: bool = False
+    cps_only: bool = False
+    meta_dir: str = ""
+    seed: int | None = None
+    verbose: bool = True
+    n_batch: int = 10_000  # fixed per-round budget (ztest.cu:332)
+    adaptive: AdaptiveConfig | None = None
+
+    @property
+    def robot_wh(self) -> tuple[float, float]:
+        return (self.robot_width, self.robot_height)
+
+
+def _log(cfg, *msg):
+    if cfg.verbose:
+        print(*msg, flush=True)
+
+
+def _mesh_for(cfg) -> "object | None":
+    """An all-config data-parallel mesh when requested and useful."""
+    if getattr(cfg, "mesh", None) is not None:
+        return cfg.mesh
+    if not getattr(cfg, "data_parallel", False):
+        return None
+    if len(jax.devices()) < 2:
+        return None
+    from collide2d_tpu.parallel import make_mesh
+
+    return make_mesh()
+
+
+def _master_key(seed: int | None) -> jax.Array:
+    if seed is None:
+        seed = int(time.time_ns() % (2**31))  # reference: srand(time(0))
+    return jax.random.PRNGKey(seed)
+
+
+def _sample_tables(cfg: GenerateConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side pose/variance table sampling (generate_dataset.cu:282-336)."""
+    min_var = np.asarray(cfg.min_variance, np.float32).copy()
+    max_var = np.asarray(cfg.max_variance, np.float32).copy()
+    if not cfg.shape_variance:
+        # generate_dataset.cu:285-290: zero the width/height noise dims.
+        min_var[3:5] = 0.0
+        max_var[3:5] = 0.0
+    if cfg.refcompat_tables and native.available():
+        # One shared engine, variances first then poses — the exact
+        # stream interleaving of the reference main.
+        eng = native.RefEngine(None if cfg.table_seed == 0 else cfg.table_seed)
+        variances = eng.uniform_table(cfg.num_variances, min_var, max_var)
+        poses = eng.uniform_table(cfg.num_poses, cfg.min_pose, cfg.max_pose)
+    else:
+        rng = np.random.default_rng(cfg.table_seed)
+        variances = rng.uniform(
+            min_var, max_var, (cfg.num_variances, 5)
+        ).astype(np.float32)
+        poses = rng.uniform(
+            np.asarray(cfg.min_pose, np.float32),
+            np.asarray(cfg.max_pose, np.float32),
+            (cfg.num_poses, 3),
+        ).astype(np.float32)
+    return poses, variances
+
+
+def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
+    if cfg.adaptive is not None:
+        return cfg.adaptive
+    kwargs = dict(max_samples=cfg.max_samples)
+    if hasattr(cfg, "accuracy_bins"):
+        kwargs["accuracy_bins"] = tuple(cfg.accuracy_bins)
+        kwargs["bin_accuracy"] = tuple(cfg.bin_accuracy)
+    if fixed_batch is not None:
+        kwargs["fixed_batch"] = fixed_batch
+    return AdaptiveConfig(**kwargs)
+
+
+def _label_batch(
+    key: jax.Array,
+    positions: np.ndarray,
+    pose_idx: np.ndarray,
+    var_idx: np.ndarray,
+    poses: np.ndarray,
+    std_devs: np.ndarray,
+    robot_wh,
+    adaptive: AdaptiveConfig,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
+    mesh=None,
+) -> np.ndarray:
+    """Label one batch of configurations; the shared core of all modes.
+
+    Output rows come back in INPUT order (the uid bookkeeping inside
+    `adaptive_collision_probabilities` plays the role of the reference's
+    device-side index column, compute_collision_probability.cu:337-344).
+    """
+    pose_idx = np.asarray(pose_idx, np.int64)
+    var_idx = np.asarray(var_idx, np.int64)
+    pose = poses[pose_idx]
+    configs = Configs(
+        position=jnp.asarray(positions, jnp.float32),
+        pose_theta=jnp.asarray(pose[:, 2], jnp.float32),
+        obstacle_wh=jnp.asarray(pose[:, 0:2], jnp.float32),
+        std_dev=jnp.asarray(std_devs[var_idx], jnp.float32),
+    )
+    cp, _, _ = adaptive_collision_probabilities(
+        key, configs, robot_wh, adaptive,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        mesh=mesh,
+    )
+    return schemas.pack_dataset_rows(positions, cp, var_idx, pose_idx)
+
+
+def _shuffle_rows(rows: np.ndarray, enabled: bool) -> np.ndarray:
+    """Batch shuffle with the reference's fixed seed-0 engine
+    (generate_dataset.cu:496) — bit-identical order via the native
+    runtime when available."""
+    if not enabled:
+        return rows
+    return rows[native.std_shuffle_perm(len(rows), 0)]
+
+
+# ---------------------------------------------------------------------------
+# Mode 1: generate (generate_dataset.cu main)
+# ---------------------------------------------------------------------------
+
+def generate_dataset(cfg: GenerateConfig) -> None:
+    data_dir = mkdirs(cfg.data_dir)
+    _log(cfg, f"data dir: {cfg.data_dir}")
+    _log(cfg, f"num batches: {cfg.num_batches}")
+    _log(cfg, f"num batch: {cfg.batch_size}")
+    _log(cfg, f"start batch count: {cfg.start_batch_count}")
+
+    # Pose/variance tables: sample or reuse (generate_dataset.cu:282-336).
+    if cfg.variance_dir:
+        variances = schemas.validate_variances(load_npy(cfg.variance_dir))
+    else:
+        variances = None
+    if cfg.pose_dir:
+        poses = schemas.validate_poses(load_npy(cfg.pose_dir))
+    else:
+        poses = None
+    if poses is None or variances is None:
+        sampled_poses, sampled_variances = _sample_tables(cfg)
+        if variances is None:
+            variances = sampled_variances
+            save_npy(data_dir / "variances.npy", variances)
+        if poses is None:
+            poses = sampled_poses
+            save_npy(data_dir / "poses.npy", poses)
+    std_devs = np.sqrt(variances)  # generate_dataset.cu:310-317
+
+    _log(cfg, f"num poses: {len(poses)}")
+    _log(cfg, f"num variances: {len(variances)}")
+
+    # Meta artifacts (generate_dataset.cu:346-352).
+    save_npy(data_dir / "meta" / "accuracy_bins.npy",
+             np.asarray(cfg.accuracy_bins, np.float32))
+    save_npy(data_dir / "meta" / "bin_accuracy.npy",
+             np.asarray(cfg.bin_accuracy, np.float32))
+
+    adaptive = _adaptive_config(cfg)
+    key = _master_key(cfg.seed)
+    poses_j = jnp.asarray(poses)
+    std_devs_j = jnp.asarray(std_devs)
+
+    _log(cfg, f"Total number of configurations: {cfg.batch_size * cfg.num_batches}")
+    _log(cfg, "Begin computation...")
+    begin = time.monotonic()
+    with native.AsyncNpyWriter() as writer:
+        for batch_index in range(cfg.num_batches):
+            target = batch_path(data_dir, cfg.start_batch_count + batch_index)
+            if cfg.resume and target.exists():
+                _log(cfg, f"resume: skipping existing {target.name}")
+                continue
+            bkey = jax.random.fold_in(key, cfg.start_batch_count + batch_index)
+            k_init, k_mc = jax.random.split(bkey)
+            positions, pose_idx, var_idx = sample_configurations(
+                k_init, cfg.batch_size, poses_j, std_devs_j,
+                r_offset=cfg.r_offset, spread=cfg.spread,
+            )
+            rows = _label_batch(
+                k_mc, np.asarray(positions), np.asarray(pose_idx),
+                np.asarray(var_idx), poses, std_devs, cfg.robot_wh, adaptive,
+                checkpoint_path=(
+                    data_dir / "checkpoint.npz" if cfg.checkpoint_every else None
+                ),
+                checkpoint_every=cfg.checkpoint_every,
+                mesh=_mesh_for(cfg),
+            )
+            rows = _shuffle_rows(rows, cfg.shuffle)
+            writer.submit(target, rows)
+            mins = (time.monotonic() - begin) / 60.0
+            _log(cfg, f"batches generated: {batch_index + 1}/{cfg.num_batches}, "
+                      f"Time: {mins:.1f} [min]")
+        errors = writer.flush()
+        if errors:
+            raise IOError(f"{errors} batch file(s) failed to write")
+    _log(cfg, "Finished computation")
+
+
+# ---------------------------------------------------------------------------
+# Mode 2: relabel (compute_collision_probability.cu main)
+# ---------------------------------------------------------------------------
+
+def relabel_dataset(cfg: RelabelConfig) -> None:
+    data_in = Path(cfg.data_in)
+    data_out = mkdirs(cfg.data_out)
+    # Output numbering resumes after existing batches
+    # (compute_collision_probability.cu:157).
+    start_batch_count = get_num_batches_in_dir(data_out)
+    num_batches = get_num_batches_in_dir(data_in)
+
+    _log(cfg, "Reading data...")
+    poses = schemas.validate_poses(load_npy(data_out / "poses.npy"))
+    variances = schemas.validate_variances(load_npy(data_out / "variances.npy"))
+    accuracy_bins = load_npy(data_out / "meta" / "accuracy_bins.npy")
+    bin_accuracy = load_npy(data_out / "meta" / "bin_accuracy.npy")
+    std_devs = np.sqrt(variances)
+
+    _log(cfg, f"num poses: {len(poses)}")
+    _log(cfg, f"num variances: {len(variances)}")
+
+    adaptive = cfg.adaptive or AdaptiveConfig(
+        accuracy_bins=tuple(float(x) for x in accuracy_bins),
+        bin_accuracy=tuple(float(x) for x in bin_accuracy),
+        max_samples=cfg.max_samples,
+    )
+    key = _master_key(cfg.seed)
+
+    _log(cfg, "Begin computation...")
+    begin = time.monotonic()
+    with native.AsyncNpyWriter() as writer:
+        for batch_index in range(num_batches):
+            rows_in = load_npy(batch_path(data_in, batch_index))
+            positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
+            rows = _label_batch(
+                jax.random.fold_in(key, batch_index),
+                positions, pose_idx, var_idx, poses, std_devs,
+                cfg.robot_wh, adaptive, mesh=_mesh_for(cfg),
+            )
+            rows = _shuffle_rows(rows, cfg.shuffle)
+            writer.submit(batch_path(data_out, start_batch_count + batch_index), rows)
+            mins = (time.monotonic() - begin) / 60.0
+            _log(cfg, f"batches generated: {batch_index + 1}/{num_batches}, "
+                      f"Time: {mins:.1f} [min]")
+        errors = writer.flush()
+        if errors:
+            raise IOError(f"{errors} batch file(s) failed to write")
+    _log(cfg, "Finished computation")
+
+
+# ---------------------------------------------------------------------------
+# Mode 3: ztest (ztest.cu main) — high-precision validation of one file
+# ---------------------------------------------------------------------------
+
+def ztest(cfg: ZTestConfig) -> np.ndarray:
+    data_dir = Path(cfg.data_dir)
+    if not data_dir.exists():
+        raise FileNotFoundError(f"data_dir {data_dir} does not exist")
+
+    # Default meta bins written when absent (ztest.cu:186-194).
+    if cfg.meta_dir:
+        meta_dir = Path(cfg.meta_dir)
+    else:
+        meta_dir = data_dir / "meta"
+        mkdirs(meta_dir)
+        if not (meta_dir / "accuracy_bins.npy").exists():
+            save_npy(meta_dir / "accuracy_bins.npy",
+                     np.asarray([0.0, 0.01, 0.1, 1.0], np.float32))
+            save_npy(meta_dir / "bin_accuracy.npy",
+                     np.asarray([0.0001, 0.001, 0.01], np.float32))
+    data_file_in = Path(cfg.data_file_in) if cfg.data_file_in else data_dir / "tmp" / "0.npy"
+    data_file_out = Path(cfg.data_file_out) if cfg.data_file_out else data_dir / "0.npy"
+    if not cfg.data_file_in:
+        _log(cfg, f"Using default input file: {data_file_in}")
+    if not cfg.data_file_out:
+        _log(cfg, f"Using default output file: {data_file_out}")
+    if data_file_out.exists():
+        _log(cfg, f"Warning: {data_file_out} already exists, will be overwritten")
+
+    poses = schemas.validate_poses(load_npy(data_dir / "poses.npy"))
+    variances = schemas.validate_variances(load_npy(data_dir / "variances.npy"))
+    accuracy_bins = load_npy(meta_dir / "accuracy_bins.npy")
+    bin_accuracy = load_npy(meta_dir / "bin_accuracy.npy")
+    std_devs = np.sqrt(variances)
+
+    rows_in = load_npy(data_file_in)
+    positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
+    _log(cfg, f"num poses: {len(poses)}")
+    _log(cfg, f"num variances: {len(variances)}")
+    _log(cfg, f"num data points: {len(positions)}")
+
+    adaptive = cfg.adaptive or AdaptiveConfig(
+        accuracy_bins=tuple(float(x) for x in accuracy_bins),
+        bin_accuracy=tuple(float(x) for x in bin_accuracy),
+        max_samples=cfg.max_samples,
+        fixed_batch=cfg.n_batch,  # ztest.cu:332 — fixed 10k per round
+    )
+    rows = _label_batch(
+        _master_key(cfg.seed), positions, pose_idx, var_idx,
+        poses, std_devs, cfg.robot_wh, adaptive,
+    )
+    if cfg.cps_only:
+        out = rows[:, 2].copy()  # bare cp vector (ztest.cu:391-396,418-420)
+    else:
+        out = rows
+    if cfg.shuffle:
+        out = out[native.std_shuffle_perm(len(out), 0)]
+    save_npy(data_file_out, out)
+    _log(cfg, "Finished computation")
+    return out

@@ -441,14 +441,14 @@ def adaptive_collision_probabilities(
         ckpt = _load_checkpoint(checkpoint_path, key_data, C)
         if ckpt is not None:
             out_cp, out_n, out_done = ckpt["out_cp"], ckpt["out_n"], ckpt["out_done"]
-            state = _LoopState(
+            state = _shard(_LoopState(
                 uids=jnp.asarray(ckpt["uids"], jnp.int32),
                 active=Configs(*(jnp.asarray(a) for a in ckpt["active"])),
                 n_true=jnp.asarray(ckpt["n_true"], jnp.int32),
                 done=jnp.asarray(ckpt["done"], bool),
                 k_frozen=jnp.asarray(ckpt["k_frozen"], jnp.int32),
                 n_frozen=jnp.asarray(ckpt["n_frozen"], jnp.int32),
-            )
+            ))
             n_samples = int(ckpt["n_samples"])
             chunk_offset = int(ckpt["chunk_offset"])
             num_real = int(ckpt["num_real"])

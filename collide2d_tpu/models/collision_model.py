@@ -48,9 +48,16 @@ class CollisionProbabilityModel:
         )
         return sat_rects(robot, obstacle)
 
-    def collide_polygons(self, p1, p2, mask1=None, mask2=None, *, broad_phase=True):
-        """Convex k-gon pairs with optional AABB broad-phase pruning
-        (BASELINE.json config #4). int32 (C,)."""
+    def collide_polygons(self, p1, p2, mask1=None, mask2=None, *, broad_phase=False):
+        """Convex k-gon pairs (BASELINE.json config #4). int32 (C,).
+
+        ``broad_phase=True`` additionally ANDs in the AABB candidate mask
+        — an independent necessary-condition cross-check, NOT a speedup:
+        under XLA's fixed shapes the narrow phase runs on every pair
+        either way. For actual pruning, call `candidate_mask` yourself
+        and compact the candidate subset before the narrow phase (that is
+        where batch-level pruning pays; see ops.broad_phase).
+        """
         narrow = sat_polygons(p1, p2, mask1, mask2)
         if not broad_phase:
             return narrow

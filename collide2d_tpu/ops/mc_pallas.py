@@ -138,11 +138,13 @@ def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
         sep = jnp.logical_or(sep, d_a2 > hy1 + a * sd + b * cd)
         sep = jnp.logical_or(sep, d_b1 > a + hx1 * cd + hy1 * sd)
         sep = jnp.logical_or(sep, d_b2 > b + hx1 * sd + hy1 * cd)
-        hit = jnp.logical_not(sep).astype(jnp.float32)
+        # int32 accumulation: float32 would lose integer precision past
+        # 2^24 samples/round (the CLI exposes n_batch directly).
+        hit = jnp.logical_not(sep).astype(jnp.int32)
         return acc + jnp.sum(hit, axis=0, keepdims=True)
 
     acc = jax.lax.fori_loop(
-        0, n_steps, step, jnp.zeros((1, LANE_CONFIGS), jnp.float32)
+        0, n_steps, step, jnp.zeros((1, LANE_CONFIGS), jnp.int32)
     )
     out_ref[...] = acc
 
@@ -161,7 +163,7 @@ def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
     ``seed``: int32 scalar (vary per round!); ``n_steps``: TRACED int32
     scalar — one compilation per (C, sub) serves the whole adaptive
     schedule (remote compiles cost minutes). ``params``: (16, C) from
-    `pack_mc_params`, C a multiple of 128. Returns float32 (C,) counts.
+    `pack_mc_params`, C a multiple of 128. Returns int32 (C,) counts.
     """
     c = params.shape[1]
     assert params.shape[0] == PARAM_ROWS, params.shape
@@ -169,7 +171,7 @@ def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
     kernel = functools.partial(_mc_kernel, sub=sub)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, c), jnp.int32),
         grid=(c // LANE_CONFIGS,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -72,12 +72,15 @@ def sat_rects_reference(r1: Array, r2: Array) -> Array:
 def sat_rects(r1: Array, r2: Array) -> Array:
     """Fast rectangle-rectangle SAT over 4 unique axes.
 
-    For a rectangle, edges 2 and 3 are exact float negations of edges 0
-    and 1, so projections onto them are exact negations: the interval test
-    mirrors bitwise and the 8-axis reference result equals this 4-axis
-    result for every input (tested exhaustively against
-    `sat_rects_reference`). Half the work of the reference semantics with
-    an identical label.
+    A rectangle's edges 2,3 are negations of edges 0,1 in exact
+    arithmetic, so half the reference's 8 axes suffice. In float32 the
+    negation is exact only up to the rounding of the translated vertices,
+    so a label can differ from `sat_rects_reference` when an interval
+    boundary lands exactly between the two roundings — a measure-zero
+    set (none observed in randomized testing; exactly-touching
+    axis-aligned grids round identically and also agree). Use
+    `sat_rects_reference` when strict bit-parity with the reference
+    semantics is required.
     """
     e1 = r1[..., 1:3, :] - r1[..., 0:2, :]  # first two edges of r1
     e2 = r2[..., 1:3, :] - r2[..., 0:2, :]
@@ -105,45 +108,44 @@ def sat_polygons(
     rect edge direction = adjacent edge's normal), so labels agree with
     `sat_rects_reference` on rectangles.
 
-    Padded fixed-k polygons: pass ``mask``s (``B + (k,)`` bool, True =
-    real vertex). Padding convention: repeat any real vertex in padded
-    slots. Masked vertices are excluded from both interval min/max and
-    axis generation (a padded slot's edge would be spurious).
+    Padded fixed-k polygons: pad by REPEATING a real vertex (any slot
+    content works when you pass a ``mask``: padded slots are first
+    rewritten to the last real vertex). With repeat-padding the test is
+    correct WITHOUT masking axes or intervals:
+
+    - a duplicated vertex never moves an interval's min/max;
+    - the edge between duplicates is the zero vector, whose projections
+      are identically zero on both polygons — a zero axis never
+      separates;
+    - the edge from the final padded slot back to vertex 0 IS the real
+      closing edge, so the axis set stays complete. (Masking that edge
+      out — an earlier revision did — loses the closing-edge normal and
+      yields false-positive collisions.)
 
     ``p1``/``p2``: ``B + (k, 2)`` CCW convex vertices. Returns int32 ``B``.
     Touching polygons collide (strict ``<`` separation), matching the
     reference's convention.
     """
-    k1 = p1.shape[-2]
-    k2 = p2.shape[-2]
+    p1 = _normalize_padding(p1, mask1)
+    p2 = _normalize_padding(p2, mask2)
 
-    def _axes(p, mask):
-        n = edge_normals(p)  # B+(k,2)
-        if mask is not None:
-            # Edge i connects vertex i to vertex (i+1)%k: real only when
-            # both endpoints are real. Zero axes never separate (interval
-            # [0,0] vs [0,0] overlaps), so zeroing padded axes is inert.
-            edge_real = jnp.logical_and(mask, jnp.roll(mask, -1, axis=-1))
-            n = jnp.where(edge_real[..., None], n, 0.0)
-        return n
-
-    axes = jnp.concatenate([_axes(p1, mask1), _axes(p2, mask2)], axis=-2)
-
-    def _interval(p, mask):
-        proj = _project_all(axes, p)  # B+(a,k)
-        if mask is None:
-            return jnp.min(proj, axis=-1), jnp.max(proj, axis=-1)
-        big = jnp.asarray(jnp.inf, proj.dtype)
-        m = mask[..., None, :]
-        lo = jnp.min(jnp.where(m, proj, big), axis=-1)
-        hi = jnp.max(jnp.where(m, proj, -big), axis=-1)
-        return lo, hi
-
-    min1, max1 = _interval(p1, mask1)
-    min2, max2 = _interval(p2, mask2)
+    axes = jnp.concatenate([edge_normals(p1), edge_normals(p2)], axis=-2)
+    proj1 = _project_all(axes, p1)  # B+(a,k)
+    proj2 = _project_all(axes, p2)
+    min1, max1 = jnp.min(proj1, axis=-1), jnp.max(proj1, axis=-1)
+    min2, max2 = jnp.min(proj2, axis=-1), jnp.max(proj2, axis=-1)
     separated = jnp.logical_or(max1 < min2, max2 < min1)
-    del k1, k2
     return jnp.logical_not(jnp.any(separated, axis=-1)).astype(jnp.int32)
+
+
+def _normalize_padding(p: Array, mask: Array | None) -> Array:
+    """Rewrite masked-out (padded) slots to the last real vertex, making
+    arbitrary padding equivalent to the safe repeat-last convention."""
+    if mask is None:
+        return p
+    last_real = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True) - 1  # B+(1,)
+    last_vertex = jnp.take_along_axis(p, last_real[..., None], axis=-2)  # B+(1,2)
+    return jnp.where(mask[..., None], p, last_vertex)
 
 
 def obb_collide(c1, ext1, th1, c2, ext2, th2) -> Array:

@@ -86,7 +86,11 @@ def sharded_mc_round(
     ``sample`` — ICI traffic is exactly one (C/n_config,) psum.
     """
     n_sample = mesh.shape["sample"]
-    assert n_batch % (n_sample * step_samples) == 0, (n_batch, n_sample, step_samples)
+    if n_batch % (n_sample * step_samples):
+        raise ValueError(
+            f"n_batch={n_batch} must be a multiple of sample_axis x "
+            f"step_samples = {n_sample} x {step_samples}"
+        )
     local_steps = n_batch // (n_sample * step_samples)
 
     @functools.partial(
@@ -137,6 +141,11 @@ def sample_sharded_probability(
     if mesh is None:
         mesh = make_mesh(sample_axis=len(jax.devices()))
     n_sample = mesh.shape["sample"]
+    if n_samples % n_sample:
+        raise ValueError(
+            f"n_samples={n_samples} must be a multiple of the sample-axis "
+            f"device count {n_sample}"
+        )
     if step_samples <= 0:
         per_dev = n_samples // n_sample
         step_samples = max(1, min(per_dev, 512))

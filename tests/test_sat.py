@@ -37,8 +37,10 @@ def test_reference_semantics_bitwise(random_pairs):
 
 
 def test_fast_4axis_equals_reference(random_pairs):
-    # Edges 2,3 of a rect are exact float negations of edges 0,1, so the
-    # 4-axis test is bitwise-equal to the 8-axis reference semantics.
+    # Edges 2,3 of a rect negate edges 0,1 (exactly in real arithmetic,
+    # to rounding in float32): labels agree except on a measure-zero
+    # boundary set — this randomized check plus the exact-touch cases
+    # below pin the equivalence.
     V1, V2, _ = random_pairs
     a = np.array(sat_rects_reference(jnp.asarray(V1), jnp.asarray(V2)))
     b = np.array(sat_rects(jnp.asarray(V1), jnp.asarray(V2)))
@@ -160,3 +162,31 @@ def test_obb_closed_form_agrees(random_pairs, rng):
     )
     disagreement = (got != want).mean()
     assert disagreement <= 2e-4, disagreement
+
+
+def test_polygon_mask_preserves_closing_edge_axis():
+    # Regression: the separating axis here is ONLY the closing edge's
+    # normal (last real vertex -> vertex 0). An earlier revision masked
+    # that edge out for padded polygons and reported a false collision.
+    p1 = np.array([[0, 0], [2, 0], [0, 2]], np.float32)
+    p2 = p1 + np.array([-3.0, 1.5], np.float32)
+    assert SAT.convex_collide_polygons(p1, p2) == 0
+    pad1 = np.concatenate([p1, p1[-1:]])  # k=4, repeat-last padding
+    pad2 = np.concatenate([p2, p2[-1:]])
+    mask = np.array([True, True, True, False])
+    got = int(
+        sat_polygons(
+            jnp.asarray(pad1)[None], jnp.asarray(pad2)[None],
+            jnp.asarray(mask)[None], jnp.asarray(mask)[None],
+        )[0]
+    )
+    assert got == 0
+    # garbage padding + mask must give the same answer
+    pad1g = np.concatenate([p1, np.full((1, 2), 99.0, np.float32)])
+    got_g = int(
+        sat_polygons(
+            jnp.asarray(pad1g)[None], jnp.asarray(pad2)[None],
+            jnp.asarray(mask)[None], jnp.asarray(mask)[None],
+        )[0]
+    )
+    assert got_g == 0
