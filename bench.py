@@ -14,7 +14,7 @@ import sys
 def main() -> int:
     from collide2d_tpu.utils.benchmarks import bench_mc, bench_sat, bench_sat_pallas
 
-    sat = bench_sat_pallas(pairs=1 << 22, iters=20)
+    sat = bench_sat_pallas(pairs=1 << 23, iters=20)
     print(
         json.dumps(
             {
