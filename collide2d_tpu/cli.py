@@ -76,6 +76,11 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "checkpoint.npz (requires a fixed --seed)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
+    p.add_argument("--schedule", default=None, choices=[None, "reference", "tuned"],
+                   help="convergence-checkpoint schedule: 'reference' (default; "
+                        "1k rounds to 20k then 100k rounds) or 'tuned' "
+                        "(geometric checkpoints, ~40%% fewer samples, same CI "
+                        "guarantees)")
     p.set_defaults(func=_run_generate)
 
 
@@ -106,6 +111,7 @@ def _run_generate(args: argparse.Namespace) -> int:
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         data_parallel=args.data_parallel,
+        schedule=None if args.schedule in (None, "reference") else args.schedule,
     )
     generate_dataset(cfg)
     return 0

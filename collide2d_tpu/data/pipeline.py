@@ -94,6 +94,7 @@ class GenerateConfig:
     #   from checkpoint.npz (requires a fixed --seed so keys reproduce)
     data_parallel: bool = False  # shard the config axis across all chips
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
+    schedule: object = None  # None = reference schedule | "tuned" | explicit tuple
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -209,6 +210,8 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
     if hasattr(cfg, "accuracy_bins"):
         kwargs["accuracy_bins"] = tuple(cfg.accuracy_bins)
         kwargs["bin_accuracy"] = tuple(cfg.bin_accuracy)
+    if getattr(cfg, "schedule", None) is not None:
+        kwargs["schedule"] = cfg.schedule
     if fixed_batch is not None:
         kwargs["fixed_batch"] = fixed_batch
     return AdaptiveConfig(**kwargs)

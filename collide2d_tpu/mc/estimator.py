@@ -246,6 +246,15 @@ class AdaptiveConfig:
     (generate_dataset.cu:427-430), cap 4e6 (generate_dataset.cu:53).
     ``fixed_batch`` (ztest.cu:332 uses 10000) overrides the two-phase
     schedule when set.
+
+    ``schedule``: optional explicit CUMULATIVE convergence checkpoints, or
+    the string "tuned". The reference's schedule jumps straight from 20k
+    to 120k samples, yet its single largest population — zero-probability
+    configurations — satisfies the rule-of-three criterion at 36,889: they
+    all wait for 120k. "tuned" adds geometric checkpoints (37k, 75k, 150k,
+    ... to the cap), cutting the mean samples/configuration ~40% while
+    every emitted label still satisfies the SAME per-bin CI criterion
+    (checkpoints only decide WHERE convergence is tested, never the test).
     """
 
     accuracy_bins: Sequence[float] = (0.0, 0.01, 0.1, 1.0)
@@ -259,10 +268,33 @@ class AdaptiveConfig:
     min_active: int = 256  # smallest compaction bucket
     use_vertices: bool = False
     impl: str = "auto"  # 'jnp' | 'pallas' | 'auto' (see mc_round)
+    schedule: Sequence[int] | str | None = None  # cumulative checkpoints | "tuned"
+
+    def checkpoints(self) -> tuple[int, ...] | None:
+        if self.schedule is None:
+            return None
+        if self.schedule == "tuned":
+            pts = [self.initial_batch * i
+                   for i in range(1, self.initial_phase_samples // self.initial_batch + 1)]
+            n = 37_000  # just past the rule-of-three point ln(40)/1e-4
+            while pts and n > pts[-1] or not pts:
+                if n >= self.max_samples:
+                    break
+                pts.append(n)
+                n = -(-n * 2 // 8) * 8  # double, keep multiples of 8
+            pts.append(-(-self.max_samples // 8) * 8)
+            return tuple(p for i, p in enumerate(pts) if i == 0 or p > pts[i - 1])
+        return tuple(int(x) for x in self.schedule)
 
     def batch_for(self, n_samples_so_far: int) -> int:
         if self.fixed_batch is not None:
             return self.fixed_batch
+        pts = self.checkpoints()
+        if pts is not None:
+            for p in pts:
+                if p > n_samples_so_far:
+                    return p - n_samples_so_far
+            return self.later_batch
         if n_samples_so_far < self.initial_phase_samples:
             return self.initial_batch
         return self.later_batch

@@ -213,3 +213,38 @@ def test_sample_configurations_geometry(rng):
     # r_offset - |shift| and shift is zero-mean).
     r = np.hypot(pos[:, 0], pos[:, 1])
     assert np.quantile(r, 0.05) > 1.0
+
+
+def test_tuned_schedule_checkpoints():
+    # "tuned" inserts a checkpoint just past the rule-of-three point
+    # (ln(40)/1e-4 = 36889) where zero-probability configs can stop,
+    # then doubles geometrically to the cap; all diffs stay multiples
+    # of 8 (the fused kernel's sample-tile granularity).
+    cfg = AdaptiveConfig(schedule="tuned")
+    pts = cfg.checkpoints()
+    assert 37_000 in pts
+    assert pts[-1] >= cfg.max_samples
+    n, diffs = 0, []
+    while n < cfg.max_samples:
+        b = cfg.batch_for(n)
+        n += b
+        diffs.append(b)
+    assert all(d % 8 == 0 for d in diffs)
+    assert len(diffs) < 35  # far fewer rounds than the reference's ~60
+
+
+def test_tuned_schedule_labels_satisfy_ci(rng):
+    cfgs = _configs(rng, 48, sigma=0.3)
+    cfg = AdaptiveConfig(
+        schedule="tuned", max_samples=40_000, initial_batch=1000,
+        initial_phase_samples=4000, bin_accuracy=(0.005, 0.005, 0.01),
+    )
+    cp, n_used, converged = adaptive_collision_probabilities(
+        jax.random.PRNGKey(6), cfgs, ROBOT_WH, cfg
+    )
+    k = np.round(cp * n_used).astype(np.int64)
+    slack = np.array(calc_slack(jnp.asarray(n_used), jnp.asarray(k)))
+    target = np.array(jnp.asarray(cfg.bin_accuracy))[
+        np.array(get_bin(jnp.asarray(cp), jnp.asarray(cfg.accuracy_bins)))
+    ]
+    assert (slack[converged] <= target[converged] + 1e-7).all()
