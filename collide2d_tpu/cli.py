@@ -131,6 +131,8 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--shuffle", type=_bool_flag, default=d.shuffle,
                    help="whether or not to shuffle data")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the configuration axis across all local chips")
     p.set_defaults(func=_run_relabel)
 
 
@@ -144,6 +146,7 @@ def _run_relabel(args: argparse.Namespace) -> int:
             robot_height=args.robot_height,
             shuffle=args.shuffle,
             seed=args.seed,
+            data_parallel=args.data_parallel,
         )
     )
     return 0
