@@ -605,7 +605,7 @@ def adaptive_collision_probabilities(
 def _save_checkpoint(path, key_data, n_configs, *, active, **state) -> None:
     import os
 
-    tmp = f"{path}.tmp"
+    tmp = f"{path}.tmp.npz"  # ends in .npz so np.savez won't rename it
     np.savez(
         tmp,
         key_data=key_data,
@@ -616,8 +616,7 @@ def _save_checkpoint(path, key_data, n_configs, *, active, **state) -> None:
         active_std_dev=active[3],
         **state,
     )
-    # np.savez appends .npz to names lacking it.
-    os.replace(tmp if str(tmp).endswith(".npz") else f"{tmp}.npz", path)
+    os.replace(tmp, path)  # atomic publish
 
 
 def _load_checkpoint(path, key_data, n_configs):

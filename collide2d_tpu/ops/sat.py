@@ -14,7 +14,8 @@ SURVEY.md §2):
 `sat_rects_reference` reproduces those semantics bit-for-bit (same axis
 set, same comparison). `sat_polygons` is the general fixed-k convex
 polygon test with TRUE perpendicular edge normals (fixing quirk 1, as the
-reference README's extension path requires), masked for padded vertices.
+reference README's extension path requires); fixed-k padding is handled
+by vertex repetition (see its docstring).
 `obb_collide` is the closed-form oriented-box test used by the fused
 Monte-Carlo kernels — boolean-equivalent to the vertex formulation.
 

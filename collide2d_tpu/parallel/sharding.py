@@ -96,7 +96,8 @@ def sharded_mc_round(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P("config"), Configs(P("config"), P("config"), P("config"), P("config")), P(), P()),
+        # P("config") acts as a pytree prefix for every Configs leaf.
+        in_specs=(P(), P("config"), P("config"), P(), P()),
         out_specs=P("config"),
     )
     def body(key, uids, cfgs, robot_wh, chunk_offset):

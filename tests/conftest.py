@@ -58,3 +58,23 @@ def oracle_vertices(w, h, x, y, t):
         ]
     )
     return out.reshape(n, 4, 2)
+
+
+def random_configs(rng, n, sigma=0.3, shape_sigma=0.0):
+    """A random Configs batch for estimator tests (shared helper)."""
+    import jax.numpy as jnp
+
+    from collide2d_tpu.mc.estimator import Configs
+
+    pose_shape = rng.uniform(0, sigma, (n, 3))
+    wh_noise = (
+        rng.uniform(0, shape_sigma, (n, 2)) if shape_sigma else np.zeros((n, 2))
+    )
+    return Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (n, 2)).astype(np.float32)),
+        std_dev=jnp.asarray(
+            np.concatenate([pose_shape, wh_noise], axis=1).astype(np.float32)
+        ),
+    )

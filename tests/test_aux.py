@@ -21,13 +21,7 @@ CFG = AdaptiveConfig(
 ROBOT = (4.07, 1.74)
 
 
-def _configs(rng, n):
-    return Configs(
-        position=jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32)),
-        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32)),
-        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (n, 2)).astype(np.float32)),
-        std_dev=jnp.asarray(rng.uniform(0, 0.3, (n, 5)).astype(np.float32)),
-    )
+from tests.conftest import random_configs as _configs
 
 
 def test_checkpoint_resume_identical_result(rng, tmp_path):

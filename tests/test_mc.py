@@ -19,21 +19,7 @@ from collide2d_tpu.mc.stats import calc_slack, get_bin
 ROBOT_WH = (4.07, 1.74)
 
 
-def _configs(rng, n, sigma=0.3, shape_sigma=0.0):
-    return Configs(
-        position=jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32)),
-        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32)),
-        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (n, 2)).astype(np.float32)),
-        std_dev=jnp.asarray(
-            np.concatenate(
-                [
-                    rng.uniform(0, sigma, (n, 3)),
-                    rng.uniform(0, shape_sigma, (n, 2)),
-                ],
-                axis=1,
-            ).astype(np.float32)
-        ),
-    )
+from tests.conftest import random_configs as _configs
 
 
 def test_zero_variance_equals_deterministic_label(rng):
