@@ -1,0 +1,62 @@
+"""CLI surface: flag schemas mirror the reference binaries' options."""
+
+import numpy as np
+import pytest
+
+import collide2d_tpu.cli as cli
+
+
+def _parse(argv):
+    """Parse argv and return the config the subcommand WOULD run with
+    (monkeypatched executor captures it)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="collide2d")
+    sub = parser.add_subparsers(dest="command", required=True)
+    cli._add_generate(sub)
+    cli._add_relabel(sub)
+    cli._add_ztest(sub)
+    return parser.parse_args(argv)
+
+
+def test_generate_defaults_match_reference():
+    # generate_dataset.cu:44-64 defaults, exactly.
+    a = _parse(["generate"])
+    assert a.data_dir == "./data/"
+    assert a.num_batches == 100 and a.batch_size == 100_000
+    assert a.num_poses == 64**4 and a.num_variances == 64**4
+    assert a.max_samples == 4_000_000
+    assert a.min_variance == [0.0] * 5 and a.max_variance == [0.3] * 5
+    assert a.min_pose == [0.1, 0.1, 0.0]
+    np.testing.assert_allclose(a.max_pose, [5.0, 5.0, 2 * np.pi])
+    assert a.accuracy_bins == [0.0, 0.01, 0.1, 1.0]
+    assert a.bin_accuracy == [0.0001, 0.001, 0.01]
+    assert a.robot_width == 4.07 and a.robot_height == 1.74
+    assert a.spread == 4.0 and a.shape_variance is False
+
+
+def test_generate_short_flags():
+    a = _parse(["generate", "-n", "3", "-b", "64", "-s", "7", "-w", "2.5"])
+    assert (a.num_batches, a.batch_size, a.start_batch_count) == (3, 64, 7)
+    assert a.robot_width == 2.5
+
+
+def test_relabel_and_ztest_defaults():
+    r = _parse(["relabel"])
+    assert r.data_in == "./data_in/" and r.data_out == "./data_out/"
+    assert r.shuffle is True  # compute_collision_probability.cu:41
+    z = _parse(["ztest"])
+    assert z.data_dir == "./data/" and z.max_samples == 4_000_000
+    assert z.cps_only is False and z.n_batch == 10_000  # ztest.cu:332
+
+
+def test_bool_flag_parsing():
+    assert cli._bool_flag("true") and cli._bool_flag("1")
+    assert not cli._bool_flag("false") and not cli._bool_flag("off")
+    with pytest.raises(Exception):
+        cli._bool_flag("maybe")
+
+
+def test_bad_subcommand_exits():
+    with pytest.raises(SystemExit):
+        cli.main(["frobnicate"])
