@@ -269,6 +269,7 @@ class AdaptiveConfig:
     use_vertices: bool = False
     impl: str = "auto"  # 'jnp' | 'pallas' | 'auto' (see mc_round)
     schedule: Sequence[int] | str | None = None  # cumulative checkpoints | "tuned"
+    repack_fraction: float = 0.25  # emit+repack when this fraction is done
 
     def checkpoints(self) -> tuple[int, ...] | None:
         if self.schedule is None:
@@ -540,7 +541,11 @@ def adaptive_collision_probabilities(
         if num_done == 0 and not at_cap:
             _sync_bookkeeping(num_real)
             continue
-        if not at_cap and num_done < num_real // 2 and num_real - num_done > cfg.min_active:
+        if (
+            not at_cap
+            and num_done < num_real * cfg.repack_fraction
+            and num_real - num_done > cfg.min_active
+        ):
             # Not worth repacking yet: converged rows keep sampling (their
             # labels are frozen; the extra work is bounded by 2x until the
             # half-way threshold trips).
