@@ -16,6 +16,13 @@ across chips over ICI:
 
 Both compose on a 2-D ``(config, sample)`` mesh: `sharded_mc_round` is
 the full sharded round step the multichip dry-run compiles.
+
+Multi-host pods: call ``jax.distributed.initialize()`` before anything
+else and `make_mesh` picks up the global device list — the config axis
+then spans hosts over DCN while the sample-axis psum should be kept
+within a host's ICI domain (choose ``sample_axis`` <= local device
+count). Untested here (single-host image); single-host multi-chip paths
+are covered by the 8-device CPU-mesh tests.
 """
 
 from __future__ import annotations
