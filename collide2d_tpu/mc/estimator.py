@@ -271,6 +271,19 @@ class AdaptiveConfig:
     schedule: Sequence[int] | str | None = None  # cumulative checkpoints | "tuned"
     repack_fraction: float = 0.25  # emit+repack when this fraction is done
 
+    def __post_init__(self):
+        # A length mismatch would otherwise be silent: jnp's clamping
+        # gather in stats.is_converged reuses the last accuracy target for
+        # out-of-range bins, yielding wrong convergence thresholds.
+        if len(self.bin_accuracy) != len(self.accuracy_bins) - 1:
+            raise ValueError(
+                f"bin_accuracy must have len(accuracy_bins) - 1 = "
+                f"{len(self.accuracy_bins) - 1} entries, got "
+                f"{len(self.bin_accuracy)} (accuracy_bins="
+                f"{tuple(self.accuracy_bins)}, bin_accuracy="
+                f"{tuple(self.bin_accuracy)})"
+            )
+
     def checkpoints(self) -> tuple[int, ...] | None:
         if self.schedule is None:
             return None

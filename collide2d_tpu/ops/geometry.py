@@ -13,13 +13,17 @@ jit/vmap-safe (static shapes, no Python control flow on traced values).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from jax import Array
 
 # (4, 2) unit square corner signs, CCW from bottom-left — the vertex-layout
-# contract of the reference's create_rect (utils.cu:119-130).
-_CORNER_SIGNS = jnp.array(
-    [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]], dtype=jnp.float32
+# contract of the reference's create_rect (utils.cu:119-130). Kept as a
+# NumPy constant so importing this module never initializes a jax backend
+# (a module-level jnp.array would, making jax_num_cpu_devices a no-op for
+# anything imported after the package — see __graft_entry__.dryrun_multichip).
+_CORNER_SIGNS = np.array(
+    [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]], dtype=np.float32
 )
 
 

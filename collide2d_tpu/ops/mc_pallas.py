@@ -7,8 +7,11 @@ per-configuration parameter rows (64 bytes/config, read once per round)
 and the final counts (4 bytes/config):
 
   - randomness: the on-core hardware PRNG (`pltpu.prng_random_bits`),
-    seeded per (round, grid block); normals via Box-Muller, mirroring
-    curand_normal's method;
+    seeded per (round, grid block) with BOTH 32-bit halves of the folded
+    threefry key (64-bit round entropy — a single int32 would birthday-
+    collide across rounds x blocks) and the block id hash-mixed into the
+    second word; normals via Box-Muller, mirroring curand_normal's
+    method;
   - the sampled obstacle is used in closed OBB form (`ops.sat.obb_collide`
     math): center (dx,dy), half-extents |wh/2 + z*sigma_wh/2|, angle
     dtheta — no vertex materialization;
@@ -16,7 +19,8 @@ and the final counts (4 bytes/config):
     SUB samples x 128 configurations per VPU op.
 
 Layout: configurations are LANES. `pack_mc_params` builds the (16, C)
-parameter matrix; counts come back as float32 (C,).
+parameter matrix; counts come back as int32 (C,) (int32 accumulator —
+float32 would lose integer precision past 2^24 samples per round).
 
 Statistical contract: same noise model as `mc.estimator` (threefry path)
 — labels agree statistically, not bitwise (different PRNG). Unlike the
@@ -98,7 +102,12 @@ def _box_muller(shape):
 
 
 def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    # Two seed words (Mosaic's limit): both halves of the round's folded
+    # threefry key give 64-bit round entropy; the grid block id, dispersed
+    # by the golden-ratio odd constant (Weyl/Fibonacci hashing), is mixed
+    # into the second word for per-block streams. int32 mul wraps.
+    block_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
+    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] ^ block_mix)
     n_steps = n_steps_ref[0, 0]
 
     p = params_ref[...]  # (16, LANE_CONFIGS)
@@ -160,21 +169,25 @@ def _pick_sub(n_batch: int) -> int:
 def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
     """Collision counts out of ``n_steps * sub`` noise samples per config.
 
-    ``seed``: int32 scalar (vary per round!); ``n_steps``: TRACED int32
-    scalar — one compilation per (C, sub) serves the whole adaptive
-    schedule (remote compiles cost minutes). ``params``: (16, C) from
-    `pack_mc_params`, C a multiple of 128. Returns int32 (C,) counts.
+    ``seed``: int32 (2,) vector — two independent seed words, vary per
+    round! ``n_steps``: TRACED int32 scalar — one compilation per (C, sub)
+    serves the whole adaptive schedule (remote compiles cost minutes).
+    ``params``: (16, C) from `pack_mc_params`, C a multiple of 128.
+    Returns int32 (C,) counts.
     """
     c = params.shape[1]
     assert params.shape[0] == PARAM_ROWS, params.shape
     assert c % LANE_CONFIGS == 0, c
     kernel = functools.partial(_mc_kernel, sub=sub)
+    seed = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed.shape[0] == 1:  # tolerate legacy scalar seeds
+        seed = jnp.concatenate([seed, jnp.zeros((1,), jnp.int32)])
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, c), jnp.int32),
         grid=(c // LANE_CONFIGS,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (PARAM_ROWS, LANE_CONFIGS), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -184,7 +197,7 @@ def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
             (1, LANE_CONFIGS), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
     )(
-        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        seed.reshape(1, 2),
         jnp.asarray(n_steps, jnp.int32).reshape(1, 1),
         params,
     )
@@ -211,8 +224,11 @@ def mc_round_pallas(
         params = jnp.concatenate(
             [params, jnp.broadcast_to(params[:, :1], (PARAM_ROWS, pad))], axis=1
         )
-    seed = jax.random.randint(
-        jax.random.fold_in(key, round_tag), (), -(2**31), 2**31 - 1, jnp.int32
+    # Both 32-bit halves of the folded key = 64 bits of round entropy
+    # (a single int32 seed would birthday-collide across rounds x blocks).
+    folded = jax.random.fold_in(key, round_tag)
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.key_data(folded).reshape(-1)[:2], jnp.int32
     )
     sub = _pick_sub(n_batch)
     counts = mc_counts_pallas(seed, params, n_batch // sub, sub=sub)

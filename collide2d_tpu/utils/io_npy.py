@@ -46,10 +46,19 @@ def get_num_batches_in_dir(directory: str | Path) -> int:
 
 
 def save_npy(path: str | Path, array: np.ndarray) -> None:
-    """Save a float32 array; parents are created on demand."""
+    """Save an array atomically; parents are created on demand.
+
+    Write-to-temp + rename so an interrupted run never leaves a truncated
+    artifact that `get_num_batches_in_dir` / --resume would count as
+    complete (same publish pattern as the native async writer and the
+    estimator's checkpoint.npz).
+    """
     path = Path(path)
     mkdirs(path.parent)
-    np.save(path, np.ascontiguousarray(array))
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, np.ascontiguousarray(array))
+    os.replace(tmp, path)
 
 
 def load_npy(path: str | Path) -> np.ndarray:

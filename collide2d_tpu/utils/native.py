@@ -158,7 +158,14 @@ class AsyncNpyWriter:
     def submit(self, path: str | os.PathLike, rows: np.ndarray) -> None:
         rows = np.ascontiguousarray(rows, np.float32)
         if self._h is None:
-            np.save(Path(path), rows)
+            # Atomic publish (mirrors the native writer): a run killed
+            # mid-write must never leave a truncated batch file that
+            # --resume would count as complete.
+            path = Path(path)
+            tmp = path.with_name(path.name + ".tmp")
+            with open(tmp, "wb") as f:
+                np.save(f, rows)
+            os.replace(tmp, path)
             return
         shape = np.asarray(rows.shape, np.int64)
         self._lib.c2_writer_submit(

@@ -133,7 +133,12 @@ class AsyncNpyWriter {
     header.append(padded - unpadded, ' ');
     header += '\n';
 
-    FILE* f = std::fopen(job.path.c_str(), "wb");
+    // Atomic publish: write to a temp name, rename into place only on a
+    // fully successful write. A run killed mid-write must never leave a
+    // truncated {i}.npy that --resume / get_num_batches_in_dir would
+    // count as a complete batch.
+    std::string tmp = job.path + ".tmp";
+    FILE* f = std::fopen(tmp.c_str(), "wb");
     if (!f) return false;
     const unsigned char magic[8] = {0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0};
     uint16_t hlen = static_cast<uint16_t>(header.size());
@@ -143,6 +148,8 @@ class AsyncNpyWriter {
               std::fwrite(job.data.data(), sizeof(float), job.data.size(), f) ==
                   job.data.size();
     ok = (std::fclose(f) == 0) && ok;
+    if (ok) ok = (std::rename(tmp.c_str(), job.path.c_str()) == 0);
+    if (!ok) std::remove(tmp.c_str());
     return ok;
   }
 
