@@ -1,8 +1,20 @@
-"""Benchmark entry point for the driver: ONE JSON line on stdout.
+"""Benchmark entry point for the driver: headline JSON is the FINAL line.
 
 Primary metric: batched rectangle-pair SAT throughput on the local chip
-(BASELINE.json north star: >= 1e9 pairs/sec/chip => vs_baseline >= 1.0).
-Secondary metrics go to stderr for humans.
+(BASELINE.json north star: >= 1e9 pairs/sec/chip => vs_baseline >= 1.0),
+measured on the Pallas kernel (the production narrow-phase path).
+
+Output contract (the driver parses the LAST JSON line of the combined
+stdout+stderr stream): secondary metrics and diagnostics print FIRST (to
+stderr), then the single headline JSON prints to stdout as the very last
+line of the process.
+
+The headline carries ``effective_gbps`` — the HBM bandwidth the claimed
+throughput implies at the kernel's 128 bytes/pair cost model — and the
+diagnostics include ``hbm_read_gbps``, the bandwidth a pure streaming
+reduction measures on the same device with the same difference-quotient
+methodology. A headline whose implied bandwidth exceeds what the device
+demonstrably streams would be flagged here rather than shipped.
 """
 
 from __future__ import annotations
@@ -12,25 +24,64 @@ import sys
 
 
 def main() -> int:
-    from collide2d_tpu.utils.benchmarks import bench_mc, bench_sat, bench_sat_pallas
-
-    sat = bench_sat_pallas(pairs=1 << 23, iters=20)
-    print(
-        json.dumps(
-            {
-                "metric": "sat_rect_pairs_per_sec",
-                "value": sat["value"],
-                "unit": sat["unit"],
-                "vs_baseline": sat["vs_baseline"],
-            }
-        )
+    from collide2d_tpu.utils.benchmarks import (
+        bench_mc,
+        bench_reduce_bandwidth,
+        bench_sat,
+        bench_sat_pallas,
+        bench_stream_bandwidth_pallas,
     )
-    # Secondary metrics (humans, stderr): XLA SAT path + fused MC sampler.
+
+    def log(obj) -> None:
+        print(json.dumps(obj), file=sys.stderr, flush=True)
+
+    # Diagnostics + secondary metrics first (stderr). Failures here must
+    # never break the headline. The bandwidth anchor is the LARGER of the
+    # XLA streaming reduce (not bandwidth-optimal, ~50% of chip) and the
+    # Pallas trivial-math kernel with the SAT kernel's exact memory
+    # pattern (the honest ceiling).
+    hbm_gbps = None
+    for probe in (bench_stream_bandwidth_pallas, bench_reduce_bandwidth):
+        try:
+            res = probe()
+            hbm_gbps = max(hbm_gbps or 0.0, res["value"])
+            log(res)
+        except Exception as e:
+            print(f"{probe.__name__} failed: {e}", file=sys.stderr, flush=True)
     for fn in (bench_sat, bench_mc):
         try:
-            print(json.dumps(fn()), file=sys.stderr)
-        except Exception as e:  # secondary metrics must never break the bench
-            print(f"{fn.__name__} failed: {e}", file=sys.stderr)
+            log(fn())
+        except Exception as e:
+            print(f"{fn.__name__} failed: {e}", file=sys.stderr, flush=True)
+
+    # Headline: Pallas SAT throughput, sanity-checked against the measured
+    # streaming bandwidth (the kernel reads 128 bytes/pair, so value *
+    # 128e-9 GB/s must not exceed what the chip demonstrably streams).
+    # iters=100: shorter loops under-report through the remote tunnel
+    # (clock ramp + RTT jitter swamp ~10 ms of device work).
+    sat = bench_sat_pallas(pairs=1 << 23, iters=100)
+    headline = {
+        "metric": "sat_rect_pairs_per_sec",
+        "value": sat["value"],
+        "unit": "pairs/s",
+        "vs_baseline": sat["vs_baseline"],
+        "effective_gbps": sat["effective_gbps"],
+    }
+    if hbm_gbps is not None:
+        headline["hbm_read_gbps"] = hbm_gbps
+        if sat["effective_gbps"] > 1.15 * hbm_gbps:
+            print(
+                f"WARNING: implied bandwidth {sat['effective_gbps']:.0f} GB/s "
+                f"exceeds measured streaming bandwidth {hbm_gbps:.0f} GB/s — "
+                "timing methodology suspect",
+                file=sys.stderr,
+                flush=True,
+            )
+            headline["bandwidth_check"] = "FAILED"
+        else:
+            headline["bandwidth_check"] = "ok"
+    sys.stderr.flush()
+    print(json.dumps(headline), flush=True)
     return 0
 
 

@@ -35,7 +35,12 @@ from collide2d_tpu.ops.sat import (
     sat_polygons,
     obb_collide,
 )
-from collide2d_tpu.ops.broad_phase import aabb_overlap, candidate_mask
+from collide2d_tpu.ops.broad_phase import (
+    aabb_overlap,
+    candidate_mask,
+    collide_candidates,
+    collide_polygons_pruned,
+)
 from collide2d_tpu.mc.stats import calc_slack, get_bin
 from collide2d_tpu.mc.estimator import (
     collision_probability,
@@ -58,6 +63,8 @@ __all__ = [
     "obb_collide",
     "aabb_overlap",
     "candidate_mask",
+    "collide_candidates",
+    "collide_polygons_pruned",
     "calc_slack",
     "get_bin",
     "collision_probability",

@@ -76,11 +76,16 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "checkpoint.npz (requires a fixed --seed)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
-    p.add_argument("--schedule", default=None, choices=[None, "reference", "tuned"],
+    p.add_argument("--schedule", default="reference", choices=["reference", "tuned"],
                    help="convergence-checkpoint schedule: 'reference' (default; "
                         "1k rounds to 20k then 100k rounds) or 'tuned' "
                         "(geometric checkpoints, ~40%% fewer samples, same CI "
                         "guarantees)")
+    p.add_argument("--verbose", type=_bool_flag, default=True,
+                   help="per-sync structured progress lines ([mc] round/"
+                        "active/done/samples-per-sec) + batch progress")
+    p.add_argument("--trace_dir", default="",
+                   help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_generate)
 
 
@@ -112,6 +117,8 @@ def _run_generate(args: argparse.Namespace) -> int:
         resume=args.resume,
         data_parallel=args.data_parallel,
         schedule=None if args.schedule in (None, "reference") else args.schedule,
+        verbose=args.verbose,
+        trace_dir=args.trace_dir,
     )
     generate_dataset(cfg)
     return 0
@@ -133,6 +140,11 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
+    p.add_argument("--verbose", type=_bool_flag, default=True,
+                   help="per-sync structured progress lines ([mc] round/"
+                        "active/done/samples-per-sec) + batch progress")
+    p.add_argument("--trace_dir", default="",
+                   help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_relabel)
 
 
@@ -147,6 +159,8 @@ def _run_relabel(args: argparse.Namespace) -> int:
             shuffle=args.shuffle,
             seed=args.seed,
             data_parallel=args.data_parallel,
+            verbose=args.verbose,
+            trace_dir=args.trace_dir,
         )
     )
     return 0
@@ -172,6 +186,15 @@ def _add_ztest(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--n_batch", type=int, default=d.n_batch,
                    help="samples per round (fixed schedule)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sample_parallel", type=int, default=d.sample_parallel,
+                   help="shard each configuration's sample budget across "
+                        "this many devices (psum'd counts are bitwise equal "
+                        "to single-device labels); must divide n_batch")
+    p.add_argument("--verbose", type=_bool_flag, default=True,
+                   help="per-sync structured progress lines ([mc] round/"
+                        "active/done/samples-per-sec) + batch progress")
+    p.add_argument("--trace_dir", default="",
+                   help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_ztest)
 
 
@@ -189,6 +212,9 @@ def _run_ztest(args: argparse.Namespace) -> int:
             meta_dir=args.meta_dir,
             n_batch=args.n_batch,
             seed=args.seed,
+            sample_parallel=args.sample_parallel,
+            verbose=args.verbose,
+            trace_dir=args.trace_dir,
         )
     )
     return 0

@@ -47,6 +47,7 @@ from collide2d_tpu.mc.estimator import (
 )
 from collide2d_tpu.mc.noise import sample_configurations
 from collide2d_tpu.utils import native
+from collide2d_tpu.utils.profiling import StepTimer, trace
 from collide2d_tpu.utils.io_npy import (
     batch_path,
     get_num_batches_in_dir,
@@ -95,6 +96,7 @@ class GenerateConfig:
     data_parallel: bool = False  # shard the config axis across all chips
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
     schedule: object = None  # None = reference schedule | "tuned" | explicit tuple
+    trace_dir: str = ""  # capture a jax.profiler trace of the run here
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -120,6 +122,7 @@ class RelabelConfig:
     verbose: bool = True
     adaptive: AdaptiveConfig | None = None
     data_parallel: bool = False
+    trace_dir: str = ""  # capture a jax.profiler trace of the run here
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -146,6 +149,14 @@ class ZTestConfig:
     verbose: bool = True
     n_batch: int = 10_000  # fixed per-round budget (ztest.cu:332)
     adaptive: AdaptiveConfig | None = None
+    # Shard the per-config sample budget (up to max_samples=4e6/pair,
+    # ztest.cu:332 + generate_dataset.cu:53) across this many devices:
+    # sample STEPS round-robin over a (1, sample_parallel) mesh and the
+    # per-round psum'd counts are BITWISE equal to single-device labels
+    # (estimator._sample_sharded_counts). Must divide n_batch. 0 = off.
+    sample_parallel: int = 0
+    mesh: object = None  # explicit Mesh override (tests / custom topologies)
+    trace_dir: str = ""  # capture a jax.profiler trace of the run here
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -155,6 +166,31 @@ class ZTestConfig:
 def _log(cfg, *msg):
     if cfg.verbose:
         print(*msg, flush=True)
+
+
+def _progress_logger(cfg, total: int):
+    """A StepTimer-backed progress callback for the adaptive driver.
+
+    Emits one structured line per host sync — round, active set, done
+    count, cumulative sampling throughput — the structured upgrade of the
+    reference's printf progress (generate_dataset.cu:501-504). Returns
+    None when not verbose (zero overhead)."""
+    if not cfg.verbose:
+        return None
+    timer = StepTimer(log_every=1)
+    last = {"n_samples": 0, "active": total}
+
+    def cb(*, num_left: int, n_samples: int, round: int) -> None:
+        timer.rounds = round - 1  # StepTimer increments to the true count
+        timer.round_done(
+            n_batch=n_samples - last["n_samples"],
+            active=last["active"],
+            done_total=total - num_left,
+        )
+        last["n_samples"] = n_samples
+        last["active"] = num_left
+
+    return cb
 
 
 def _mesh_for(cfg) -> "object | None":
@@ -229,6 +265,7 @@ def _label_batch(
     checkpoint_path=None,
     checkpoint_every: int = 0,
     mesh=None,
+    progress=None,
 ) -> np.ndarray:
     """Label one batch of configurations; the shared core of all modes.
 
@@ -248,7 +285,7 @@ def _label_batch(
     cp, _, _ = adaptive_collision_probabilities(
         key, configs, robot_wh, adaptive,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        mesh=mesh,
+        mesh=mesh, progress=progress,
     )
     return schemas.pack_dataset_rows(positions, cp, var_idx, pose_idx)
 
@@ -309,7 +346,7 @@ def generate_dataset(cfg: GenerateConfig) -> None:
     _log(cfg, f"Total number of configurations: {cfg.batch_size * cfg.num_batches}")
     _log(cfg, "Begin computation...")
     begin = time.monotonic()
-    with native.AsyncNpyWriter() as writer:
+    with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
         for batch_index in range(cfg.num_batches):
             target = batch_path(data_dir, cfg.start_batch_count + batch_index)
             if cfg.resume and target.exists():
@@ -329,6 +366,7 @@ def generate_dataset(cfg: GenerateConfig) -> None:
                 ),
                 checkpoint_every=cfg.checkpoint_every,
                 mesh=_mesh_for(cfg),
+                progress=_progress_logger(cfg, cfg.batch_size),
             )
             rows = _shuffle_rows(rows, cfg.shuffle)
             writer.submit(target, rows)
@@ -372,7 +410,7 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
 
     _log(cfg, "Begin computation...")
     begin = time.monotonic()
-    with native.AsyncNpyWriter() as writer:
+    with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
         for batch_index in range(num_batches):
             rows_in = load_npy(batch_path(data_in, batch_index))
             positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
@@ -380,6 +418,7 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
                 jax.random.fold_in(key, batch_index),
                 positions, pose_idx, var_idx, poses, std_devs,
                 cfg.robot_wh, adaptive, mesh=_mesh_for(cfg),
+                progress=_progress_logger(cfg, len(positions)),
             )
             rows = _shuffle_rows(rows, cfg.shuffle)
             writer.submit(batch_path(data_out, start_batch_count + batch_index), rows)
@@ -439,10 +478,33 @@ def ztest(cfg: ZTestConfig) -> np.ndarray:
         max_samples=cfg.max_samples,
         fixed_batch=cfg.n_batch,  # ztest.cu:332 — fixed 10k per round
     )
-    rows = _label_batch(
-        _master_key(cfg.seed), positions, pose_idx, var_idx,
-        poses, std_devs, cfg.robot_wh, adaptive,
-    )
+    mesh = cfg.mesh
+    if mesh is None and cfg.sample_parallel and cfg.sample_parallel > 1:
+        if cfg.n_batch % cfg.sample_parallel:
+            raise ValueError(
+                f"sample_parallel={cfg.sample_parallel} must divide "
+                f"n_batch={cfg.n_batch}"
+            )
+        devices = jax.devices()
+        if len(devices) < cfg.sample_parallel:
+            raise ValueError(
+                f"sample_parallel={cfg.sample_parallel} needs that many "
+                f"devices, have {len(devices)}"
+            )
+        from collide2d_tpu.parallel import make_mesh
+
+        # Pure sample sharding: a (config=1, sample=s) mesh — the deep
+        # per-pair budget is the scaling axis here, and config=1 keeps
+        # arbitrary row counts shardable.
+        mesh = make_mesh(
+            devices[: cfg.sample_parallel], sample_axis=cfg.sample_parallel
+        )
+    with trace(cfg.trace_dir or None):
+        rows = _label_batch(
+            _master_key(cfg.seed), positions, pose_idx, var_idx,
+            poses, std_devs, cfg.robot_wh, adaptive, mesh=mesh,
+            progress=_progress_logger(cfg, len(positions)),
+        )
     if cfg.cps_only:
         out = rows[:, 2].copy()  # bare cp vector (ztest.cu:391-396,418-420)
     else:

@@ -205,6 +205,109 @@ def _mc_round_jnp(
     return jax.lax.fori_loop(0, n_steps, body, counts0)
 
 
+def _mesh_axis(mesh, name: str) -> int:
+    return dict(mesh.shape).get(name, 1)
+
+
+def _sample_sharded_counts(
+    key: Array,
+    uids: Array,
+    configs: Configs,
+    robot_wh: Array,
+    chunk_offset: Array,
+    n_steps: Array,
+    *,
+    step_samples: int,
+    use_vertices: bool,
+    mesh,
+) -> Array:
+    """Round counts with STEPS round-robined over the ``sample`` mesh axis.
+
+    Device ``s`` of the sample axis computes exactly the steps
+    ``i = s + j * n_sample`` of the single-chip stream — using the SAME
+    per-config threefry fold_in tags ``chunk_offset + i`` that
+    `_mc_round_jnp` uses — so the psum of partial counts is BITWISE equal
+    to the unsharded sum (int32 addition is exact and order-free). The
+    sample axis is therefore a value-level no-op, like the config axis.
+
+    Requires ``n_steps % n_sample == 0`` (callers pick ``step_samples``
+    so that ``step_samples * n_sample`` divides ``n_batch``); a remainder
+    would silently drop trailing steps.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_sample = _mesh_axis(mesh, "sample")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("config"), P("config"), P(), P(), P()),
+        out_specs=P("config"),
+    )
+    def body(key, uids, cfgs, robot_wh, chunk_offset, n_steps):
+        sidx = jax.lax.axis_index("sample")
+        base_keys = _per_config_keys(key, uids)
+        local_steps = n_steps // n_sample
+
+        def step(j, counts):
+            tag = chunk_offset + sidx + j * n_sample
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(base_keys, tag)
+            return counts + _counts_chunk(
+                step_keys, cfgs, robot_wh, step_samples, use_vertices
+            )
+
+        counts0 = jax.lax.pcast(
+            jnp.zeros((cfgs.num,), jnp.int32), ("config", "sample"), to="varying"
+        )
+        local = jax.lax.fori_loop(0, local_steps, step, counts0)
+        return jax.lax.psum(local, "sample")
+
+    return body(key, uids, configs, robot_wh, chunk_offset, n_steps)
+
+
+def _pallas_sharded_counts(
+    key: Array,
+    configs: Configs,
+    robot_wh: Array,
+    chunk_offset: Array,
+    *,
+    n_batch: int,
+    mesh,
+    interpret: bool = False,
+) -> Array:
+    """The fused Pallas MC kernel under a config-sharded mesh.
+
+    `shard_map` runs one kernel instance per device on its local config
+    shard; each shard folds its axis index into the round key so block
+    streams never repeat across shards. Requires the mesh's ``sample``
+    axis to be 1 (the kernel owns the whole per-config sample budget).
+    ``interpret`` runs the kernel in interpreter mode (CPU-mesh smoke
+    tests of the shard_map wiring; pair with the PRNG stub hook).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("config"), P(), P()),
+        out_specs=P("config"),
+        # pallas_call emits ShapeDtypeStructs without varying-mesh-axes
+        # annotations; skip the vma type check for this wrapper (the
+        # output is config-varying by construction: per-shard key + data).
+        check_vma=False,
+    )
+    def body(key, cfgs, robot_wh, chunk_offset):
+        cidx = jax.lax.axis_index("config")
+        k = jax.random.fold_in(key, cidx)
+        return mc_round_pallas(
+            k, cfgs, robot_wh, chunk_offset, n_batch=n_batch, interpret=interpret
+        )
+
+    return body(key, configs, robot_wh, chunk_offset)
+
+
 def collision_probability(
     key: Array,
     configs: Configs,
@@ -337,7 +440,7 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=(
         "n_batch", "step_samples", "use_vertices", "impl",
-        "accuracy_bins", "bin_accuracy",
+        "accuracy_bins", "bin_accuracy", "mesh",
     ),
 )
 def _fused_round(
@@ -353,6 +456,7 @@ def _fused_round(
     impl: str,
     accuracy_bins: tuple,
     bin_accuracy: tuple,
+    mesh=None,
 ) -> tuple[_LoopState, Array]:
     """One round + on-device convergence + label freezing, in ONE program.
 
@@ -364,12 +468,26 @@ def _fused_round(
     the reference's once-per-round host sync into an amortized one.
     """
     if impl == "pallas":
-        from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+        if mesh is not None:
+            counts = _pallas_sharded_counts(
+                key, state.active, robot_wh, chunk_offset,
+                n_batch=n_batch, mesh=mesh,
+            )
+        else:
+            from collide2d_tpu.ops.mc_pallas import mc_round_pallas
 
-        counts = mc_round_pallas(
-            key, state.active, robot_wh, chunk_offset, n_batch=n_batch
+            counts = mc_round_pallas(
+                key, state.active, robot_wh, chunk_offset, n_batch=n_batch
+            )
+    elif mesh is not None and _mesh_axis(mesh, "sample") > 1:
+        counts = _sample_sharded_counts(
+            key, state.uids, state.active, robot_wh, chunk_offset,
+            jnp.int32(n_batch // step_samples),
+            step_samples=step_samples, use_vertices=use_vertices, mesh=mesh,
         )
     else:
+        # Config-only DP needs no shard_map: uid-keyed streams shard
+        # transparently under GSPMD (bitwise-equal, test_sharding.py).
         counts = _mc_round_jnp(
             key, state.uids, state.active, robot_wh, chunk_offset,
             jnp.int32(n_batch // step_samples),
@@ -434,12 +552,16 @@ def adaptive_collision_probabilities(
     runs lose up to one whole batch. The file is validated against the
     PRNG key; a mismatched checkpoint is ignored.
 
-    Multi-chip: pass a `jax.sharding.Mesh` with a ``config`` axis (see
-    parallel.make_mesh) to shard every state array over it — pure data
-    parallelism over ICI (the only collective is the done-count psum XLA
-    inserts), BITWISE-equal to single-chip because the threefry streams
-    are uid-keyed. Forces impl='jnp' (the fused Pallas kernel is
-    single-chip; its streams are block-position-tied).
+    Multi-chip: pass a `jax.sharding.Mesh` (see parallel.make_mesh) to
+    shard every state array over its ``config`` axis. On the threefry
+    path BOTH axes are value-level no-ops: config-DP is bitwise-equal
+    because streams are uid-keyed, and a ``sample`` axis > 1 round-robins
+    the sample STEPS across devices with the single-chip fold_in tags, so
+    the psum'd counts equal the unsharded sum bit for bit
+    (`_sample_sharded_counts`). impl='pallas' runs under a config-only
+    mesh via shard_map with per-shard seeds; combined with a sample axis
+    it falls back to the jnp path with a warning (the fused kernel owns
+    the whole per-config budget).
     """
     C = configs.num
     out_cp = np.zeros((C,), np.float32)
@@ -450,17 +572,34 @@ def adaptive_collision_probabilities(
     acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
     bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
     if mesh is not None:
-        impl = "jnp"  # uid-keyed streams shard transparently
         from jax.sharding import NamedSharding, PartitionSpec
 
+        impl = resolve_impl(cfg.impl, configs.position)
+        n_sample = _mesh_axis(mesh, "sample")
+        if impl == "pallas" and n_sample > 1:
+            import warnings
+
+            warnings.warn(
+                "impl='pallas' does not compose with a sample-sharded mesh "
+                "(the fused kernel owns the whole per-config sample budget); "
+                "falling back to the threefry jnp path",
+                stacklevel=2,
+            )
+            impl = "jnp"
         row_sharding = NamedSharding(mesh, PartitionSpec("config"))
-        n_shards = mesh.shape["config"]
+        n_shards = _mesh_axis(mesh, "config")
+        # Config-only jnp DP shards transparently under GSPMD; shard_map
+        # (and thus the mesh) is needed only for the sample axis or the
+        # Pallas kernel.
+        round_mesh = mesh if (impl == "pallas" or n_sample > 1) else None
 
         def _shard(s: _LoopState) -> _LoopState:
             return jax.tree.map(lambda a: jax.device_put(a, row_sharding), s)
     else:
         impl = resolve_impl(cfg.impl, configs.position)
+        n_sample = 1
         n_shards = 1
+        round_mesh = None
         _shard = lambda s: s
 
     # Device state: uids identify original rows through repacking (-1 =
@@ -520,7 +659,24 @@ def adaptive_collision_probabilities(
 
         num_done_dev = None
         for nb in group:
-            step = cfg.step_samples or _largest_divisor_leq(nb, 512)
+            if n_sample > 1:
+                # Steps round-robin over the sample axis; step_samples *
+                # n_sample must divide n_batch so no step is dropped.
+                if nb % n_sample:
+                    raise ValueError(
+                        f"n_batch={nb} must be a multiple of the sample-axis "
+                        f"device count {n_sample}"
+                    )
+                step = cfg.step_samples or _largest_divisor_leq(
+                    nb // n_sample, 512
+                )
+                if nb % (step * n_sample):
+                    raise ValueError(
+                        f"step_samples={step} * sample axis {n_sample} must "
+                        f"divide n_batch={nb}"
+                    )
+            else:
+                step = cfg.step_samples or _largest_divisor_leq(nb, 512)
             n_samples += nb
             state, num_done_dev = _fused_round(
                 key, state, robot_wh,
@@ -528,14 +684,21 @@ def adaptive_collision_probabilities(
                 n_batch=nb, step_samples=step,
                 use_vertices=cfg.use_vertices, impl=impl,
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
+                mesh=round_mesh,
             )
             chunk_offset += nb // step
             rnd += 1
         num_done = int(jax.device_get(num_done_dev))  # the ONE sync point
+        if progress is not None:
+            # Fires once per host sync, on EVERY exit path (including the
+            # cap flush and the all-done final round).
+            progress(
+                num_left=max(num_real - num_done, 0),
+                n_samples=n_samples,
+                round=rnd,
+            )
 
         def _sync_bookkeeping(active_left):
-            if progress is not None:
-                progress(num_left=active_left, n_samples=n_samples, round=rnd)
             if checkpoint_path is not None and checkpoint_every:
                 _save_checkpoint(
                     checkpoint_path, key_data, C,

@@ -20,7 +20,7 @@ from collide2d_tpu.mc.estimator import (
     adaptive_collision_probabilities,
     collision_probability,
 )
-from collide2d_tpu.ops.broad_phase import candidate_mask
+from collide2d_tpu.ops.broad_phase import candidate_mask, collide_polygons_pruned
 from collide2d_tpu.ops.sat import sat_rects, sat_polygons
 from collide2d_tpu.ops.geometry import rects_from_params
 
@@ -51,13 +51,20 @@ class CollisionProbabilityModel:
     def collide_polygons(self, p1, p2, mask1=None, mask2=None, *, broad_phase=False):
         """Convex k-gon pairs (BASELINE.json config #4). int32 (C,).
 
-        ``broad_phase=True`` additionally ANDs in the AABB candidate mask
-        — an independent necessary-condition cross-check, NOT a speedup:
-        under XLA's fixed shapes the narrow phase runs on every pair
-        either way. For actual pruning, call `candidate_mask` yourself
-        and compact the candidate subset before the narrow phase (that is
-        where batch-level pruning pays; see ops.broad_phase).
+        ``broad_phase``:
+          - False (default): plain narrow-phase SAT on every pair.
+          - "prune": the compaction path — AABB broad phase gathers
+            candidates into a power-of-two bucket, narrow phase runs on
+            the bucket only, labels scatter back (ops.broad_phase.
+            collide_polygons_pruned; bit-identical output, wall-clock win
+            at sparse candidate density, one host sync). Not jittable as
+            a whole — call from host orchestration code.
+          - True: ANDs in the candidate mask — an independent
+            necessary-condition cross-check, not a speedup (the narrow
+            phase still runs on every pair under fixed shapes).
         """
+        if broad_phase == "prune":
+            return collide_polygons_pruned(p1, p2, mask1, mask2)
         narrow = sat_polygons(p1, p2, mask1, mask2)
         if not broad_phase:
             return narrow

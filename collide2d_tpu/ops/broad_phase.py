@@ -1,19 +1,32 @@
-"""Batched AABB broad phase — masked candidate pruning before SAT.
+"""Batched AABB broad phase — candidate pruning before narrow-phase SAT.
 
-The reference has no broad phase (SAT runs on every pair); BASELINE.json
-requires one for the k-gon configs. On TPU there is no compaction: the
-broad phase emits a fixed-shape boolean candidate MASK, and callers either
-skip narrow phase when the mask is statically empty-ish or feed the mask
-into masked narrow-phase evaluation. AABB overlap is a necessary
-condition for convex overlap, so pruning is exact (no false negatives).
+The reference has no broad phase (SAT runs on every pair,
+generate_dataset.cu:238-242); BASELINE.json requires one for the k-gon
+configs. Two TPU-native forms:
+
+1. `candidate_mask` — a fixed-shape boolean mask (AABB overlap is a
+   necessary condition for convex overlap, so pruning is exact: SAT with
+   edge normals returns 0 for every AABB-disjoint pair anyway).
+2. The COMPACTION path, `collide_polygons_pruned` — gather the candidate
+   pairs into a power-of-two bucket (static shape per bucket size, so a
+   handful of compilations serve any density), run narrow-phase SAT on
+   the bucket only, and scatter labels back. This is where pruning pays
+   wall-clock: at candidate density d the narrow phase touches ~d x the
+   data. One host sync reads the candidate count to pick the bucket;
+   production drivers amortize it by reusing the bucket across rounds
+   (`collide_candidates` is the jittable static-bucket core).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import Array
 
 from collide2d_tpu.ops.geometry import polygon_aabb
+from collide2d_tpu.ops.sat import sat_polygons
 
 
 def aabb_overlap(lo1: Array, hi1: Array, lo2: Array, hi2: Array) -> Array:
@@ -40,3 +53,77 @@ def candidate_mask(
     lo1, hi1 = polygon_aabb(p1, mask1)
     lo2, hi2 = polygon_aabb(p2, mask2)
     return aabb_overlap(lo1, hi1, lo2, hi2)
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def collide_candidates(
+    p1: Array,
+    p2: Array,
+    cand: Array,
+    mask1: Array | None = None,
+    mask2: Array | None = None,
+    *,
+    bucket: int,
+) -> Array:
+    """Narrow phase on a compacted candidate bucket, scattered back.
+
+    Jittable static-shape core of the pruned path: gathers the first
+    ``bucket`` candidate indices (callers guarantee the candidate count
+    fits — see `collide_polygons_pruned`), runs `sat_polygons` on the
+    bucket, and scatters labels into a zero-initialized (N,) output.
+    Gathered pairs see bit-identical elementwise math to the full path,
+    so labels equal the unpruned `sat_polygons` bit-for-bit.
+    """
+    n = cand.shape[0]
+    idx = jnp.flatnonzero(cand, size=bucket, fill_value=0)
+    slot_valid = jnp.arange(bucket) < jnp.sum(cand, dtype=jnp.int32)
+    sub = sat_polygons(
+        jnp.take(p1, idx, axis=0),
+        jnp.take(p2, idx, axis=0),
+        None if mask1 is None else jnp.take(mask1, idx, axis=0),
+        None if mask2 is None else jnp.take(mask2, idx, axis=0),
+    )
+    sub = jnp.where(slot_valid, sub, 0)
+    # Fill slots all point at row 0 with value 0; .max keeps row 0's real
+    # label when it is a genuine candidate.
+    return jnp.zeros((n,), jnp.int32).at[idx].max(sub)
+
+
+def bucket_for(count: int, n: int, min_bucket: int = 1024) -> int:
+    """Smallest power-of-two bucket >= count (>= min_bucket), capped at n.
+
+    Power-of-two buckets keep the number of distinct compiled shapes
+    logarithmic in N — the same halving/doubling discipline as the
+    adaptive estimator's repack buckets (mc/estimator.py).
+    """
+    b = min_bucket
+    while b < count:
+        b *= 2
+    return min(b, n)
+
+
+def collide_polygons_pruned(
+    p1: Array,
+    p2: Array,
+    mask1: Array | None = None,
+    mask2: Array | None = None,
+    *,
+    min_bucket: int = 1024,
+) -> Array:
+    """AABB broad phase -> compacted narrow phase -> scattered labels.
+
+    The batch-level pruning the reference lacks: SAT runs only on pairs
+    whose AABBs overlap. Output is bit-identical to plain
+    ``sat_polygons(p1, p2, mask1, mask2)`` (AABB-disjoint pairs are
+    provably non-colliding, and candidates see identical arithmetic).
+    Costs one host sync for the candidate count; when candidates exceed
+    n/2 the full narrow phase is cheaper than gather+scatter and is used
+    directly.
+    """
+    n = p1.shape[0]
+    cand = candidate_mask(p1, p2, mask1, mask2)
+    n_cand = int(jax.device_get(jnp.sum(cand, dtype=jnp.int32)))
+    bucket = bucket_for(n_cand, n, min_bucket)
+    if 2 * bucket >= n:
+        return sat_polygons(p1, p2, mask1, mask2)
+    return collide_candidates(p1, p2, cand, mask1, mask2, bucket=bucket)

@@ -82,8 +82,17 @@ def pack_mc_params(configs: Configs, robot_wh) -> Array:
     return jnp.stack(rows, axis=0)
 
 
+# Test hook: when set, replaces the hardware PRNG as the uniform source
+# (pltpu.prng_seed/prng_random_bits have no CPU interpret-mode lowering),
+# letting CI check the kernel's OBB math off-TPU bit-for-bit against
+# ops.sat.obb_collide on the same deterministic draws (tests/test_pallas).
+_TEST_UNIFORM_FN = None
+
+
 def _uniform01(shape):
     """Uniform floats in (0, 1] from raw PRNG bits (24-bit mantissa)."""
+    if _TEST_UNIFORM_FN is not None:
+        return _TEST_UNIFORM_FN(shape)
     bits = pltpu.prng_random_bits(shape)
     # Mosaic has no uint32->f32 cast; shift as int32 (>> 8 of a uint is
     # the same as of its int reinterpretation's logical shift) and the
@@ -102,12 +111,14 @@ def _box_muller(shape):
 
 
 def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
-    # Two seed words (Mosaic's limit): both halves of the round's folded
-    # threefry key give 64-bit round entropy; the grid block id, dispersed
-    # by the golden-ratio odd constant (Weyl/Fibonacci hashing), is mixed
-    # into the second word for per-block streams. int32 mul wraps.
-    block_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
-    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] ^ block_mix)
+    if _TEST_UNIFORM_FN is None:
+        # Two seed words (Mosaic's limit): both halves of the round's
+        # folded threefry key give 64-bit round entropy; the grid block
+        # id, dispersed by the golden-ratio odd constant (Weyl/Fibonacci
+        # hashing), is mixed into the second word for per-block streams.
+        # int32 mul wraps.
+        block_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] ^ block_mix)
     n_steps = n_steps_ref[0, 0]
 
     p = params_ref[...]  # (16, LANE_CONFIGS)
@@ -165,8 +176,10 @@ def _pick_sub(n_batch: int) -> int:
     raise ValueError(f"n_batch={n_batch} must be a multiple of 8")
 
 
-@functools.partial(jax.jit, static_argnames=("sub",))
-def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
+@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+def mc_counts_pallas(
+    seed, params: Array, n_steps, *, sub: int = 8, interpret: bool = False
+) -> Array:
     """Collision counts out of ``n_steps * sub`` noise samples per config.
 
     ``seed``: int32 (2,) vector — two independent seed words, vary per
@@ -196,6 +209,7 @@ def mc_counts_pallas(seed, params: Array, n_steps, *, sub: int = 8) -> Array:
         out_specs=pl.BlockSpec(
             (1, LANE_CONFIGS), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(
         seed.reshape(1, 2),
         jnp.asarray(n_steps, jnp.int32).reshape(1, 1),
@@ -211,6 +225,7 @@ def mc_round_pallas(
     round_tag,
     *,
     n_batch: int,
+    interpret: bool = False,
 ) -> Array:
     """Drop-in round step on the fused kernel: int32 (C,) counts.
 
@@ -231,5 +246,7 @@ def mc_round_pallas(
         jax.random.key_data(folded).reshape(-1)[:2], jnp.int32
     )
     sub = _pick_sub(n_batch)
-    counts = mc_counts_pallas(seed, params, n_batch // sub, sub=sub)
+    counts = mc_counts_pallas(
+        seed, params, n_batch // sub, sub=sub, interpret=interpret
+    )
     return counts[:c].astype(jnp.int32)

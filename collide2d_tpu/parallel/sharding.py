@@ -9,10 +9,12 @@ across chips over ICI:
   axis with `NamedSharding`. Embarrassingly parallel — XLA inserts no
   collectives; only the final host gather crosses the ICI.
 - P2 -> the SAMPLE axis: for very deep per-pair budgets (ztest's 4e6
-  samples/pair), `shard_map` splits the sample budget across a
-  ``sample`` mesh axis, every device draws an independent key stream
-  (fold_in of its axis index), and partial true-counts reduce with one
-  `psum` over ICI.
+  samples/pair), `shard_map` round-robins the sample STEPS across a
+  ``sample`` mesh axis — device s computes the single-chip stream's
+  steps i = s + j*n_sample with the same per-config fold_in tags — and
+  partial true-counts reduce with one `psum` over ICI. Because int32
+  addition is exact and order-free, the psum equals the unsharded sum
+  BIT FOR BIT: both mesh axes are value-level no-ops.
 
 Both compose on a 2-D ``(config, sample)`` mesh: `sharded_mc_round` is
 the full sharded round step the multichip dry-run compiles.
@@ -35,7 +37,7 @@ import jax.numpy as jnp
 from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from collide2d_tpu.mc.estimator import Configs, _counts_chunk, _per_config_keys
+from collide2d_tpu.mc.estimator import Configs
 
 
 def make_mesh(
@@ -87,48 +89,27 @@ def sharded_mc_round(
     """One MC round sharded over a ``(config, sample)`` mesh.
 
     Per (config-shard, sample-shard) device: C/n_config configurations x
-    n_batch/n_sample samples, independent key streams via fold_in of the
-    sample-axis index, partial counts `psum`'d over the ``sample`` axis.
-    Output: int32 (C,) counts, sharded over ``config`` / replicated over
-    ``sample`` — ICI traffic is exactly one (C/n_config,) psum.
+    n_batch/n_sample samples. Sample STEPS are round-robined over the
+    ``sample`` axis with the SAME per-config fold_in tags the unsharded
+    `mc_round` uses, so the `psum` of partial counts is bitwise equal to
+    the single-device stream sum (int32 addition is exact/order-free) —
+    tested in test_sharding.py. Output: int32 (C,) counts, sharded over
+    ``config`` / replicated over ``sample`` — ICI traffic is exactly one
+    (C/n_config,) psum.
     """
+    from collide2d_tpu.mc.estimator import _sample_sharded_counts
+
     n_sample = mesh.shape["sample"]
     if n_batch % (n_sample * step_samples):
         raise ValueError(
             f"n_batch={n_batch} must be a multiple of sample_axis x "
             f"step_samples = {n_sample} x {step_samples}"
         )
-    local_steps = n_batch // (n_sample * step_samples)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        # P("config") acts as a pytree prefix for every Configs leaf.
-        in_specs=(P(), P("config"), P("config"), P(), P()),
-        out_specs=P("config"),
+    return _sample_sharded_counts(
+        key, uids, configs, robot_wh, chunk_offset,
+        jnp.int32(n_batch // step_samples),
+        step_samples=step_samples, use_vertices=use_vertices, mesh=mesh,
     )
-    def body(key, uids, cfgs, robot_wh, chunk_offset):
-        sidx = jax.lax.axis_index("sample")
-        base_keys = _per_config_keys(jax.random.fold_in(key, sidx), uids)
-
-        def step(i, counts):
-            step_keys = jax.vmap(jax.random.fold_in, (0, None))(
-                base_keys, chunk_offset + i
-            )
-            return counts + _counts_chunk(
-                step_keys, cfgs, robot_wh, step_samples, use_vertices
-            )
-
-        # The carry must be marked device-varying over both mesh axes (the
-        # counts depend on the config shard and the sample-axis key
-        # stream) to satisfy shard_map's varying-axes type check.
-        counts0 = jax.lax.pcast(
-            jnp.zeros((cfgs.num,), jnp.int32), ("config", "sample"), to="varying"
-        )
-        local = jax.lax.fori_loop(0, local_steps, step, counts0)
-        return jax.lax.psum(local, "sample")
-
-    return body(key, uids, configs, robot_wh, chunk_offset)
 
 
 def sample_sharded_probability(

@@ -60,6 +60,31 @@ def oracle_vertices(w, h, x, y, t):
     return out.reshape(n, 4, 2)
 
 
+def deterministic_uniform_stub():
+    """A stand-in for the Pallas hardware-PRNG uniform source.
+
+    Built from iota + integer hashing so it traces INSIDE a kernel (no
+    captured constants) and replays identically outside it: value depends
+    only on (shape, call index). Returns floats in (0, 1].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    calls = [0]
+
+    def stub(shape):
+        calls[0] += 1
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        h = (i * jnp.int32(shape[1]) + j) * jnp.int32(-1640531535) + jnp.int32(
+            calls[0] * 40503
+        )
+        u24 = jax.lax.shift_right_logical(h, 8) & jnp.int32(0xFFFFFF)
+        return (u24.astype(jnp.float32) + 1.0) * jnp.float32(1.0 / (1 << 24))
+
+    return stub
+
+
 def random_configs(rng, n, sigma=0.3, shape_sigma=0.0):
     """A random Configs batch for estimator tests (shared helper)."""
     import jax.numpy as jnp

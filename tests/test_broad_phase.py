@@ -3,8 +3,14 @@
 import numpy as np
 import jax.numpy as jnp
 
-from collide2d_tpu.ops.broad_phase import aabb_overlap, candidate_mask
-from collide2d_tpu.ops.sat import sat_rects
+from collide2d_tpu.ops.broad_phase import (
+    aabb_overlap,
+    bucket_for,
+    candidate_mask,
+    collide_candidates,
+    collide_polygons_pruned,
+)
+from collide2d_tpu.ops.sat import sat_polygons, sat_rects
 from tests.conftest import random_rect_params, oracle_vertices
 
 
@@ -28,3 +34,62 @@ def test_candidate_mask_superset_of_collisions(rng):
     assert not (hit & ~mask).any()
     # effectiveness: prunes a substantial fraction of non-candidates
     assert mask.mean() < 0.8
+
+
+def _sparse_polygons(rng, n, k=6, area_side=18.0):
+    """Random convex k-gons (scaled rotated regular k-gons), sparse."""
+    centers = rng.uniform(0, area_side, (n, 1, 2)).astype(np.float32)
+    radius = rng.uniform(0.5, 1.0, (n, 1, 1)).astype(np.float32)
+    rot = rng.uniform(0, 2 * np.pi, (n, 1)).astype(np.float32)
+    ang = rot + np.arange(k, dtype=np.float32) * (2 * np.pi / k)
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=-1).astype(np.float32)
+    return jnp.asarray(centers + radius * ring)
+
+
+def test_pruned_labels_bitwise_equal_full(rng):
+    n = 4096
+    p1 = _sparse_polygons(rng, n)
+    p2 = _sparse_polygons(rng, n)
+    full = np.array(sat_polygons(p1, p2))
+    pruned = np.array(collide_polygons_pruned(p1, p2, min_bucket=64))
+    assert np.array_equal(full, pruned)
+    # the workload really is sparse (the case where pruning pays)
+    density = float(np.array(candidate_mask(p1, p2)).mean())
+    assert density < 0.25, density
+    assert full.sum() > 0  # non-degenerate: some collisions exist
+
+
+def test_pruned_labels_with_vertex_masks(rng):
+    n = 1024
+    k = 6
+    p1 = _sparse_polygons(rng, n, k=k)
+    p2 = _sparse_polygons(rng, n, k=k)
+    # mask out the last vertex (pentagon in a 6-slot layout)
+    m = jnp.asarray(np.arange(k) < k - 1).reshape(1, k).repeat(n, axis=0)
+    full = np.array(sat_polygons(p1, p2, m, m))
+    pruned = np.array(collide_polygons_pruned(p1, p2, m, m, min_bucket=64))
+    assert np.array_equal(full, pruned)
+
+
+def test_pruned_edge_cases(rng):
+    n = 256
+    # zero candidates: far-apart batches
+    p1 = _sparse_polygons(rng, n, area_side=5.0)
+    p2 = _sparse_polygons(rng, n, area_side=5.0) + 1000.0
+    out = np.array(collide_polygons_pruned(p1, p2, min_bucket=8))
+    assert out.shape == (n,) and not out.any()
+    # all candidates: identical batches -> falls back to full narrow phase
+    out2 = np.array(collide_polygons_pruned(p1, p1, min_bucket=8))
+    assert out2.all()
+    # row 0 a genuine candidate: scatter via .at[].max keeps its label
+    cand = candidate_mask(p1, p1)
+    assert bool(cand[0])
+    lab = np.array(collide_candidates(p1, p1, cand, bucket=n))
+    assert np.array_equal(lab, np.array(sat_polygons(p1, p1)))
+
+
+def test_bucket_for():
+    assert bucket_for(0, 1 << 20) == 1024
+    assert bucket_for(1025, 1 << 20) == 2048
+    assert bucket_for(10**9, 1 << 20) == 1 << 20
+    assert bucket_for(3, 16, min_bucket=2) == 4

@@ -191,6 +191,44 @@ def test_schema_validation():
         schemas.unpack_relabel_rows(np.zeros((4, 5), np.float32))
 
 
+def test_ztest_sample_parallel_bitwise(tmp_path, generated):
+    # The deep-budget path (VERDICT r1 item 5): ztest with the per-config
+    # sample budget sharded over a (1, 8) sample mesh must emit labels
+    # BIT-IDENTICAL to the single-device run — steps round-robin with the
+    # single-chip fold_in tags and the psum is exact.
+    from collide2d_tpu.parallel import make_mesh
+    from tests.conftest import cpu_devices
+
+    data_dir, _ = generated
+    batch = np.load(data_dir / "1.npy")[:32]
+    inp = tmp_path / "zin.npy"
+    np.save(inp, batch[:, [0, 1, 3, 4]].astype(np.float32))
+    # step_samples pinned so both runs use the same per-step fold_in tags
+    adaptive = AdaptiveConfig(
+        max_samples=4096, fixed_batch=1024, step_samples=128,
+        bin_accuracy=(0.02, 0.02, 0.05), min_active=8,
+    )
+    common = dict(
+        data_dir=str(data_dir), data_file_in=str(inp), seed=9,
+        verbose=False, n_batch=1024, max_samples=4096, adaptive=adaptive,
+    )
+    base = ztest(ZTestConfig(
+        data_file_out=str(tmp_path / "z_base.npy"), **common))
+    mesh = make_mesh(cpu_devices(), sample_axis=8)
+    got = ztest(ZTestConfig(
+        data_file_out=str(tmp_path / "z_ss.npy"), mesh=mesh, **common))
+    np.testing.assert_array_equal(got, base)
+
+
+def test_ztest_sample_parallel_validation(generated):
+    data_dir, _ = generated
+    with pytest.raises(ValueError, match="divide"):
+        ztest(ZTestConfig(
+            data_dir=str(data_dir), verbose=False,
+            n_batch=1000, sample_parallel=7,
+        ))
+
+
 def test_generate_data_parallel_bitwise(tmp_path, generated):
     # DP generation over the 8-device CPU mesh writes byte-identical
     # batches (uid-keyed threefry streams are placement-independent).

@@ -134,6 +134,64 @@ def test_polygon_kernel_mixed_k(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_mc_kernel_math_interpret(rng, monkeypatch):
+    """Off-TPU CI coverage of the fused MC kernel's OBB math.
+
+    The hardware PRNG has no CPU lowering, so the uniform source is
+    stubbed with a deterministic iota-hash; the same draws replayed
+    through the module's own Box-Muller feed `ops.sat.obb_collide`, and
+    the kernel's counts must match BIT FOR BIT (the kernel's half-extent
+    algebra is exactly-equal to obb_collide's under round-to-nearest;
+    see ops/mc_pallas.py docstring)."""
+    import collide2d_tpu.ops.mc_pallas as mcp
+    from collide2d_tpu.mc.estimator import Configs
+    from collide2d_tpu.ops.sat import obb_collide
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mcp.LANE_CONFIGS  # one grid block
+    sub = 8
+    cfgs = Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (C, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, C).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (C, 2)).astype(np.float32)),
+        std_dev=jnp.asarray(rng.uniform(0, 0.4, (C, 5)).astype(np.float32)),
+    )
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    params = mcp.pack_mc_params(cfgs, robot)
+
+    stub = deterministic_uniform_stub()
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", stub)
+    counts = np.array(
+        mcp.mc_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
+            sub=sub, interpret=True,
+        )
+    )
+
+    # Replay the same six draws through the module's own Box-Muller (the
+    # stub depends only on (shape, call index) — reset and repeat).
+    replay = deterministic_uniform_stub()
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", replay)
+    shape = (sub, C)
+    z_dx, z_dy = mcp._box_muller(shape)
+    z_th, z_dw = mcp._box_muller(shape)
+    z_dh, _ = mcp._box_muller(shape)
+
+    sd = cfgs.std_dev
+    offsets = jnp.stack([z_dx * sd[None, :, 0], z_dy * sd[None, :, 1]], axis=-1)
+    dwh = jnp.stack([z_dw * sd[None, :, 3], z_dh * sd[None, :, 4]], axis=-1)
+    hit = obb_collide(
+        jnp.broadcast_to(cfgs.position, (sub, C, 2)),
+        jnp.broadcast_to(robot, (sub, C, 2)),
+        jnp.broadcast_to(cfgs.pose_theta, (sub, C)),
+        offsets,
+        cfgs.obstacle_wh[None] + dwh,
+        z_th * sd[None, :, 2],
+    )
+    want = np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts, want)
+
+
 def _on_tpu():
     # Where do fresh arrays actually land? (jax.devices() alone lies in
     # environments where a TPU plugin registers itself as default while

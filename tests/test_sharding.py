@@ -46,8 +46,10 @@ def test_config_dp_bitwise_matches_unsharded(rng, devices):
     np.testing.assert_array_equal(np.array(got), base)
 
 
-def test_2d_mesh_round(rng, devices):
-    # (config=4, sample=2) mesh: per-device partial counts + psum.
+def test_2d_mesh_round_bitwise(rng, devices):
+    # (config=4, sample=2) mesh: sample STEPS round-robin over the sample
+    # axis with the single-chip fold_in tags, so the psum'd counts equal
+    # the unsharded counts BIT FOR BIT (int32 addition is order-free).
     C = 64
     cfgs = _configs(rng, C)
     mesh = make_mesh(devices, sample_axis=2)
@@ -64,19 +66,16 @@ def test_2d_mesh_round(rng, devices):
             mesh=mesh,
         )
     )
-    assert counts.shape == (C,)
-    assert (counts >= 0).all() and (counts <= 512).all()
     base = np.array(
         mc_round(jax.random.PRNGKey(1), jnp.arange(C, dtype=jnp.int32), cfgs,
-                 ROBOT, jnp.int32(0), n_batch=512)
+                 ROBOT, jnp.int32(0), n_batch=512, step_samples=128)
     )
-    # Different key streams => statistical agreement only.
-    np.testing.assert_allclose(counts / 512, base / 512, atol=0.15)
+    np.testing.assert_array_equal(counts, base)
 
 
-def test_sample_sharding_partition_matches_manual(rng, devices):
-    # P2: the psum-of-partials must equal the sum of each shard's
-    # independent stream computed by hand on one device.
+def test_sample_sharding_bitwise_matches_single_device(rng, devices):
+    # P2: a pure sample-axis mesh is a value-level no-op vs the same
+    # stream summed on one device (same step_samples => same tags).
     C = 16
     cfgs = _configs(rng, C)
     key = jax.random.PRNGKey(3)
@@ -86,20 +85,107 @@ def test_sample_sharding_partition_matches_manual(rng, devices):
         sample_sharded_probability(key, cfgs, ROBOT, n_samples, mesh)
     )
     uids = jnp.arange(C, dtype=jnp.int32)
-    manual = np.zeros(C, np.int64)
-    for sidx in range(8):
-        manual += np.array(
-            mc_round(
-                jax.random.fold_in(key, sidx), uids, cfgs, ROBOT, jnp.int32(0),
-                n_batch=n_samples // 8, step_samples=128,
-            )
-        )
-    np.testing.assert_allclose(got, manual / n_samples, atol=1e-6)
+    base = np.array(
+        mc_round(key, uids, cfgs, ROBOT, jnp.int32(0),
+                 n_batch=n_samples, step_samples=128)
+    )
+    np.testing.assert_array_equal(got * n_samples, base.astype(np.float32))
 
 
 def test_make_mesh_validation(devices):
     with pytest.raises(ValueError):
         make_mesh(devices, sample_axis=3)
+
+
+def test_adaptive_sample_sharded_bitwise_matches_unsharded(rng, devices):
+    # The FULL adaptive driver over a pure sample-axis mesh (the ztest
+    # deep-budget path) must produce bit-identical labels: steps round-
+    # robin with single-chip tags, psum is exact (VERDICT r1 item 5).
+    from collide2d_tpu.mc.estimator import (
+        AdaptiveConfig,
+        adaptive_collision_probabilities,
+    )
+
+    cfgs = _configs(rng, 48)
+    cfg = AdaptiveConfig(
+        max_samples=8192, fixed_batch=1024, step_samples=128,
+        bin_accuracy=(0.002, 0.002, 0.005), min_active=8, impl="jnp",
+    )
+    key = jax.random.PRNGKey(11)
+    base = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg)
+    mesh = make_mesh(devices, sample_axis=8)  # (config=1, sample=8)
+    got = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg, mesh=mesh)
+    for a, b in zip(got, base):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_2d_mesh_bitwise_matches_unsharded(rng, devices):
+    # Both axes at once: (config=4, sample=2).
+    from collide2d_tpu.mc.estimator import (
+        AdaptiveConfig,
+        adaptive_collision_probabilities,
+    )
+
+    cfgs = _configs(rng, 64)
+    cfg = AdaptiveConfig(
+        max_samples=4096, fixed_batch=512, step_samples=128,
+        bin_accuracy=(0.002, 0.002, 0.005), min_active=8, impl="jnp",
+    )
+    key = jax.random.PRNGKey(13)
+    base = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg)
+    mesh = make_mesh(devices, sample_axis=2)
+    got = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg, mesh=mesh)
+    for a, b in zip(got, base):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_pallas_with_sample_mesh_warns_falls_back(rng, devices):
+    # impl='pallas' + sample axis > 1: logged fallback to jnp, results
+    # equal the jnp path (VERDICT r1 item 6: no silent downgrade).
+    from collide2d_tpu.mc.estimator import (
+        AdaptiveConfig,
+        adaptive_collision_probabilities,
+    )
+
+    cfgs = _configs(rng, 16)
+    mesh = make_mesh(devices, sample_axis=8)
+    kwargs = dict(
+        max_samples=2048, fixed_batch=512, step_samples=64,
+        bin_accuracy=(0.002, 0.002, 0.005), min_active=8,
+    )
+    key = jax.random.PRNGKey(17)
+    with pytest.warns(UserWarning, match="pallas"):
+        got = adaptive_collision_probabilities(
+            key, cfgs, ROBOT, AdaptiveConfig(impl="pallas", **kwargs), mesh=mesh
+        )
+    base = adaptive_collision_probabilities(
+        key, cfgs, ROBOT, AdaptiveConfig(impl="jnp", **kwargs), mesh=mesh
+    )
+    for a, b in zip(got, base):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_sharded_counts_smoke_interpret(rng, devices, monkeypatch):
+    # CPU interpret-mode smoke of the shard_map wrapping of the fused
+    # Pallas kernel (per-shard seeds over the config axis). The hardware
+    # PRNG has no CPU lowering, so the uniform source is stubbed.
+    import collide2d_tpu.ops.mc_pallas as mcp
+    from collide2d_tpu.mc.estimator import _pallas_sharded_counts
+    from tests.conftest import deterministic_uniform_stub
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    C = 8 * mcp.LANE_CONFIGS
+    cfgs = _configs(rng, C)
+    mesh = make_mesh(devices)  # (config=8, sample=1)
+    counts = np.array(
+        _pallas_sharded_counts(
+            jax.random.PRNGKey(5), cfgs,
+            ROBOT, jnp.int32(0), n_batch=64, mesh=mesh, interpret=True,
+        )
+    )
+    assert counts.shape == (C,)
+    assert (counts >= 0).all() and (counts <= 64).all()
+    assert counts.max() > 0  # some configurations collide
 
 
 def test_adaptive_sharded_bitwise_matches_unsharded(rng, devices):
