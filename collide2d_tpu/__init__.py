@@ -40,10 +40,12 @@ from collide2d_tpu.ops.broad_phase import (
     candidate_mask,
     collide_candidates,
     collide_polygons_pruned,
+    possible_collision_mask,
 )
 from collide2d_tpu.mc.stats import calc_slack, get_bin
 from collide2d_tpu.mc.estimator import (
     collision_probability,
+    collision_probability_pruned,
     mc_round,
     AdaptiveConfig,
     adaptive_collision_probabilities,
@@ -65,6 +67,8 @@ __all__ = [
     "candidate_mask",
     "collide_candidates",
     "collide_polygons_pruned",
+    "possible_collision_mask",
+    "collision_probability_pruned",
     "calc_slack",
     "get_bin",
     "collision_probability",

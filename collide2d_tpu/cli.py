@@ -86,6 +86,11 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "active/done/samples-per-sec) + batch progress")
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
+    p.add_argument("--prune_sigma", type=float, default=0.0,
+                   help="label configurations that cannot collide within "
+                        "this many noise std-devs as cp=0 without sampling "
+                        "(0 = off/reference parity; 6.0 recommended: label "
+                        "error ~1e-8, far below every accuracy bin)")
     p.set_defaults(func=_run_generate)
 
 
@@ -119,6 +124,7 @@ def _run_generate(args: argparse.Namespace) -> int:
         schedule=None if args.schedule in (None, "reference") else args.schedule,
         verbose=args.verbose,
         trace_dir=args.trace_dir,
+        prune_sigma=args.prune_sigma,
     )
     generate_dataset(cfg)
     return 0

@@ -97,6 +97,11 @@ class GenerateConfig:
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
     schedule: object = None  # None = reference schedule | "tuned" | explicit tuple
     trace_dir: str = ""  # capture a jax.profiler trace of the run here
+    # 0 = off (reference parity). >0: configurations that cannot collide
+    # within this many noise std-devs are labeled cp=0 without sampling
+    # (AdaptiveConfig.prune_sigma; label error ~1e-8 at 6.0) — skips the
+    # ~37k-sample rule-of-three cost of every zero-probability row.
+    prune_sigma: float = 0.0
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -248,6 +253,8 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
         kwargs["bin_accuracy"] = tuple(cfg.bin_accuracy)
     if getattr(cfg, "schedule", None) is not None:
         kwargs["schedule"] = cfg.schedule
+    if getattr(cfg, "prune_sigma", 0.0):
+        kwargs["prune_sigma"] = cfg.prune_sigma
     if fixed_batch is not None:
         kwargs["fixed_batch"] = fixed_batch
     return AdaptiveConfig(**kwargs)

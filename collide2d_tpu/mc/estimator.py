@@ -73,6 +73,40 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
     return 1
 
 
+def _plan_round(cfg, sim_n: int, n_sample: int) -> tuple[int, int]:
+    """(n_batch, step_samples) for the round starting at ``sim_n`` samples.
+
+    n_batch is rounded UP (never down) so the round step stays efficient:
+    to a multiple of 8 (the Pallas sub-tile granule) and of the sample-
+    axis device count, and — when the configured batch has no divisor
+    >= 64 under the 512-lane cap — to a multiple of the step itself, so a
+    prime ``--n_batch`` can never degrade to a 1-lane fori loop (~500x
+    slower). The reference defaults (1000/100000/10000, 8-divisible) are
+    never changed. Extra samples are counted in n_samples, so the CI
+    criterion is evaluated at the true draw count (documented divergence:
+    the reference draws exactly n_batch).
+    """
+    import math
+
+    nb = cfg.batch_for(sim_n)
+    g = math.lcm(8, n_sample)
+    nb = -(-nb // g) * g
+    if cfg.step_samples:
+        step = cfg.step_samples
+        if nb % (step * n_sample):
+            raise ValueError(
+                f"step_samples={step} x sample axis {n_sample} must divide "
+                f"n_batch={nb}"
+            )
+        return nb, step
+    step = _largest_divisor_leq(nb // n_sample, 512)
+    if step < 64 and nb // n_sample >= 512:
+        g2 = math.lcm(512 * n_sample, g)
+        nb = -(-nb // g2) * g2
+        step = 512
+    return nb, step
+
+
 def _counts_chunk(
     keys: Array, configs: Configs, robot_wh: Array, n_lanes: int, use_vertices: bool
 ) -> Array:
@@ -339,6 +373,71 @@ def collision_probability(
     return counts.astype(jnp.float32) / jnp.float32(n_samples)
 
 
+def collision_probability_pruned(
+    key: Array,
+    configs: Configs,
+    robot_wh,
+    n_samples: int,
+    *,
+    sigma_margin: float = 6.0,
+    step_samples: int = 0,
+    use_vertices: bool = False,
+    impl: str = "jnp",
+) -> np.ndarray:
+    """Fixed-budget MC probabilities with noise-aware broad-phase pruning.
+
+    This is where broad-phase pruning actually pays on TPU (measured —
+    see ops/broad_phase.py docstring): compaction costs one mask readback
+    and one small gather, amortized over ``n_samples`` (thousands) of
+    draws per candidate, so wall-clock scales with the candidate density
+    (~1/density speedup on sparse scenes; bench_broad_phase).
+
+    Non-candidates (impossible to touch within ``sigma_margin`` standard
+    deviations, `ops.broad_phase.possible_collision_mask`) are labeled 0
+    without sampling — an approximation with error below
+    ~5*P(|z|>sigma_margin) (~1e-8 at the default 6), orders of magnitude
+    under the reference's tightest 1e-4 accuracy bin. Candidate rows are
+    BITWISE identical to the unpruned `collision_probability` on the jnp
+    path: streams are keyed by the original row index, so compaction
+    cannot change them (tested).
+
+    Host-orchestrated (one device sync); returns a host numpy array.
+    """
+    from collide2d_tpu.ops.broad_phase import possible_collision_mask
+
+    C = configs.num
+    mask = np.asarray(
+        jax.device_get(possible_collision_mask(configs, robot_wh, sigma_margin))
+    )
+    out = np.zeros((C,), np.float32)
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return out
+    # Pad candidates to a power-of-two bucket (repeat row idx[0]) so XLA
+    # compiles O(log C) shapes, same discipline as the adaptive repack.
+    bucket = min(_round_up_bucket(idx.size, 256), C)
+    padded = np.concatenate(
+        [idx, np.full(bucket - idx.size, idx[0], dtype=idx.dtype)]
+    )
+    gather = jnp.asarray(padded, jnp.int32)
+    sub = Configs(*(jnp.take(a, gather, axis=0) for a in configs))
+    counts = mc_round(
+        key,
+        gather,  # original row ids as uids => streams match the unpruned run
+        sub,
+        jnp.asarray(robot_wh, jnp.float32),
+        jnp.int32(0),
+        n_batch=int(n_samples),
+        step_samples=step_samples,
+        use_vertices=use_vertices,
+        impl=impl,
+    )
+    out[idx] = np.asarray(jax.device_get(counts), np.float32)[
+        : idx.size
+    ] / np.float32(n_samples)
+    return out
+
+
 @dataclass(frozen=True)
 class AdaptiveConfig:
     """Adaptive-stop schedule + accuracy targets.
@@ -373,6 +472,13 @@ class AdaptiveConfig:
     impl: str = "auto"  # 'jnp' | 'pallas' | 'auto' (see mc_round)
     schedule: Sequence[int] | str | None = None  # cumulative checkpoints | "tuned"
     repack_fraction: float = 0.25  # emit+repack when this fraction is done
+    # Noise-aware broad phase (0 = off, reference parity): configurations
+    # that cannot touch within this many std-devs are emitted as cp=0
+    # WITHOUT sampling (ops.broad_phase.possible_collision_mask; label
+    # error <= ~5*P(|z|>sigma) ~ 1e-8 at 6.0 — far below every accuracy
+    # bin). The reference instead burns ~37k samples per zero-probability
+    # configuration reaching the rule-of-three criterion.
+    prune_sigma: float = 0.0
 
     def __post_init__(self):
         # A length mismatch would otherwise be silent: jnp's clamping
@@ -606,19 +712,52 @@ def adaptive_collision_probabilities(
     # padding); labels freeze on device (see _fused_round).
     if C % n_shards:
         raise ValueError(f"config count {C} must divide over {n_shards} shards")
-    state = _shard(
-        _LoopState(
-            uids=jnp.arange(C, dtype=jnp.int32),
-            active=configs,
-            n_true=jnp.zeros((C,), jnp.int32),
-            done=jnp.zeros((C,), bool),
-            k_frozen=jnp.zeros((C,), jnp.int32),
-            n_frozen=jnp.ones((C,), jnp.int32),
+    if cfg.prune_sigma > 0:
+        # Noise-aware broad phase: impossible-to-touch rows get cp=0 and
+        # never enter the loop (see AdaptiveConfig.prune_sigma).
+        from collide2d_tpu.ops.broad_phase import possible_collision_mask
+
+        keep_mask = np.asarray(
+            jax.device_get(
+                possible_collision_mask(configs, robot_wh, cfg.prune_sigma)
+            )
         )
-    )
+        out_done[~keep_mask] = True  # cp 0, n_used 0 by initialization
+        keep0 = np.flatnonzero(keep_mask)
+        if keep0.size == 0:
+            return out_cp, out_n, out_done
+        bucket = _round_up_bucket(max(keep0.size, 1), cfg.min_active)
+        bucket = min(-(-bucket // n_shards) * n_shards, -(-C // n_shards) * n_shards)
+        pad0 = np.concatenate(
+            [keep0, np.full(bucket - keep0.size, keep0[0], dtype=keep0.dtype)]
+        ) if bucket > keep0.size else keep0[:bucket]
+        gather0 = jnp.asarray(pad0, jnp.int32)
+        pad_mask0 = jnp.arange(len(pad0)) >= keep0.size
+        state = _shard(
+            _LoopState(
+                uids=jnp.where(pad_mask0, -1, gather0),
+                active=Configs(*(jnp.take(a, gather0, axis=0) for a in configs)),
+                n_true=jnp.zeros((len(pad0),), jnp.int32),
+                done=jnp.asarray(pad_mask0),
+                k_frozen=jnp.zeros((len(pad0),), jnp.int32),
+                n_frozen=jnp.ones((len(pad0),), jnp.int32),
+            )
+        )
+        num_real = int(keep0.size)
+    else:
+        state = _shard(
+            _LoopState(
+                uids=jnp.arange(C, dtype=jnp.int32),
+                active=configs,
+                n_true=jnp.zeros((C,), jnp.int32),
+                done=jnp.zeros((C,), bool),
+                k_frozen=jnp.zeros((C,), jnp.int32),
+                n_frozen=jnp.ones((C,), jnp.int32),
+            )
+        )
+        num_real = C  # rows of the current buffer that are real (not padding)
     n_samples = 0
     chunk_offset = 0
-    num_real = C  # rows of the current buffer that are real (not padding)
     rnd = 0
 
     key_data = np.asarray(jax.random.key_data(key)).ravel()
@@ -646,37 +785,19 @@ def adaptive_collision_probabilities(
     while num_real > 0 and n_samples < cfg.max_samples:
         # Plan a sync group; every round still freezes labels on device,
         # so grouping changes nothing about label semantics.
-        group: list[int] = []
+        group: list[tuple[int, int]] = []
         work = 0
         sim_n = n_samples
         while sim_n < cfg.max_samples:
-            nb = cfg.batch_for(sim_n)
+            nb, step = _plan_round(cfg, sim_n, n_sample)
             sim_n += nb
-            group.append(nb)
+            group.append((nb, step))
             work += nb * len(state.uids)
             if work >= SYNC_SAMPLES or (checkpoint_every and len(group) >= checkpoint_every):
                 break
 
         num_done_dev = None
-        for nb in group:
-            if n_sample > 1:
-                # Steps round-robin over the sample axis; step_samples *
-                # n_sample must divide n_batch so no step is dropped.
-                if nb % n_sample:
-                    raise ValueError(
-                        f"n_batch={nb} must be a multiple of the sample-axis "
-                        f"device count {n_sample}"
-                    )
-                step = cfg.step_samples or _largest_divisor_leq(
-                    nb // n_sample, 512
-                )
-                if nb % (step * n_sample):
-                    raise ValueError(
-                        f"step_samples={step} * sample axis {n_sample} must "
-                        f"divide n_batch={nb}"
-                    )
-            else:
-                step = cfg.step_samples or _largest_divisor_leq(nb, 512)
+        for nb, step in group:
             n_samples += nb
             state, num_done_dev = _fused_round(
                 key, state, robot_wh,

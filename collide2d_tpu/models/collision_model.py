@@ -19,6 +19,7 @@ from collide2d_tpu.mc.estimator import (
     Configs,
     adaptive_collision_probabilities,
     collision_probability,
+    collision_probability_pruned,
 )
 from collide2d_tpu.ops.broad_phase import candidate_mask, collide_polygons_pruned
 from collide2d_tpu.ops.sat import sat_rects, sat_polygons
@@ -74,6 +75,19 @@ class CollisionProbabilityModel:
     def forward(self, key: Array, configs: Configs, n_samples: int) -> Array:
         """Fixed-budget MC collision probabilities; jittable. f32 (C,)."""
         return collision_probability(key, configs, self.robot_wh, n_samples)
+
+    def forward_pruned(
+        self, key: Array, configs: Configs, n_samples: int, *,
+        sigma_margin: float = 6.0, impl: str = "auto",
+    ):
+        """Fixed-budget MC with noise-aware broad-phase pruning: configs
+        that cannot touch within sigma_margin std-devs are labeled 0
+        without sampling (host-orchestrated; ~1/density wall-clock win on
+        sparse scenes — see mc.estimator.collision_probability_pruned)."""
+        return collision_probability_pruned(
+            key, configs, self.robot_wh, n_samples,
+            sigma_margin=sigma_margin, impl=impl,
+        )
 
     def label(self, key: Array, configs: Configs, cfg: AdaptiveConfig = AdaptiveConfig()):
         """Adaptive labeling to per-bin CI accuracy (host loop around the

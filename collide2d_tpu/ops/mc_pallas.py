@@ -173,7 +173,11 @@ def _pick_sub(n_batch: int) -> int:
     for sub in (32, 16, 8):
         if n_batch % sub == 0:
             return sub
-    raise ValueError(f"n_batch={n_batch} must be a multiple of 8")
+    raise ValueError(
+        f"n_batch={n_batch} must be a multiple of 8 (the kernel's sample "
+        "sub-tile); round the budget up or use impl='jnp'. The adaptive "
+        "driver normalizes this automatically (estimator._plan_round)."
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))

@@ -1,6 +1,7 @@
 """Broad phase: AABB pruning is exact (no false negatives) and effective."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from collide2d_tpu.ops.broad_phase import (
@@ -86,6 +87,58 @@ def test_pruned_edge_cases(rng):
     assert bool(cand[0])
     lab = np.array(collide_candidates(p1, p1, cand, bucket=n))
     assert np.array_equal(lab, np.array(sat_polygons(p1, p1)))
+
+
+def test_possible_collision_mask_conservative(rng):
+    # every config with a nonzero MC estimate must be a candidate
+    from collide2d_tpu.mc.estimator import collision_probability
+    from collide2d_tpu.ops.broad_phase import possible_collision_mask
+    from collide2d_tpu.utils.benchmarks import _sparse_scene_configs
+
+    cfgs = _sparse_scene_configs(2048, box=20.0, seed=3)
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    mask = np.asarray(possible_collision_mask(cfgs, robot))
+    cp = np.asarray(collision_probability(jax.random.PRNGKey(0), cfgs, robot, 512))
+    assert not ((cp > 0) & ~mask).any()   # no false negatives
+    assert 0.01 < mask.mean() < 0.5       # and genuinely sparse
+
+
+def test_collision_probability_pruned_bitwise(rng):
+    from collide2d_tpu.mc.estimator import (
+        collision_probability,
+        collision_probability_pruned,
+    )
+    from collide2d_tpu.ops.broad_phase import possible_collision_mask
+    from collide2d_tpu.utils.benchmarks import _sparse_scene_configs
+
+    cfgs = _sparse_scene_configs(1024, box=20.0, seed=4)
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    key = jax.random.PRNGKey(7)
+    full = np.asarray(collision_probability(key, cfgs, robot, 1024))
+    pruned = collision_probability_pruned(key, cfgs, robot, 1024)
+    mask = np.asarray(possible_collision_mask(cfgs, robot))
+    # candidates: uid-keyed streams make compaction a value-level no-op
+    np.testing.assert_array_equal(pruned[mask], full[mask])
+    # non-candidates: labeled 0 without sampling; the full run agrees
+    # (P(6-sigma excursion) ~ 1e-9 per draw)
+    assert (pruned[~mask] == 0).all()
+    np.testing.assert_array_equal(full[~mask], 0)
+
+
+def test_collision_probability_pruned_empty(rng):
+    from collide2d_tpu.mc.estimator import Configs, collision_probability_pruned
+
+    n = 64
+    cfgs = Configs(
+        position=jnp.full((n, 2), 1000.0),
+        pose_theta=jnp.zeros((n,)),
+        obstacle_wh=jnp.ones((n, 2)),
+        std_dev=jnp.full((n, 5), 0.1),
+    )
+    out = collision_probability_pruned(
+        jax.random.PRNGKey(0), cfgs, jnp.asarray([4.07, 1.74]), 256
+    )
+    assert out.shape == (n,) and not out.any()
 
 
 def test_bucket_for():

@@ -234,3 +234,68 @@ def test_tuned_schedule_labels_satisfy_ci(rng):
         np.array(get_bin(jnp.asarray(cp), jnp.asarray(cfg.accuracy_bins)))
     ]
     assert (slack[converged] <= target[converged] + 1e-7).all()
+
+
+def test_plan_round_prime_batch_never_degrades():
+    # A prime --n_batch must not fall back to a 1-lane fori loop
+    # (VERDICT r1 item 8): it is rounded UP to an efficient granule.
+    from collide2d_tpu.mc.estimator import AdaptiveConfig, _plan_round
+
+    cfg = AdaptiveConfig(fixed_batch=9973)  # prime
+    nb, step = _plan_round(cfg, 0, 1)
+    assert nb >= 9973 and nb % 8 == 0 and nb % step == 0
+    assert step >= 64
+    # reference defaults are never changed
+    ref = AdaptiveConfig()
+    assert _plan_round(ref, 0, 1) == (1000, 500)
+    assert _plan_round(ref, 30_000, 1) == (100_000, 500)
+    # ztest's fixed 10k schedule is untouched too
+    zt = AdaptiveConfig(fixed_batch=10_000)
+    assert _plan_round(zt, 0, 1) == (10_000, 500)
+    # sample-axis granularity: nb a multiple of step * n_sample
+    nb8, step8 = _plan_round(AdaptiveConfig(fixed_batch=9973), 0, 8)
+    assert nb8 % (step8 * 8) == 0
+
+
+def test_adaptive_prime_fixed_batch_end_to_end(rng):
+    # The whole driver works (and stays fast) with a pathological budget.
+    cfgs = _configs(rng, 16)
+    cfg = AdaptiveConfig(
+        fixed_batch=997, max_samples=3000,
+        bin_accuracy=(0.02, 0.02, 0.05), min_active=8,
+    )
+    cp, n_used, done = adaptive_collision_probabilities(
+        jax.random.PRNGKey(3), cfgs, ROBOT_WH, cfg
+    )
+    assert (cp >= 0).all() and (cp <= 1).all()
+    assert (n_used >= 997).all()  # rounded UP, never down
+
+
+def test_adaptive_prune_sigma(rng):
+    # prune_sigma: impossible configs emit cp=0 with zero samples; the
+    # candidate subset gets labels bitwise-equal to the unpruned run
+    # (uid-keyed streams survive the pre-compaction).
+    from collide2d_tpu.ops.broad_phase import possible_collision_mask
+    from collide2d_tpu.utils.benchmarks import _sparse_scene_configs
+
+    cfgs = _sparse_scene_configs(256, box=20.0, seed=11)
+    kwargs = dict(
+        max_samples=4000, initial_batch=1000, initial_phase_samples=2000,
+        later_batch=2000, bin_accuracy=(0.02, 0.02, 0.05), min_active=16,
+        impl="jnp",
+    )
+    key = jax.random.PRNGKey(2)
+    base_cp, base_n, base_done = adaptive_collision_probabilities(
+        key, cfgs, ROBOT_WH, AdaptiveConfig(**kwargs)
+    )
+    cp, n_used, done = adaptive_collision_probabilities(
+        key, cfgs, ROBOT_WH, AdaptiveConfig(prune_sigma=6.0, **kwargs)
+    )
+    mask = np.asarray(possible_collision_mask(cfgs, ROBOT_WH, 6.0))
+    assert 0 < mask.sum() < len(mask)
+    np.testing.assert_array_equal(cp[mask], base_cp[mask])
+    np.testing.assert_array_equal(n_used[mask], base_n[mask])
+    assert (cp[~mask] == 0).all() and (n_used[~mask] == 0).all()
+    assert done[~mask].all()
+    # and the unpruned run agrees the pruned rows never collide
+    np.testing.assert_array_equal(base_cp[~mask], 0)

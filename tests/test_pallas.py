@@ -82,6 +82,34 @@ def test_shift_scalar_moves_r2(pairs):
     assert got.sum() == 0
 
 
+def test_bf16_input_path(pairs):
+    from collide2d_tpu.ops.sat_pallas import pack_rects_bf16
+
+    r1, r2 = pairs
+    # lossless case: coordinates already bf16-representable -> labels
+    # bitwise-equal to the f32 path (upcast is exact)
+    r1q = jnp.asarray(r1, jnp.bfloat16).astype(jnp.float32)
+    r2q = jnp.asarray(r2, jnp.bfloat16).astype(jnp.float32)
+    want = np.array(
+        sat_rects_pallas_t(pack_rects(r1q), pack_rects(r2q), block=BLOCK, interpret=True)
+    )
+    got = np.array(
+        sat_rects_pallas_t(
+            pack_rects_bf16(r1q), pack_rects_bf16(r2q), block=BLOCK, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    # lossy case: random f32 coords — labels agree except near-touching
+    # pairs within the ~0.4% coordinate rounding
+    full = np.array(sat_rects(r1, r2))
+    coarse = np.array(
+        sat_rects_pallas_t(
+            pack_rects_bf16(r1), pack_rects_bf16(r2), block=BLOCK, interpret=True
+        )
+    )
+    assert (full != coarse).mean() < 0.02
+
+
 def _regular_polygon(rng, k, rmax=2.0):
     ang = rng.uniform(0, 2 * np.pi) + 2 * np.pi * np.arange(k) / k
     r = rng.uniform(0.5, rmax)
