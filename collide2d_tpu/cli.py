@@ -146,6 +146,9 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
+    p.add_argument("--sample_parallel", type=int, default=d.sample_parallel,
+                   help="shard each configuration's sample budget across "
+                        "this many devices (bitwise-identical labels)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
@@ -165,6 +168,7 @@ def _run_relabel(args: argparse.Namespace) -> int:
             shuffle=args.shuffle,
             seed=args.seed,
             data_parallel=args.data_parallel,
+            sample_parallel=args.sample_parallel,
             verbose=args.verbose,
             trace_dir=args.trace_dir,
         )

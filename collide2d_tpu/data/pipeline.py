@@ -128,6 +128,11 @@ class RelabelConfig:
     adaptive: AdaptiveConfig | None = None
     data_parallel: bool = False
     trace_dir: str = ""  # capture a jax.profiler trace of the run here
+    # Shard each configuration's sample budget across this many devices
+    # (same semantics as ZTestConfig.sample_parallel: bitwise-identical
+    # labels; builds a (1, s) mesh; ignored when data_parallel/mesh set).
+    sample_parallel: int = 0
+    mesh: object = None  # explicit Mesh override (tests / custom topologies)
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -199,16 +204,26 @@ def _progress_logger(cfg, total: int):
 
 
 def _mesh_for(cfg) -> "object | None":
-    """An all-config data-parallel mesh when requested and useful."""
+    """The mesh a driver config asks for: explicit > data-parallel
+    (all-config) > sample-parallel ((1, s), bitwise-equal labels)."""
     if getattr(cfg, "mesh", None) is not None:
         return cfg.mesh
-    if not getattr(cfg, "data_parallel", False):
-        return None
-    if len(jax.devices()) < 2:
-        return None
     from collide2d_tpu.parallel import make_mesh
 
-    return make_mesh()
+    if getattr(cfg, "data_parallel", False):
+        if len(jax.devices()) < 2:
+            return None
+        return make_mesh()
+    s = getattr(cfg, "sample_parallel", 0)
+    if s and s > 1:
+        devices = jax.devices()
+        if len(devices) < s:
+            raise ValueError(
+                f"sample_parallel={s} needs that many devices, have "
+                f"{len(devices)}"
+            )
+        return make_mesh(devices[:s], sample_axis=s)
+    return None
 
 
 def _master_key(seed: int | None) -> jax.Array:

@@ -6,10 +6,18 @@ from collide2d_tpu.parallel.sharding import (
     sharded_mc_round,
     sample_sharded_probability,
 )
+from collide2d_tpu.parallel.distributed import (
+    global_mesh,
+    initialize_multihost,
+    process_batch_range,
+)
 
 __all__ = [
     "make_mesh",
     "shard_configs",
     "sharded_mc_round",
     "sample_sharded_probability",
+    "global_mesh",
+    "initialize_multihost",
+    "process_batch_range",
 ]

@@ -220,6 +220,41 @@ def test_ztest_sample_parallel_bitwise(tmp_path, generated):
     np.testing.assert_array_equal(got, base)
 
 
+def test_relabel_sample_parallel_bitwise(tmp_path, generated):
+    from collide2d_tpu.parallel import make_mesh
+    from tests.conftest import cpu_devices
+
+    data_dir, _ = generated
+    # 1.npy: the ztest default-path test overwrites 0.npy with a cps vector
+    batch = np.load(data_dir / "1.npy")[:32]
+    din = tmp_path / "rin"
+    din.mkdir()
+    np.save(din / "0.npy", batch[:, [0, 1, 3, 4]].astype(np.float32))
+    adaptive = AdaptiveConfig(
+        max_samples=4096, fixed_batch=1024, step_samples=128,
+        bin_accuracy=(0.02, 0.02, 0.05), min_active=8,
+    )
+
+    def run(out_name, mesh):
+        out = tmp_path / out_name
+        # relabel needs tables/meta in data_out
+        import shutil
+
+        out.mkdir()
+        for f in ("poses.npy", "variances.npy"):
+            shutil.copy(data_dir / f, out / f)
+        shutil.copytree(data_dir / "meta", out / "meta")
+        relabel_dataset(RelabelConfig(
+            data_in=str(din), data_out=str(out), seed=31, shuffle=False,
+            verbose=False, adaptive=adaptive, max_samples=4096, mesh=mesh,
+        ))
+        return np.load(out / "0.npy")
+
+    base = run("r_base", None)
+    got = run("r_ss", make_mesh(cpu_devices(), sample_axis=8))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_ztest_sample_parallel_validation(generated):
     data_dir, _ = generated
     with pytest.raises(ValueError, match="divide"):

@@ -299,3 +299,19 @@ def test_adaptive_prune_sigma(rng):
     assert done[~mask].all()
     # and the unpruned run agrees the pruned rows never collide
     np.testing.assert_array_equal(base_cp[~mask], 0)
+
+
+def test_round_up_bucket_ladder():
+    from collide2d_tpu.mc.estimator import _round_up_bucket
+
+    # half-step ladder: {.., 256, 384, 512, 768, 1024, ..}
+    assert _round_up_bucket(300, 64) == 384
+    assert _round_up_bucket(384, 64) == 384
+    assert _round_up_bucket(385, 64) == 512
+    assert _round_up_bucket(600, 64) == 768
+    assert _round_up_bucket(1, 256) == 256
+    # ladder sizes stay multiples of 8 (Pallas sub-tile) above 16
+    for n in range(1, 5000, 37):
+        b = _round_up_bucket(n, 64)
+        assert b >= n and b % 8 == 0
+        assert b <= 2 * n or b == 64  # never worse than the old 2x bound

@@ -208,3 +208,33 @@ def test_adaptive_sharded_bitwise_matches_unsharded(rng, devices):
     got = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg, mesh=mesh)
     for a, b in zip(got, base):
         np.testing.assert_array_equal(a, b)
+
+
+def test_process_batch_range_partition():
+    from collide2d_tpu.parallel import process_batch_range
+
+    # union over processes is exactly the global range, disjoint, ordered
+    for num_batches, n_proc, start in [(100, 8, 0), (7, 3, 5), (3, 8, 0)]:
+        seen = []
+        for pid in range(n_proc):
+            r = process_batch_range(
+                num_batches, start, process_id=pid, num_processes=n_proc
+            )
+            seen.extend(r)
+        assert seen == list(range(start, start + num_batches))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        process_batch_range(10, process_id=4, num_processes=4)
+
+
+def test_global_mesh_single_host(devices):
+    # single-host: global_mesh == make_mesh over local devices; the
+    # sample axis must divide the per-process device count.
+    from collide2d_tpu.parallel import global_mesh
+
+    mesh = global_mesh(sample_axis=2, devices=devices)
+    assert mesh.shape["sample"] == 2
+    assert mesh.shape["config"] * 2 == len(devices)
+    with pytest.raises(ValueError, match="ICI"):
+        global_mesh(sample_axis=16, devices=devices)
