@@ -792,6 +792,110 @@ def adaptive_collision_probabilities(
     # latency (~30 ms through the remote tunnel) against real compute.
     SYNC_SAMPLES = 3 * 10**8  # ~40-60 ms of device work per sync
 
+    CONTINUE, REPACKED, STOP = 0, 1, 2
+
+    def _sync_bookkeeping(active_left):
+        if checkpoint_path is not None and checkpoint_every:
+            _save_checkpoint(
+                checkpoint_path, key_data, C,
+                out_cp=out_cp, out_n=out_n, out_done=out_done,
+                uids=np.asarray(jax.device_get(state.uids)),
+                n_true=np.asarray(jax.device_get(state.n_true)),
+                done=np.asarray(jax.device_get(state.done)),
+                k_frozen=np.asarray(jax.device_get(state.k_frozen)),
+                n_frozen=np.asarray(jax.device_get(state.n_frozen)),
+                active=[np.asarray(jax.device_get(a)) for a in state.active],
+                n_samples=n_samples, chunk_offset=chunk_offset,
+                num_real=num_real, round=rnd,
+            )
+
+    def _handle(num_done: int) -> int:
+        """Bookkeeping for one resolved done count.
+
+        ``num_done`` may be one sync group STALE (see the pipelined
+        readback below): labels freeze on device at the exact round the
+        criterion holds, so a stale count only delays repack/exit
+        decisions — never changes a label. Emission always reads the
+        freshest state.
+        """
+        nonlocal state, num_real
+        if progress is not None:
+            progress(
+                num_left=max(num_real - num_done, 0),
+                n_samples=n_samples,
+                round=rnd,
+            )
+        at_cap = n_samples >= cfg.max_samples
+        if num_done == 0 and not at_cap:
+            _sync_bookkeeping(num_real)
+            return CONTINUE
+        if (
+            not at_cap
+            and num_done < num_real * cfg.repack_fraction
+            and num_real - num_done > cfg.min_active
+        ):
+            # Not worth repacking yet: converged rows keep sampling (their
+            # labels are frozen; the extra work is bounded by 2x until the
+            # half-way threshold trips).
+            _sync_bookkeeping(num_real - num_done)
+            return CONTINUE
+
+        # Emit + repack. One batched readback of the small state arrays.
+        uids_np, done_np, k_np, nfro_np, ntrue_np = jax.device_get(
+            (state.uids, state.done, state.k_frozen, state.n_frozen, state.n_true)
+        )
+        real = uids_np >= 0
+        emit_done = done_np & real
+        rows = uids_np[emit_done]
+        out_cp[rows] = k_np[emit_done].astype(np.float32) / nfro_np[
+            emit_done
+        ].astype(np.float32)
+        out_n[rows] = nfro_np[emit_done]
+        out_done[rows] = True
+        if at_cap:
+            # Tail flush (generate_dataset.cu:470-479): unconverged rows
+            # get their current estimate at the final n_samples.
+            flush = real & ~done_np
+            rows = uids_np[flush]
+            out_cp[rows] = ntrue_np[flush].astype(np.float32) / np.float32(n_samples)
+            out_n[rows] = n_samples
+            num_real = 0
+            return STOP
+
+        keep = np.flatnonzero(real & ~done_np)
+        num_real = len(keep)
+        if num_real == 0:
+            return STOP
+        bucket = _round_up_bucket(num_real, cfg.min_active)
+        bucket = -(-bucket // n_shards) * n_shards  # shardable buffer size
+        pad = np.concatenate(
+            [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
+        )
+        gather = jnp.asarray(pad, jnp.int32)
+        pad_mask = jnp.arange(bucket) >= num_real
+        state = _shard(
+            _LoopState(
+                uids=jnp.where(pad_mask, -1, jnp.take(state.uids, gather, axis=0)),
+                active=Configs(*(jnp.take(a, gather, axis=0) for a in state.active)),
+                n_true=jnp.take(state.n_true, gather, axis=0),
+                done=jnp.take(state.done, gather, axis=0),
+                k_frozen=jnp.take(state.k_frozen, gather, axis=0),
+                n_frozen=jnp.take(state.n_frozen, gather, axis=0),
+            )
+        )
+        _sync_bookkeeping(num_real)
+        return REPACKED
+
+    # Pipelined readback: the done count of group k resolves while group
+    # k+1 is already computing, so the ~30 ms host round trip (through
+    # the remote tunnel) no longer stalls the device once per sync —
+    # profiling showed those stalls cost ~30% of end-to-end wall-clock.
+    # Only SMALL groups pipeline: for a big group the stall is a few
+    # percent while a one-group-late repack wastes a whole large round on
+    # a mostly-done buffer, so those resolve synchronously.
+    PIPELINE_WORK = 5 * SYNC_SAMPLES
+    inflight = None
+    stopped = False
     while num_real > 0 and n_samples < cfg.max_samples:
         # Plan a sync group; every round still freezes labels on device,
         # so grouping changes nothing about label semantics.
@@ -819,90 +923,43 @@ def adaptive_collision_probabilities(
             )
             chunk_offset += nb // step
             rnd += 1
-        num_done = int(jax.device_get(num_done_dev))  # the ONE sync point
-        if progress is not None:
-            # Fires once per host sync, on EVERY exit path (including the
-            # cap flush and the all-done final round).
-            progress(
-                num_left=max(num_real - num_done, 0),
-                n_samples=n_samples,
-                round=rnd,
-            )
-
-        def _sync_bookkeeping(active_left):
-            if checkpoint_path is not None and checkpoint_every:
-                _save_checkpoint(
-                    checkpoint_path, key_data, C,
-                    out_cp=out_cp, out_n=out_n, out_done=out_done,
-                    uids=np.asarray(jax.device_get(state.uids)),
-                    n_true=np.asarray(jax.device_get(state.n_true)),
-                    done=np.asarray(jax.device_get(state.done)),
-                    k_frozen=np.asarray(jax.device_get(state.k_frozen)),
-                    n_frozen=np.asarray(jax.device_get(state.n_frozen)),
-                    active=[np.asarray(jax.device_get(a)) for a in state.active],
-                    n_samples=n_samples, chunk_offset=chunk_offset,
-                    num_real=num_real, round=rnd,
-                )
-
-        at_cap = n_samples >= cfg.max_samples
-        if num_done == 0 and not at_cap:
-            _sync_bookkeeping(num_real)
+        try:
+            num_done_dev.copy_to_host_async()
+        except Exception:
+            pass  # transfer then happens at np.asarray time
+        repacked = False
+        if inflight is not None:
+            action = _handle(int(np.asarray(inflight)))
+            inflight = None
+            if action == STOP:
+                stopped = True
+                break
+            # After a repack the just-dispatched group's count refers to
+            # the pre-repack buffer — discard it.
+            repacked = action == REPACKED
+        if repacked:
             continue
-        if (
-            not at_cap
-            and num_done < num_real * cfg.repack_fraction
-            and num_real - num_done > cfg.min_active
-        ):
-            # Not worth repacking yet: converged rows keep sampling (their
-            # labels are frozen; the extra work is bounded by 2x until the
-            # half-way threshold trips).
-            _sync_bookkeeping(num_real - num_done)
-            continue
+        if work >= PIPELINE_WORK:
+            # Big group: resolve its count NOW (stall is a few percent of
+            # this much compute) so any repack lands before the next
+            # expensive round.
+            action = _handle(int(np.asarray(num_done_dev)))
+            if action == STOP:
+                stopped = True
+                break
+        else:
+            inflight = num_done_dev
 
-        # Emit + repack. One batched readback of the small state arrays.
-        uids_np, done_np, k_np, nfro_np, ntrue_np = jax.device_get(
-            (state.uids, state.done, state.k_frozen, state.n_frozen, state.n_true)
-        )
-        real = uids_np >= 0
-        emit_done = done_np & real
-        rows = uids_np[emit_done]
-        out_cp[rows] = k_np[emit_done].astype(np.float32) / nfro_np[emit_done].astype(
-            np.float32
-        )
-        out_n[rows] = nfro_np[emit_done]
-        out_done[rows] = True
-        if at_cap:
-            # Tail flush (generate_dataset.cu:470-479): unconverged rows
-            # get their current estimate at the final n_samples.
-            flush = real & ~done_np
-            rows = uids_np[flush]
-            out_cp[rows] = ntrue_np[flush].astype(np.float32) / np.float32(n_samples)
-            out_n[rows] = n_samples
-            num_real = 0
-            break
-
-        keep = np.flatnonzero(real & ~done_np)
-        num_real = len(keep)
-        if num_real == 0:
-            break
-        bucket = _round_up_bucket(num_real, cfg.min_active)
-        bucket = -(-bucket // n_shards) * n_shards  # shardable buffer size
-        pad = np.concatenate(
-            [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
-        )
-        gather = jnp.asarray(pad, jnp.int32)
-        pad_mask = jnp.arange(bucket) >= num_real
-        state = _shard(
-            _LoopState(
-                uids=jnp.where(pad_mask, -1, jnp.take(state.uids, gather, axis=0)),
-                active=Configs(*(jnp.take(a, gather, axis=0) for a in state.active)),
-                n_true=jnp.take(state.n_true, gather, axis=0),
-                done=jnp.take(state.done, gather, axis=0),
-                k_frozen=jnp.take(state.k_frozen, gather, axis=0),
-                n_frozen=jnp.take(state.n_frozen, gather, axis=0),
-            )
-        )
-        _sync_bookkeeping(num_real)
+    # Drain: the final group's count was never resolved (or a repack just
+    # cleared the pipeline) — run bookkeeping once more so converged rows
+    # emit and the at-cap tail flush runs.
+    if not stopped and num_real > 0:
+        if inflight is not None:
+            _handle(int(np.asarray(inflight)))
+        else:
+            # A repack consumed the last count; the state still holds
+            # frozen-but-unemitted labels (and possibly an at-cap tail).
+            _handle(num_real)
 
     if checkpoint_path is not None:
         import os

@@ -38,7 +38,10 @@ def test_checkpoint_resume_identical_result(rng, tmp_path):
         pass
 
     def bomb(round, **kw):
-        if round >= 2:
+        # >= 3: the pipelined done-count readback (estimator) resolves a
+        # group's bookkeeping one group later, so the first checkpoint
+        # lands during round 2's handle; interrupt after it exists.
+        if round >= 3:
             raise Stop
 
     try:
@@ -74,7 +77,7 @@ def test_checkpoint_key_mismatch_ignored(rng, tmp_path):
         adaptive_collision_probabilities(
             jax.random.PRNGKey(1), cfgs, ROBOT, CFG,
             progress=lambda round, **kw: (_ for _ in ()).throw(Stop())
-            if round >= 2 else None,
+            if round >= 3 else None,
             checkpoint_path=str(ckpt), checkpoint_every=1,
         )
     except Stop:
