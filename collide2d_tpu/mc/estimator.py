@@ -618,6 +618,74 @@ def _fused_round(
     return new_state, num_done
 
 
+class _OutState(NamedTuple):
+    """Device-resident emission buffers, one row per ORIGINAL config.
+
+    Frozen labels accumulate here instead of riding a 5-array host
+    readback at every repack: the host reads one scalar per repack and
+    materializes these once at the end. k/n are the frozen integer
+    numerator/denominator (division happens on host at materialize time,
+    bit-identical to the previous host-side emission)."""
+
+    k: Array     # int32 (C,) frozen true-counts (or tail-flush counts)
+    n: Array     # int32 (C,) frozen sample denominators (0 = never written)
+    flag: Array  # bool  (C,) converged (tail-flushed rows stay False)
+
+
+@jax.jit
+def _emit_to_out(state: _LoopState, outs: _OutState) -> _OutState:
+    """Scatter frozen labels of done rows into the output buffers.
+
+    Idempotent (frozen values never change after freezing), so calling it
+    at every repack and again at the end is safe."""
+    C = outs.k.shape[0]
+    emit = jnp.logical_and(state.done, state.uids >= 0)
+    tgt = jnp.where(emit, state.uids, C)  # C = out of bounds -> dropped
+    return _OutState(
+        k=outs.k.at[tgt].set(state.k_frozen, mode="drop"),
+        n=outs.n.at[tgt].set(state.n_frozen, mode="drop"),
+        flag=outs.flag.at[tgt].set(True, mode="drop"),
+    )
+
+
+@jax.jit
+def _flush_to_out(state: _LoopState, outs: _OutState, n_samples) -> _OutState:
+    """Tail flush (generate_dataset.cu:470-479): unconverged rows get
+    their current estimate at the final sample count; flag stays False."""
+    C = outs.k.shape[0]
+    fl = jnp.logical_and(jnp.logical_not(state.done), state.uids >= 0)
+    tgt = jnp.where(fl, state.uids, C)
+    n_bcast = jnp.broadcast_to(jnp.int32(n_samples), state.uids.shape)
+    return _OutState(
+        k=outs.k.at[tgt].set(state.n_true, mode="drop"),
+        n=outs.n.at[tgt].set(n_bcast, mode="drop"),
+        flag=outs.flag,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _pack_active(state: _LoopState, *, bucket: int):
+    """Repack still-active rows into a ``bucket``-sized buffer ON DEVICE.
+
+    Stable argsort puts active rows first in original order — the same
+    bucket contents the previous host-side flatnonzero produced — so the
+    Pallas path's block-tied streams see an identical trajectory. Pad
+    slots carry uids=-1 and done=True. Also returns the exact active
+    count (the only scalar the host needs to read)."""
+    active = jnp.logical_and(jnp.logical_not(state.done), state.uids >= 0)
+    order = jnp.argsort(jnp.logical_not(active), stable=True)[:bucket]
+    slot_valid = jnp.take(active, order)
+    new_state = _LoopState(
+        uids=jnp.where(slot_valid, jnp.take(state.uids, order), -1),
+        active=Configs(*(jnp.take(a, order, axis=0) for a in state.active)),
+        n_true=jnp.take(state.n_true, order),
+        done=jnp.logical_not(slot_valid),
+        k_frozen=jnp.take(state.k_frozen, order),
+        n_frozen=jnp.take(state.n_frozen, order),
+    )
+    return new_state, jnp.sum(active, dtype=jnp.int32)
+
+
 def _round_up_bucket(n: int, min_bucket: int) -> int:
     """Smallest ladder size >= n, ladder = {2^k, 3*2^(k-1)}.
 
@@ -769,12 +837,23 @@ def adaptive_collision_probabilities(
     n_samples = 0
     chunk_offset = 0
     rnd = 0
+    # Device-resident emission buffers (see _OutState): frozen labels
+    # scatter here at each repack; the host reads them ONCE at the end.
+    outs = _OutState(
+        k=jnp.zeros((C,), jnp.int32),
+        n=jnp.zeros((C,), jnp.int32),
+        flag=jnp.zeros((C,), bool),
+    )
 
     key_data = np.asarray(jax.random.key_data(key)).ravel()
     if checkpoint_path is not None:
         ckpt = _load_checkpoint(checkpoint_path, key_data, C)
         if ckpt is not None:
-            out_cp, out_n, out_done = ckpt["out_cp"], ckpt["out_n"], ckpt["out_done"]
+            outs = _OutState(
+                k=jnp.asarray(ckpt["out_k"], jnp.int32),
+                n=jnp.asarray(ckpt["out_nn"], jnp.int32),
+                flag=jnp.asarray(ckpt["out_flag"], bool),
+            )
             state = _shard(_LoopState(
                 uids=jnp.asarray(ckpt["uids"], jnp.int32),
                 active=Configs(*(jnp.asarray(a) for a in ckpt["active"])),
@@ -785,7 +864,11 @@ def adaptive_collision_probabilities(
             ))
             n_samples = int(ckpt["n_samples"])
             chunk_offset = int(ckpt["chunk_offset"])
-            num_real = int(ckpt["num_real"])
+            # Recompute exactly (the stored count may be the provisional
+            # overestimate the async repack pipeline runs on).
+            num_real = int(
+                ((ckpt["uids"] >= 0) & ~ckpt["done"].astype(bool)).sum()
+            )
             rnd = int(ckpt["round"])
 
     # Dispatch enough rounds between host syncs to amortize the readback
@@ -798,7 +881,9 @@ def adaptive_collision_probabilities(
         if checkpoint_path is not None and checkpoint_every:
             _save_checkpoint(
                 checkpoint_path, key_data, C,
-                out_cp=out_cp, out_n=out_n, out_done=out_done,
+                out_k=np.asarray(jax.device_get(outs.k)),
+                out_nn=np.asarray(jax.device_get(outs.n)),
+                out_flag=np.asarray(jax.device_get(outs.flag)),
                 uids=np.asarray(jax.device_get(state.uids)),
                 n_true=np.asarray(jax.device_get(state.n_true)),
                 done=np.asarray(jax.device_get(state.done)),
@@ -815,10 +900,20 @@ def adaptive_collision_probabilities(
         ``num_done`` may be one sync group STALE (see the pipelined
         readback below): labels freeze on device at the exact round the
         criterion holds, so a stale count only delays repack/exit
-        decisions — never changes a label. Emission always reads the
-        freshest state.
+        decisions — never changes a label. Emission scatters the freshest
+        state into the device-resident output buffers; a stale count
+        UNDERCOUNTS done rows, so the bucket it sizes can only be too
+        roomy, never too small.
         """
-        nonlocal state, num_real
+        nonlocal state, num_real, outs, pending_active
+        if pending_active is not None:
+            # Exact active count from the last repack (its transfer
+            # overlapped the sync group after it); replaces the
+            # provisional stale-safe overestimate.
+            num_real = int(np.asarray(pending_active))
+            pending_active = None
+            if num_real == 0:
+                return STOP  # buffer is pure padding; everything emitted
         if progress is not None:
             progress(
                 num_left=max(num_real - num_done, 0),
@@ -840,49 +935,35 @@ def adaptive_collision_probabilities(
             _sync_bookkeeping(num_real - num_done)
             return CONTINUE
 
-        # Emit + repack. One batched readback of the small state arrays.
-        uids_np, done_np, k_np, nfro_np, ntrue_np = jax.device_get(
-            (state.uids, state.done, state.k_frozen, state.n_frozen, state.n_true)
-        )
-        real = uids_np >= 0
-        emit_done = done_np & real
-        rows = uids_np[emit_done]
-        out_cp[rows] = k_np[emit_done].astype(np.float32) / nfro_np[
-            emit_done
-        ].astype(np.float32)
-        out_n[rows] = nfro_np[emit_done]
-        out_done[rows] = True
+        # Emit + repack, all on device: frozen labels scatter into the
+        # output buffers and the active rows pack into a smaller bucket —
+        # the host reads ONE scalar (the exact active count) instead of
+        # five buffer-sized arrays.
+        outs = _emit_to_out(state, outs)
         if at_cap:
-            # Tail flush (generate_dataset.cu:470-479): unconverged rows
-            # get their current estimate at the final n_samples.
-            flush = real & ~done_np
-            rows = uids_np[flush]
-            out_cp[rows] = ntrue_np[flush].astype(np.float32) / np.float32(n_samples)
-            out_n[rows] = n_samples
+            outs = _flush_to_out(state, outs, jnp.int32(n_samples))
             num_real = 0
             return STOP
-
-        keep = np.flatnonzero(real & ~done_np)
-        num_real = len(keep)
-        if num_real == 0:
+        est_active = max(num_real - num_done, 0)
+        if est_active == 0:
+            num_real = 0
             return STOP
-        bucket = _round_up_bucket(num_real, cfg.min_active)
-        bucket = -(-bucket // n_shards) * n_shards  # shardable buffer size
-        pad = np.concatenate(
-            [keep, np.full(bucket - num_real, keep[0], dtype=keep.dtype)]
-        )
-        gather = jnp.asarray(pad, jnp.int32)
-        pad_mask = jnp.arange(bucket) >= num_real
-        state = _shard(
-            _LoopState(
-                uids=jnp.where(pad_mask, -1, jnp.take(state.uids, gather, axis=0)),
-                active=Configs(*(jnp.take(a, gather, axis=0) for a in state.active)),
-                n_true=jnp.take(state.n_true, gather, axis=0),
-                done=jnp.take(state.done, gather, axis=0),
-                k_frozen=jnp.take(state.k_frozen, gather, axis=0),
-                n_frozen=jnp.take(state.n_frozen, gather, axis=0),
-            )
-        )
+        bucket = _round_up_bucket(est_active, cfg.min_active)
+        bucket = min(
+            -(-bucket // n_shards) * n_shards, len(state.uids)
+        )  # shardable, never grows
+        state, num_active_dev = _pack_active(state, bucket=bucket)
+        state = _shard(state)
+        # Async: the exact count resolves at the NEXT sync; until then the
+        # stale-safe overestimate stands in (used only for bucket sizing,
+        # thresholds, and the loop guard — a too-big value can at worst
+        # run one extra group on an all-padding buffer).
+        try:
+            num_active_dev.copy_to_host_async()
+        except Exception:
+            pass
+        pending_active = num_active_dev
+        num_real = est_active
         _sync_bookkeeping(num_real)
         return REPACKED
 
@@ -895,6 +976,7 @@ def adaptive_collision_probabilities(
     # a mostly-done buffer, so those resolve synchronously.
     PIPELINE_WORK = 5 * SYNC_SAMPLES
     inflight = None
+    pending_active = None  # async exact-active-count from the last repack
     stopped = False
     while num_real > 0 and n_samples < cfg.max_samples:
         # Plan a sync group; every round still freezes labels on device,
@@ -968,6 +1050,17 @@ def adaptive_collision_probabilities(
             os.remove(checkpoint_path)  # labeling finished cleanly
         except OSError:
             pass
+
+    # Materialize the device output buffers ONCE (division happens here,
+    # bit-identical to the former per-repack host emission: same int32
+    # numerators/denominators through the same float32 divide).
+    k_np, n_np, f_np = (np.asarray(x) for x in jax.device_get(outs))
+    written = n_np > 0
+    out_cp[written] = k_np[written].astype(np.float32) / n_np[written].astype(
+        np.float32
+    )
+    out_n[written] = n_np[written]
+    out_done |= f_np
     return out_cp, out_n, out_done
 
 
