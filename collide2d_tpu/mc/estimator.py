@@ -73,37 +73,63 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
     return 1
 
 
-def _plan_round(cfg, sim_n: int, n_sample: int) -> tuple[int, int]:
+@functools.lru_cache(maxsize=None)
+def _canonical_step(nb: int) -> int:
+    """The auto step for an ``nb``-sample round: the largest divisor
+    <= 512 whose step COUNT is a multiple of 8, falling back to the
+    plain largest divisor. Making the step-count 8-divisible keeps the
+    choice IDENTICAL for unsharded runs and any sample axis in
+    {1, 2, 4, 8} — the per-step fold_in tags (and hence every label) are
+    then value-level invariants of the mesh."""
+    fallback = 1
+    for s in range(min(512, nb), 0, -1):
+        if nb % s:
+            continue
+        if fallback == 1:
+            fallback = s
+        if (nb // s) % 8 == 0:
+            return s
+    return fallback
+
+
+def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     """(n_batch, step_samples) for the round starting at ``sim_n`` samples.
 
-    n_batch is rounded UP (never down) so the round step stays efficient:
-    to a multiple of 8 (the Pallas sub-tile granule) and of the sample-
-    axis device count, and — when the configured batch has no divisor
-    >= 64 under the 512-lane cap — to a multiple of the step itself, so a
+    n_batch is rounded UP (never down) only as far as the execution path
+    requires: to a multiple of 8 for the Pallas kernel's sample sub-tile,
+    of the sample-axis device count, and — when the configured batch has
+    no divisor >= 64 under the 512-lane cap — of the step itself, so a
     prime ``--n_batch`` can never degrade to a 1-lane fori loop (~500x
-    slower). The reference defaults (1000/100000/10000, 8-divisible) are
-    never changed. Extra samples are counted in n_samples, so the CI
-    criterion is evaluated at the true draw count (documented divergence:
-    the reference draws exactly n_batch).
+    slower). A single-device jnp run keeps the exact configured batch.
+    Extra samples are counted in n_samples, so the CI criterion is
+    evaluated at the true draw count (documented divergence: the
+    reference draws exactly n_batch).
     """
     import math
 
     nb = cfg.batch_for(sim_n)
-    g = math.lcm(8, n_sample)
+    g = math.lcm(8 if impl == "pallas" else 1, n_sample)
     nb = -(-nb // g) * g
     if cfg.step_samples:
         step = cfg.step_samples
-        if nb % (step * n_sample):
+        # (the Pallas kernel draws its own sub-tiles; step is tag-only)
+        if impl != "pallas" and nb % (step * n_sample):
             raise ValueError(
                 f"step_samples={step} x sample axis {n_sample} must divide "
                 f"n_batch={nb}"
             )
         return nb, step
-    step = _largest_divisor_leq(nb // n_sample, 512)
-    if step < 64 and nb // n_sample >= 512:
+    step = _canonical_step(nb)
+    if step < 64 and nb >= 512 * n_sample:
         g2 = math.lcm(512 * n_sample, g)
         nb = -(-nb // g2) * g2
         step = 512
+    if (nb // step) % n_sample:
+        raise ValueError(
+            f"the canonical step {step} for n_batch={nb} gives {nb // step} "
+            f"steps, not divisible by the sample axis {n_sample}; pick an "
+            f"n_batch that 8 x {n_sample} divides, or pin step_samples"
+        )
     return nb, step
 
 
@@ -742,10 +768,13 @@ def adaptive_collision_probabilities(
     because streams are uid-keyed, and a ``sample`` axis > 1 round-robins
     the sample STEPS across devices with the single-chip fold_in tags, so
     the psum'd counts equal the unsharded sum bit for bit
-    (`_sample_sharded_counts`). impl='pallas' runs under a config-only
-    mesh via shard_map with per-shard seeds; combined with a sample axis
-    it falls back to the jnp path with a warning (the fused kernel owns
-    the whole per-config budget).
+    (`_sample_sharded_counts`); the auto step choice is itself
+    shard-invariant (`_canonical_step`), so no step pinning is needed.
+    Under a mesh impl='auto' therefore resolves to jnp. Explicitly
+    passing impl='pallas' opts into the fused kernel (config-only mesh,
+    shard_map, per-shard seeds) at the cost of the bitwise guarantee;
+    pallas combined with a sample axis falls back to jnp with a warning
+    (the fused kernel owns the whole per-config budget).
     """
     C = configs.num
     out_cp = np.zeros((C,), np.float32)
@@ -758,7 +787,12 @@ def adaptive_collision_probabilities(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        impl = resolve_impl(cfg.impl, configs.position)
+        # Under a mesh, 'auto' resolves to the threefry jnp path: its
+        # uid-keyed streams make BOTH mesh axes value-level no-ops
+        # (bitwise-equal to unsharded — the documented DP contract).
+        # Explicit impl='pallas' opts into the faster fused kernel at the
+        # cost of that bitwise guarantee (per-shard block-tied streams).
+        impl = cfg.impl if cfg.impl != "auto" else "jnp"
         n_sample = _mesh_axis(mesh, "sample")
         if impl == "pallas" and n_sample > 1:
             import warnings
@@ -877,7 +911,7 @@ def adaptive_collision_probabilities(
 
     CONTINUE, REPACKED, STOP = 0, 1, 2
 
-    def _sync_bookkeeping(active_left):
+    def _sync_bookkeeping():
         if checkpoint_path is not None and checkpoint_every:
             _save_checkpoint(
                 checkpoint_path, key_data, C,
@@ -922,7 +956,7 @@ def adaptive_collision_probabilities(
             )
         at_cap = n_samples >= cfg.max_samples
         if num_done == 0 and not at_cap:
-            _sync_bookkeeping(num_real)
+            _sync_bookkeeping()
             return CONTINUE
         if (
             not at_cap
@@ -932,7 +966,7 @@ def adaptive_collision_probabilities(
             # Not worth repacking yet: converged rows keep sampling (their
             # labels are frozen; the extra work is bounded by 2x until the
             # half-way threshold trips).
-            _sync_bookkeeping(num_real - num_done)
+            _sync_bookkeeping()
             return CONTINUE
 
         # Emit + repack, all on device: frozen labels scatter into the
@@ -964,7 +998,7 @@ def adaptive_collision_probabilities(
             pass
         pending_active = num_active_dev
         num_real = est_active
-        _sync_bookkeeping(num_real)
+        _sync_bookkeeping()
         return REPACKED
 
     # Pipelined readback: the done count of group k resolves while group
@@ -985,7 +1019,7 @@ def adaptive_collision_probabilities(
         work = 0
         sim_n = n_samples
         while sim_n < cfg.max_samples:
-            nb, step = _plan_round(cfg, sim_n, n_sample)
+            nb, step = _plan_round(cfg, sim_n, n_sample, impl)
             sim_n += nb
             group.append((nb, step))
             work += nb * len(state.uids)
@@ -1095,9 +1129,12 @@ def _load_checkpoint(path, key_data, n_configs):
             ):
                 return None  # stale checkpoint from a different run
             return {
-                "out_cp": z["out_cp"],
-                "out_n": z["out_n"],
-                "out_done": z["out_done"],
+                # Integer emission buffers (new format; an old-format
+                # checkpoint lacks these keys -> KeyError -> None, i.e.
+                # it is ignored like any other stale checkpoint).
+                "out_k": z["out_k"],
+                "out_nn": z["out_nn"],
+                "out_flag": z["out_flag"],
                 "uids": z["uids"],
                 "n_true": z["n_true"],
                 "done": z["done"],

@@ -55,11 +55,17 @@ def test_checkpoint_resume_identical_result(rng, tmp_path):
     assert ckpt.exists()
 
     # Resume must complete and (threefry impl: uid-keyed streams) exactly
-    # reproduce the uninterrupted run.
+    # reproduce the uninterrupted run — AND actually continue rather than
+    # silently restart (a from-scratch rerun is bit-identical too, so
+    # equality alone cannot distinguish; the first progress report of a
+    # true resume starts beyond the checkpointed sample count).
+    seen = []
     cp, n_used, done = adaptive_collision_probabilities(
         key, cfgs, ROBOT, CFG,
+        progress=lambda **kw: seen.append(kw["n_samples"]),
         checkpoint_path=str(ckpt), checkpoint_every=1,
     )
+    assert seen and min(seen) > 2000, seen  # ckpt held >= 2 rounds of work
     np.testing.assert_array_equal(cp, base)
     np.testing.assert_array_equal(n_used, base_n)
     np.testing.assert_array_equal(done, base_done)

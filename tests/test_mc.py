@@ -242,19 +242,29 @@ def test_plan_round_prime_batch_never_degrades():
     from collide2d_tpu.mc.estimator import AdaptiveConfig, _plan_round
 
     cfg = AdaptiveConfig(fixed_batch=9973)  # prime
-    nb, step = _plan_round(cfg, 0, 1)
-    assert nb >= 9973 and nb % 8 == 0 and nb % step == 0
+    nb, step = _plan_round(cfg, 0, 1, "jnp")
+    assert nb >= 9973 and nb % step == 0
     assert step >= 64
-    # reference defaults are never changed
+    # reference defaults keep their exact batch sizes (canonical step:
+    # largest divisor <= 512 with an 8-divisible step count, so the auto
+    # choice is IDENTICAL for any sample axis in {1,2,4,8})
     ref = AdaptiveConfig()
-    assert _plan_round(ref, 0, 1) == (1000, 500)
-    assert _plan_round(ref, 30_000, 1) == (100_000, 500)
-    # ztest's fixed 10k schedule is untouched too
+    assert _plan_round(ref, 0, 1, "jnp") == (1000, 125)
+    assert _plan_round(ref, 30_000, 1, "jnp") == (100_000, 500)
     zt = AdaptiveConfig(fixed_batch=10_000)
-    assert _plan_round(zt, 0, 1) == (10_000, 500)
-    # sample-axis granularity: nb a multiple of step * n_sample
-    nb8, step8 = _plan_round(AdaptiveConfig(fixed_batch=9973), 0, 8)
-    assert nb8 % (step8 * 8) == 0
+    assert _plan_round(zt, 0, 1, "jnp") == (10_000, 250)
+    # shard-invariance of the auto step = the bitwise sample-axis
+    # contract the CLI advertises (code-review r2 finding)
+    for n_sample in (2, 4, 8):
+        assert _plan_round(ref, 0, n_sample, "jnp") == (1000, 125)
+        assert _plan_round(zt, 0, n_sample, "jnp") == (10_000, 250)
+    # pallas rounds the batch to its 8-sample sub-tile granule
+    nb_p, _ = _plan_round(AdaptiveConfig(fixed_batch=9973), 0, 1, "pallas")
+    assert nb_p % 8 == 0 and nb_p >= 9973
+    # explicit step_samples that divides the user's batch keeps it exact
+    # on the jnp path (no surprise rounding -> no mid-run ValueError)
+    ex = AdaptiveConfig(fixed_batch=500, step_samples=500)
+    assert _plan_round(ex, 0, 1, "jnp") == (500, 500)
 
 
 def test_adaptive_prime_fixed_batch_end_to_end(rng):
