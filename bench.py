@@ -48,9 +48,12 @@ def main() -> int:
             log(res)
         except Exception as e:
             print(f"{probe.__name__} failed: {e}", file=sys.stderr, flush=True)
-    from collide2d_tpu.utils.benchmarks import bench_sat_pallas_bf16
+    from collide2d_tpu.utils.benchmarks import (
+        bench_mc_pallas,
+        bench_sat_pallas_bf16,
+    )
 
-    for fn in (bench_sat, bench_mc, bench_sat_pallas_bf16):
+    for fn in (bench_sat, bench_mc, bench_mc_pallas, bench_sat_pallas_bf16):
         try:
             log(fn())
         except Exception as e:

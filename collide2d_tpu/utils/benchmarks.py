@@ -481,6 +481,48 @@ def bench_mc(configs: int = 65536, step_samples: int = 128, iters: int = 20) -> 
     }
 
 
+def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
+    """Fused Pallas MC kernel throughput (hardware PRNG + Box-Muller +
+    OBB + on-chip reduce) — the production sampler.
+
+    Measured bound (probed by substituting cheap noise / iota-hash
+    uniforms / 16-bit draws, all within 1%): plain VPU arithmetic+issue,
+    NOT the transcendental unit and NOT PRNG generation — ~7.4e9
+    samples/s is stable for sub-tile sizes 16-128."""
+    from collide2d_tpu.ops.mc_pallas import mc_counts_pallas, pack_mc_params
+
+    cfgs = _bench_configs(configs)
+    params = jax.block_until_ready(
+        pack_mc_params(cfgs, jnp.asarray([4.07, 1.74], jnp.float32))
+    )
+    seed = jnp.asarray([123, 456], jnp.int32)
+    sub, n_steps = 32, 64
+
+    @jax.jit
+    def loop(params, k):
+        def body(i, acc):
+            return acc + jnp.sum(
+                mc_counts_pallas(seed + i, params, jnp.int32(n_steps), sub=sub),
+                dtype=jnp.int32,
+            )
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    dt = _diff_time(
+        loop, (params, jnp.int32(1)), (params, jnp.int32(1 + iters)), iters
+    )
+    rate = params.shape[1] * sub * n_steps / dt
+    return {
+        "metric": "mc_samples_per_sec_pallas",
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "seconds_per_iter": dt,
+        "configs": params.shape[1],
+        "samples_per_config_per_iter": sub * n_steps,
+    }
+
+
 def bench_e2e(configs: int = 65536, seed: int = 0) -> dict:
     """End-to-end adaptive labeling throughput at REFERENCE-DEFAULT
     accuracy bins and sample schedule (SURVEY.md §6 metric (c): configs

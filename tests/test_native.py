@@ -67,3 +67,41 @@ def test_get_num_batches_numeric_only(tmp_path):
     # utils.cu:36-56 semantics: numeric stems only.
     assert get_num_batches_in_dir(tmp_path) == 3
     assert get_num_batches_in_dir(tmp_path / "missing") == 0
+
+
+def test_async_writer_failure_counted(tmp_path):
+    # A write into a nonexistent directory must surface as a failure
+    # (native: counted at flush; numpy fallback: raises at submit) and
+    # must never leave a partially-written file or .tmp behind.
+    from collide2d_tpu.utils import native
+
+    rows = np.ones((4, 5), np.float32)
+    with native.AsyncNpyWriter() as w:
+        bad = tmp_path / "missing_dir" / "0.npy"
+        if w._h is None:  # numpy fallback is synchronous
+            with pytest.raises(OSError):
+                w.submit(bad, rows)
+        else:
+            w.submit(bad, rows)
+            assert w.flush() >= 1
+        assert not bad.exists()
+    assert not list(tmp_path.glob("**/*.tmp"))
+
+
+def test_async_writer_atomic_publish(tmp_path):
+    from collide2d_tpu.utils import native
+
+    rows = np.arange(20, dtype=np.float32).reshape(4, 5)
+    with native.AsyncNpyWriter() as w:
+        w.submit(tmp_path / "0.npy", rows)
+        assert w.flush() == 0
+    np.testing.assert_array_equal(np.load(tmp_path / "0.npy"), rows)
+    assert not list(tmp_path.glob("*.tmp"))  # temp renamed away
+
+
+def test_save_npy_atomic(tmp_path):
+    from collide2d_tpu.utils.io_npy import save_npy
+
+    save_npy(tmp_path / "a.npy", np.zeros((3, 5), np.float32))
+    assert (tmp_path / "a.npy").exists()
+    assert not list(tmp_path.glob("*.tmp"))
