@@ -86,6 +86,11 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "active/done/samples-per-sec) + batch progress")
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
+    p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
+                   help="MC sampler: auto = fused Pallas kernel on TPU, "
+                        "threefry-jnp elsewhere (and under a mesh, where jnp "
+                        "keeps labels bitwise-equal to unsharded); pallas = "
+                        "explicit opt-in, fastest, block-tied streams")
     p.add_argument("--prune_sigma", type=float, default=0.0,
                    help="label configurations that cannot collide within "
                         "this many noise std-devs as cp=0 without sampling "
@@ -125,6 +130,7 @@ def _run_generate(args: argparse.Namespace) -> int:
         verbose=args.verbose,
         trace_dir=args.trace_dir,
         prune_sigma=args.prune_sigma,
+        impl=args.impl,
     )
     generate_dataset(cfg)
     return 0
@@ -152,6 +158,11 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
+    p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
+                   help="MC sampler: auto = fused Pallas kernel on TPU, "
+                        "threefry-jnp elsewhere (and under a mesh, where jnp "
+                        "keeps labels bitwise-equal to unsharded); pallas = "
+                        "explicit opt-in, fastest, block-tied streams")
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_relabel)
@@ -171,6 +182,7 @@ def _run_relabel(args: argparse.Namespace) -> int:
             sample_parallel=args.sample_parallel,
             verbose=args.verbose,
             trace_dir=args.trace_dir,
+            impl=args.impl,
         )
     )
     return 0
@@ -203,6 +215,11 @@ def _add_ztest(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
+    p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
+                   help="MC sampler: auto = fused Pallas kernel on TPU, "
+                        "threefry-jnp elsewhere (and under a mesh, where jnp "
+                        "keeps labels bitwise-equal to unsharded); pallas = "
+                        "explicit opt-in, fastest, block-tied streams")
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_ztest)
@@ -225,6 +242,7 @@ def _run_ztest(args: argparse.Namespace) -> int:
             sample_parallel=args.sample_parallel,
             verbose=args.verbose,
             trace_dir=args.trace_dir,
+            impl=args.impl,
         )
     )
     return 0

@@ -102,6 +102,9 @@ class GenerateConfig:
     # (AdaptiveConfig.prune_sigma; label error ~1e-8 at 6.0) — skips the
     # ~37k-sample rule-of-three cost of every zero-probability row.
     prune_sigma: float = 0.0
+    # 'auto' (pallas on TPU, jnp elsewhere; jnp under a mesh for bitwise
+    # DP) | 'jnp' | 'pallas' — see AdaptiveConfig.impl.
+    impl: str = "auto"
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -133,6 +136,7 @@ class RelabelConfig:
     # labels; builds a (1, s) mesh; ignored when data_parallel/mesh set).
     sample_parallel: int = 0
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
+    impl: str = "auto"
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -167,6 +171,7 @@ class ZTestConfig:
     sample_parallel: int = 0
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
     trace_dir: str = ""  # capture a jax.profiler trace of the run here
+    impl: str = "auto"
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -270,6 +275,8 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
         kwargs["schedule"] = cfg.schedule
     if getattr(cfg, "prune_sigma", 0.0):
         kwargs["prune_sigma"] = cfg.prune_sigma
+    if getattr(cfg, "impl", "auto") != "auto":
+        kwargs["impl"] = cfg.impl
     if fixed_batch is not None:
         kwargs["fixed_batch"] = fixed_batch
     return AdaptiveConfig(**kwargs)
@@ -427,6 +434,7 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
         accuracy_bins=tuple(float(x) for x in accuracy_bins),
         bin_accuracy=tuple(float(x) for x in bin_accuracy),
         max_samples=cfg.max_samples,
+        impl=cfg.impl,
     )
     key = _master_key(cfg.seed)
 
@@ -499,6 +507,7 @@ def ztest(cfg: ZTestConfig) -> np.ndarray:
         bin_accuracy=tuple(float(x) for x in bin_accuracy),
         max_samples=cfg.max_samples,
         fixed_batch=cfg.n_batch,  # ztest.cu:332 — fixed 10k per round
+        impl=cfg.impl,
     )
     mesh = cfg.mesh
     if mesh is None and cfg.sample_parallel and cfg.sample_parallel > 1:

@@ -50,6 +50,23 @@ def test_relabel_and_ztest_defaults():
     assert z.cps_only is False and z.n_batch == 10_000  # ztest.cu:332
 
 
+def test_extension_flag_defaults():
+    # extensions beyond the reference CLI keep reference-parity defaults:
+    # everything off / auto unless explicitly requested.
+    g = _parse(["generate"])
+    assert g.prune_sigma == 0.0 and g.impl == "auto"
+    assert g.schedule == "reference" and g.trace_dir == ""
+    assert g.verbose is True and g.data_parallel is False
+    r = _parse(["relabel"])
+    assert r.sample_parallel == 0 and r.impl == "auto"
+    z = _parse(["ztest"])
+    assert z.sample_parallel == 0 and z.impl == "auto"
+    z2 = _parse(["ztest", "--sample_parallel", "8", "--impl", "jnp"])
+    assert z2.sample_parallel == 8 and z2.impl == "jnp"
+    with pytest.raises(SystemExit):  # invalid impl rejected at parse time
+        _parse(["generate", "--impl", "cuda"])
+
+
 def test_bool_flag_parsing():
     assert cli._bool_flag("true") and cli._bool_flag("1")
     assert not cli._bool_flag("false") and not cli._bool_flag("off")
