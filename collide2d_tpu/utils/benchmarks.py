@@ -208,6 +208,45 @@ def bench_broad_phase_sat(
     }
 
 
+def bench_sat_polygons_pallas(
+    pairs: int = 1 << 22, k: int = 8, iters: int = 50
+) -> dict:
+    """Convex k-gon Pallas SAT throughput (BASELINE config #4 narrow
+    phase). Measured on-chip: 1.97e9 pairs/s at k=8 (~1500 flops/pair —
+    compute-bound, ~6x the XLA sat_polygons path), 4.33e9 at k=4."""
+    from collide2d_tpu.ops.polygon_pallas import (
+        pack_polygons,
+        sat_polygons_pallas_t,
+    )
+
+    p1 = _random_convex_polygons(pairs, k, 0, 10.0)
+    p2 = _random_convex_polygons(pairs, k, 1, 10.0)
+    t1 = jax.block_until_ready(pack_polygons(p1))
+    t2 = jax.block_until_ready(pack_polygons(p2))
+
+    @jax.jit
+    def loop(t1, t2, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            return acc + jnp.sum(sat_polygons_pallas_t(t1, t2 + shift, k1=k, k2=k))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (t1, t2, jnp.int32(1)), (t1, t2, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "sat_polygon_pairs_per_sec_pallas",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "k": k,
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+    }
+
+
 def _sparse_scene_configs(n: int, box: float = 25.0, seed: int = 0):
     """Configs spread over a +-box scene: only the ~pi*r^2/(2 box)^2
     fraction near the obstacle can possibly collide (r ~ 7 with the
