@@ -14,10 +14,10 @@ configs. Two TPU-native forms:
    unpruned path.
 
 Measured reality check (axon TPU, 1M k=8 pairs, 3% density): the FULL
-narrow phase costs 3.3 ms, the AABB mask alone 0.15 ms — but XLA's
-element-level compaction costs an order of magnitude more than it saves
-(flatnonzero 9.4 ms, 65k-row gather 4.9 ms, scatter-based compaction
-16 ms). For a ~1e2-flop/pair narrow phase, DENSE MASKED EXECUTION IS THE
+narrow phase costs 3.3 ms (1.3 ms after the unrolled sat_polygons
+rewrite), the AABB mask alone 0.15 ms — but XLA's element-level
+compaction costs an order of magnitude more than it saves (flatnonzero
+9.4 ms, 65k-row gather 4.9 ms, scatter-based compaction 16 ms). For a ~1e2-flop/pair narrow phase, DENSE MASKED EXECUTION IS THE
 TPU-OPTIMAL STRATEGY; that is why the adaptive estimator compacts on the
 HOST between rounds instead. Broad-phase pruning pays wall-clock where
 the per-candidate work dwarfs one data pass — the Monte-Carlo
