@@ -5,16 +5,20 @@ Primary metric: batched rectangle-pair SAT throughput on the local chip
 measured on the Pallas kernel (the production narrow-phase path).
 
 Output contract (the driver parses the LAST JSON line of the combined
-stdout+stderr stream): secondary metrics and diagnostics print FIRST (to
-stderr), then the single headline JSON prints to stdout as the very last
-line of the process.
+stdout+stderr stream):
+- the headline runs FIRST and its JSON prints immediately (so even a
+  timeout mid-secondaries leaves a valid capture),
+- secondary metrics print '# '-prefixed to stderr (never parseable as
+  the headline),
+- the headline JSON prints once more as the very last stdout line.
 
 The headline carries ``effective_gbps`` — the HBM bandwidth the claimed
-throughput implies at the kernel's 128 bytes/pair cost model — and the
-diagnostics include ``hbm_read_gbps``, the bandwidth a pure streaming
-reduction measures on the same device with the same difference-quotient
-methodology. A headline whose implied bandwidth exceeds what the device
-demonstrably streams would be flagged here rather than shipped.
+throughput implies at the kernel's 128 bytes/pair cost model — and
+``hbm_read_gbps``, the bandwidth a trivial-math Pallas kernel with the
+SAT kernel's exact memory pattern measures on the same device with the
+same difference-quotient methodology. A headline whose implied bandwidth
+exceeds what the device demonstrably streams is flagged here rather than
+shipped.
 """
 
 from __future__ import annotations
@@ -26,20 +30,22 @@ import sys
 def main() -> int:
     from collide2d_tpu.utils.benchmarks import (
         bench_mc,
+        bench_mc_pallas,
         bench_reduce_bandwidth,
         bench_sat,
         bench_sat_pallas,
+        bench_sat_pallas_bf16,
         bench_stream_bandwidth_pallas,
     )
 
     def log(obj) -> None:
-        print(json.dumps(obj), file=sys.stderr, flush=True)
+        # '# ' prefix: diagnostics must never parse as the headline line.
+        print("# " + json.dumps(obj), file=sys.stderr, flush=True)
 
-    # Diagnostics + secondary metrics first (stderr). Failures here must
-    # never break the headline. The bandwidth anchor is the LARGER of the
-    # XLA streaming reduce (not bandwidth-optimal, ~50% of chip) and the
-    # Pallas trivial-math kernel with the SAT kernel's exact memory
-    # pattern (the honest ceiling).
+    # Bandwidth anchor first (needed for the headline's sanity check):
+    # the LARGER of the XLA streaming reduce (not bandwidth-optimal,
+    # ~50% of chip) and the Pallas trivial-math kernel with the SAT
+    # kernel's exact memory pattern (the honest ceiling).
     hbm_gbps = None
     for probe in (bench_stream_bandwidth_pallas, bench_reduce_bandwidth):
         try:
@@ -47,17 +53,7 @@ def main() -> int:
             hbm_gbps = max(hbm_gbps or 0.0, res["value"])
             log(res)
         except Exception as e:
-            print(f"{probe.__name__} failed: {e}", file=sys.stderr, flush=True)
-    from collide2d_tpu.utils.benchmarks import (
-        bench_mc_pallas,
-        bench_sat_pallas_bf16,
-    )
-
-    for fn in (bench_sat, bench_mc, bench_mc_pallas, bench_sat_pallas_bf16):
-        try:
-            log(fn())
-        except Exception as e:
-            print(f"{fn.__name__} failed: {e}", file=sys.stderr, flush=True)
+            print(f"# {probe.__name__} failed: {e}", file=sys.stderr, flush=True)
 
     # Headline: Pallas SAT throughput, sanity-checked against the measured
     # streaming bandwidth (the kernel reads 128 bytes/pair, so value *
@@ -76,17 +72,28 @@ def main() -> int:
         headline["hbm_read_gbps"] = hbm_gbps
         if sat["effective_gbps"] > 1.15 * hbm_gbps:
             print(
-                f"WARNING: implied bandwidth {sat['effective_gbps']:.0f} GB/s "
-                f"exceeds measured streaming bandwidth {hbm_gbps:.0f} GB/s — "
-                "timing methodology suspect",
+                f"# WARNING: implied bandwidth {sat['effective_gbps']:.0f} "
+                f"GB/s exceeds measured streaming bandwidth {hbm_gbps:.0f} "
+                "GB/s - timing methodology suspect",
                 file=sys.stderr,
                 flush=True,
             )
             headline["bandwidth_check"] = "FAILED"
         else:
             headline["bandwidth_check"] = "ok"
+    line = json.dumps(headline)
+    print(line, flush=True)  # early capture, in case secondaries time out
+
+    # Secondary metrics (stderr, '#'-prefixed). Failures never break the
+    # headline.
+    for fn in (bench_sat, bench_mc, bench_mc_pallas, bench_sat_pallas_bf16):
+        try:
+            log(fn())
+        except Exception as e:
+            print(f"# {fn.__name__} failed: {e}", file=sys.stderr, flush=True)
+
     sys.stderr.flush()
-    print(json.dumps(headline), flush=True)
+    print(line, flush=True)  # the contract: headline is the FINAL line
     return 0
 
 
