@@ -35,6 +35,7 @@ def main() -> int:
         bench_sat,
         bench_sat_pallas,
         bench_sat_pallas_bf16,
+        bench_sat_polygons_pallas,
         bench_stream_bandwidth_pallas,
     )
 
@@ -86,7 +87,13 @@ def main() -> int:
 
     # Secondary metrics (stderr, '#'-prefixed). Failures never break the
     # headline.
-    for fn in (bench_sat, bench_mc, bench_mc_pallas, bench_sat_pallas_bf16):
+    for fn in (
+        bench_sat,
+        bench_mc,
+        bench_mc_pallas,
+        bench_sat_pallas_bf16,
+        bench_sat_polygons_pallas,
+    ):
         try:
             log(fn())
         except Exception as e:

@@ -27,6 +27,12 @@ from collide2d_tpu.data.pipeline import (
 )
 
 
+_IMPL_HELP = ("MC sampler: auto = fused Pallas kernel on TPU, threefry-jnp "
+              "elsewhere (and under a mesh, where jnp keeps labels "
+              "bitwise-equal to unsharded); pallas = explicit opt-in, "
+              "fastest, block-tied streams")
+
+
 def _add_generate(sub: argparse._SubParsersAction) -> None:
     d = GenerateConfig()
     p = sub.add_parser("generate", help="create a labeled collision dataset")
@@ -87,10 +93,7 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
-                   help="MC sampler: auto = fused Pallas kernel on TPU, "
-                        "threefry-jnp elsewhere (and under a mesh, where jnp "
-                        "keeps labels bitwise-equal to unsharded); pallas = "
-                        "explicit opt-in, fastest, block-tied streams")
+                   help=_IMPL_HELP)
     p.add_argument("--prune_sigma", type=float, default=0.0,
                    help="label configurations that cannot collide within "
                         "this many noise std-devs as cp=0 without sampling "
@@ -159,10 +162,7 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
-                   help="MC sampler: auto = fused Pallas kernel on TPU, "
-                        "threefry-jnp elsewhere (and under a mesh, where jnp "
-                        "keeps labels bitwise-equal to unsharded); pallas = "
-                        "explicit opt-in, fastest, block-tied streams")
+                   help=_IMPL_HELP)
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_relabel)
@@ -216,10 +216,7 @@ def _add_ztest(sub: argparse._SubParsersAction) -> None:
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
-                   help="MC sampler: auto = fused Pallas kernel on TPU, "
-                        "threefry-jnp elsewhere (and under a mesh, where jnp "
-                        "keeps labels bitwise-equal to unsharded); pallas = "
-                        "explicit opt-in, fastest, block-tied streams")
+                   help=_IMPL_HELP)
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
     p.set_defaults(func=_run_ztest)

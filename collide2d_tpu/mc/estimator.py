@@ -108,28 +108,54 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     import math
 
     nb = cfg.batch_for(sim_n)
-    g = math.lcm(8 if impl == "pallas" else 1, n_sample)
-    nb = -(-nb // g) * g
+    # Rounding granules are deliberately n_sample-INDEPENDENT: the plan
+    # for a sharded run must equal the unsharded plan or the advertised
+    # bitwise sample-axis contract breaks silently (review r2 finding).
+    if impl == "pallas":
+        nb = -(-nb // 8) * 8  # the kernel's sample sub-tile granule
     if cfg.step_samples:
         step = cfg.step_samples
-        # (the Pallas kernel draws its own sub-tiles; step is tag-only)
-        if impl != "pallas" and nb % (step * n_sample):
+        if impl == "pallas":
+            # The kernel draws its own sub-tiles; step is tag-only, but
+            # the round tag must still ADVANCE (nb // step >= 1) or
+            # consecutive rounds would redraw identical noise.
+            return nb, min(step, nb)
+        if nb % (step * n_sample):
             raise ValueError(
                 f"step_samples={step} x sample axis {n_sample} must divide "
                 f"n_batch={nb}"
             )
         return nb, step
     step = _canonical_step(nb)
-    if step < 64 and nb >= 512 * n_sample:
-        g2 = math.lcm(512 * n_sample, g)
-        nb = -(-nb // g2) * g2
+    if step < 64 and nb >= 4096:
+        # No decent divisor (prime-ish batch): bump to a multiple of
+        # 4096 = 512 lanes x 8 steps — the same plan at EVERY sample
+        # axis in {1,2,4,8}.
+        nb = -(-nb // 4096) * 4096
         step = 512
     if (nb // step) % n_sample:
-        raise ValueError(
-            f"the canonical step {step} for n_batch={nb} gives {nb // step} "
-            f"steps, not divisible by the sample axis {n_sample}; pick an "
-            f"n_batch that 8 x {n_sample} divides, or pin step_samples"
+        # The shard-invariant plan cannot serve this axis (e.g. a 16-way
+        # sample mesh with an 8-step batch): fall back to a valid
+        # shard-SPECIFIC plan, loudly — labels will differ from an
+        # unsharded run (pin step_samples to restore comparability).
+        import warnings
+
+        g = math.lcm(8 if impl == "pallas" else 1, n_sample)
+        nb2 = -(-nb // g) * g
+        step2 = _largest_divisor_leq(nb2 // n_sample, 512)
+        if step2 < 64 and nb2 >= 512 * n_sample:
+            g2 = math.lcm(512 * n_sample, g)
+            nb2 = -(-nb2 // g2) * g2
+            step2 = 512
+        warnings.warn(
+            f"sample axis {n_sample} is incompatible with the canonical "
+            f"(shard-invariant) plan for n_batch={nb}; using a shard-"
+            f"specific plan ({nb2}, {step2}) — labels will NOT be bitwise-"
+            "equal to an unsharded run. Pin step_samples (and an n_batch "
+            f"divisible by step x {n_sample}) to restore comparability.",
+            stacklevel=3,
         )
+        return nb2, step2
     return nb, step
 
 

@@ -325,3 +325,28 @@ def test_round_up_bucket_ladder():
         b = _round_up_bucket(n, 64)
         assert b >= n and b % 8 == 0
         assert b <= 2 * n or b == 64  # never worse than the old 2x bound
+
+
+def test_plan_round_shard_invariance_and_fallback():
+    # review r2b findings: the plan must be IDENTICAL across sample axes
+    # {1,2,4,8} even for prime batches (the 4096 bump is axis-free)...
+    import warnings
+
+    from collide2d_tpu.mc.estimator import AdaptiveConfig, _plan_round
+
+    prime = AdaptiveConfig(fixed_batch=9973)
+    plans = {n: _plan_round(prime, 0, n, "jnp") for n in (1, 2, 4, 8)}
+    assert len(set(plans.values())) == 1, plans
+    nb, step = plans[1]
+    assert (nb // step) % 8 == 0
+    # ...a pallas step pinned above the batch is clamped so the round tag
+    # still advances (no identical-noise rounds)...
+    small = AdaptiveConfig(fixed_batch=100, step_samples=512)
+    nb_p, step_p = _plan_round(small, 0, 1, "pallas")
+    assert nb_p // step_p >= 1
+    # ...and an axis the canonical plan cannot serve falls back LOUDLY to
+    # a valid shard-specific plan instead of crashing or diverging
+    # silently.
+    with pytest.warns(UserWarning, match="NOT be bitwise"):
+        nb16, step16 = _plan_round(AdaptiveConfig(), 0, 16, "jnp")
+    assert nb16 % (step16 * 16) == 0
