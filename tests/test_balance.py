@@ -76,3 +76,39 @@ def test_plot_histogram(tmp_path, rng):
     out = tmp_path / "hist.svg"
     bal.plot_histogram(_rows(rng, 50), out_path=out)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_visualize_selectors_and_contour(tmp_path):
+    """data/visualize.py: row selection mirrors the notebook's column
+    semantics (schema #10: col 3 = var_idx, col 4 = pose_idx) and the
+    contour renderer writes a file."""
+    import numpy as np
+
+    from collide2d_tpu.data.visualize import (
+        get_data_for_specific_var,
+        get_data_for_specific_var_and_pos,
+        plot_contour,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 400
+    rows = np.zeros((n, 5), np.float32)
+    rows[:, 0] = rng.uniform(-5, 5, n)  # x
+    rows[:, 1] = rng.uniform(-5, 5, n)  # y
+    rows[:, 2] = rng.uniform(0, 1, n)   # cp
+    rows[:, 3] = rng.integers(0, 3, n)  # var_idx (float32 column)
+    rows[:, 4] = rng.integers(0, 3, n)  # pose_idx
+
+    x, y, cp = get_data_for_specific_var_and_pos(rows, 1.0, 2.0)
+    want = rows[(rows[:, 3] == 1) & (rows[:, 4] == 2)]
+    assert len(x) == len(want) > 0
+    np.testing.assert_array_equal(np.stack([x, y, cp], 1), want[:, :3])
+
+    xv, yv, cpv = get_data_for_specific_var(rows, 0.0)
+    assert len(xv) == (rows[:, 3] == 0).sum()
+
+    out = plot_contour(
+        rows[:, 0], rows[:, 1], rows[:, 2], tmp_path / "c.png"
+    )
+    assert (tmp_path / "c.png").exists()
+    assert (tmp_path / "c.png").stat().st_size > 1000
