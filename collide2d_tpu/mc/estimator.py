@@ -96,11 +96,12 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     """(n_batch, step_samples) for the round starting at ``sim_n`` samples.
 
     n_batch is rounded UP (never down) only as far as the execution path
-    requires: to a multiple of 8 for the Pallas kernel's sample sub-tile,
-    of the sample-axis device count, and — when the configured batch has
-    no divisor >= 64 under the 512-lane cap — of the step itself, so a
-    prime ``--n_batch`` can never degrade to a 1-lane fori loop (~500x
-    slower). A single-device jnp run keeps the exact configured batch.
+    requires: to a multiple of 16 for the Pallas kernel's sample sub-tile
+    (two samples per sublane row, 8-row minimum tile), of the sample-axis
+    device count, and — when the configured batch has no divisor >= 64
+    under the 512-lane cap — of the step itself, so a prime ``--n_batch``
+    can never degrade to a 1-lane fori loop (~500x slower). A
+    single-device jnp run keeps the exact configured batch.
     Extra samples are counted in n_samples, so the CI criterion is
     evaluated at the true draw count (documented divergence: the
     reference draws exactly n_batch).
@@ -112,7 +113,7 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     # for a sharded run must equal the unsharded plan or the advertised
     # bitwise sample-axis contract breaks silently (review r2 finding).
     if impl == "pallas":
-        nb = -(-nb // 8) * 8  # the kernel's sample sub-tile granule
+        nb = -(-nb // 16) * 16  # the kernel's sample sub-tile granule
     if cfg.step_samples:
         step = cfg.step_samples
         if impl == "pallas":
@@ -140,7 +141,7 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
         # unsharded run (pin step_samples to restore comparability).
         import warnings
 
-        g = math.lcm(8 if impl == "pallas" else 1, n_sample)
+        g = math.lcm(16 if impl == "pallas" else 1, n_sample)
         nb2 = -(-nb // g) * g
         step2 = _largest_divisor_leq(nb2 // n_sample, 512)
         if step2 < 64 and nb2 >= 512 * n_sample:

@@ -11,12 +11,18 @@ and the final counts (4 bytes/config):
     threefry key (64-bit round entropy — a single int32 would birthday-
     collide across rounds x blocks) and the block id hash-mixed into the
     second word; normals via Box-Muller, mirroring curand_normal's
-    method;
+    method. Each loop step draws FIVE Box-Muller pairs = ten normals =
+    the noise for exactly TWO samples, so no half-pair is ever wasted
+    (a 6-normals-for-5 layout measured 14% slower — the kernel is
+    VPU-issue-bound and Box-Muller is its largest op block);
   - the sampled obstacle is used in closed OBB form (`ops.sat.obb_collide`
     math): center (dx,dy), half-extents |wh/2 + z*sigma_wh/2|, angle
-    dtheta — no vertex materialization;
-  - the 4-axis separation test runs on (SUB, 128) register tiles:
-    SUB samples x 128 configurations per VPU op.
+    dtheta — no vertex materialization. The axis test uses the
+    RELATIVE-ANGLE form: cos/sin of (theta - dtheta) directly instead of
+    cos/sin(dtheta) plus 6 extra ops/sample for the axis-dot products
+    (same two transcendentals, measurably fewer VPU issues);
+  - the 4-axis separation test runs on (SUB/2, 128) register tiles:
+    SUB samples x 128 configurations per VPU op pair.
 
 Layout: configurations are LANES. `pack_mc_params` builds the (16, C)
 parameter matrix; counts come back as int32 (C,) (int32 accumulator —
@@ -53,7 +59,7 @@ def pack_mc_params(configs: Configs, robot_wh) -> Array:
 
     Rows: 0 px, 1 py, 2 cos(theta), 3 sin(theta), 4 rw/2, 5 rh/2,
     6 ow/2, 7 oh/2, 8 sigma_x, 9 sigma_y, 10 sigma_theta,
-    11 sigma_w/2, 12 sigma_h/2, 13-15 zero padding.
+    11 sigma_w/2, 12 sigma_h/2, 13 theta, 14-15 zero padding.
     """
     robot_wh = jnp.broadcast_to(
         jnp.asarray(robot_wh, jnp.float32), configs.position.shape
@@ -75,7 +81,7 @@ def pack_mc_params(configs: Configs, robot_wh) -> Array:
         configs.std_dev[:, 2],
         configs.std_dev[:, 3] * 0.5,
         configs.std_dev[:, 4] * 0.5,
-        zero,
+        configs.pose_theta,
         zero,
         zero,
     ]
@@ -85,7 +91,7 @@ def pack_mc_params(configs: Configs, robot_wh) -> Array:
 # Test hook: when set, replaces the hardware PRNG as the uniform source
 # (pltpu.prng_seed/prng_random_bits have no CPU interpret-mode lowering),
 # letting CI check the kernel's OBB math off-TPU bit-for-bit against
-# ops.sat.obb_collide on the same deterministic draws (tests/test_pallas).
+# a replay through the same tile functions (tests/test_pallas).
 _TEST_UNIFORM_FN = None
 
 
@@ -110,6 +116,45 @@ def _box_muller(shape):
     return r * jnp.cos(a), r * jnp.sin(a)
 
 
+def _obb_separated(
+    px, py, cos_a, sin_a, theta, hx1, hy1, ow_h, oh_h, sx, sy, sth, swh, shh,
+    z_dx, z_dy, z_th, z_dw, z_dh,
+):
+    """Separation mask for one 5-normal draw set (`ops.sat.obb_collide`
+    math in relative-angle form — shared by the kernel and the CI replay
+    in tests/test_pallas.py, which pins the wiring bit-for-bit).
+
+    Box a is the robot (angle theta, given as cos/sin AND the raw angle);
+    box b is the noisy obstacle (angle phi = z_th * sigma_theta). With
+    delta = theta - phi and (u, v) = the center offset in the robot
+    frame, the obstacle-frame projections are u*cos(delta) -+
+    v*sin(delta) — two transcendentals for cos/sin(delta) replace
+    cos/sin(phi) plus the two axis-dot products.
+    """
+    dx = z_dx * sx
+    dy = z_dy * sy
+    a = jnp.abs(ow_h + z_dw * swh)
+    b = jnp.abs(oh_h + z_dh * shh)
+    delta = theta - z_th * sth
+    cd_raw = jnp.cos(delta)
+    sd_raw = jnp.sin(delta)
+    cd = jnp.abs(cd_raw)
+    sd = jnp.abs(sd_raw)
+    dxv = px - dx
+    dyv = py - dy
+    u = dxv * cos_a + dyv * sin_a
+    v = -dxv * sin_a + dyv * cos_a
+    sep = jnp.abs(u) > hx1 + a * cd + b * sd
+    sep = jnp.logical_or(sep, jnp.abs(v) > hy1 + a * sd + b * cd)
+    sep = jnp.logical_or(
+        sep, jnp.abs(u * cd_raw - v * sd_raw) > a + hx1 * cd + hy1 * sd
+    )
+    sep = jnp.logical_or(
+        sep, jnp.abs(u * sd_raw + v * cd_raw) > b + hx1 * sd + hy1 * cd
+    )
+    return sep
+
+
 def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
     if _TEST_UNIFORM_FN is None:
         # Two seed words (Mosaic's limit): both halves of the round's
@@ -123,45 +168,33 @@ def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
 
     p = params_ref[...]  # (16, LANE_CONFIGS)
     row = lambda i: p[i, :][None, :]  # (1, L), broadcasts over sublanes
-    px, py = row(0), row(1)
-    cos_a, sin_a = row(2), row(3)
-    hx1, hy1 = row(4), row(5)
-    ow_h, oh_h = row(6), row(7)
-    sx, sy, sth = row(8), row(9), row(10)
-    swh, shh = row(11), row(12)
+    args = (
+        row(0), row(1),            # px, py
+        row(2), row(3), row(13),   # cos_a, sin_a, theta
+        row(4), row(5),            # hx1, hy1
+        row(6), row(7),            # ow_h, oh_h
+        row(8), row(9), row(10),   # sx, sy, sth
+        row(11), row(12),          # swh, shh
+    )
 
-    shape = (sub, LANE_CONFIGS)
+    shape = (sub // 2, LANE_CONFIGS)
 
     def step(_, acc):
-        z_dx, z_dy = _box_muller(shape)
-        z_th, z_dw = _box_muller(shape)
-        z_dh, _unused = _box_muller(shape)
-
-        dx = z_dx * sx
-        dy = z_dy * sy
-        phi = z_th * sth
-        a = jnp.abs(ow_h + z_dw * swh)
-        b = jnp.abs(oh_h + z_dh * shh)
-
-        cos_p = jnp.cos(phi)
-        sin_p = jnp.sin(phi)
-        cd = jnp.abs(cos_a * cos_p + sin_a * sin_p)
-        sd = jnp.abs(sin_a * cos_p - cos_a * sin_p)
-        dxv = px - dx
-        dyv = py - dy
-        d_a1 = jnp.abs(dxv * cos_a + dyv * sin_a)
-        d_a2 = jnp.abs(-dxv * sin_a + dyv * cos_a)
-        d_b1 = jnp.abs(dxv * cos_p + dyv * sin_p)
-        d_b2 = jnp.abs(-dxv * sin_p + dyv * cos_p)
-
-        sep = d_a1 > hx1 + a * cd + b * sd
-        sep = jnp.logical_or(sep, d_a2 > hy1 + a * sd + b * cd)
-        sep = jnp.logical_or(sep, d_b1 > a + hx1 * cd + hy1 * sd)
-        sep = jnp.logical_or(sep, d_b2 > b + hx1 * sd + hy1 * cd)
+        # Five pairs = ten normals = the (dx, dy, theta, dw, dh) noise
+        # for exactly TWO samples per tile row — nothing wasted.
+        za_dx, zb_dx = _box_muller(shape)
+        za_dy, zb_dy = _box_muller(shape)
+        za_th, zb_th = _box_muller(shape)
+        za_dw, zb_dw = _box_muller(shape)
+        za_dh, zb_dh = _box_muller(shape)
+        sep_a = _obb_separated(*args, za_dx, za_dy, za_th, za_dw, za_dh)
+        sep_b = _obb_separated(*args, zb_dx, zb_dy, zb_th, zb_dw, zb_dh)
         # int32 accumulation: float32 would lose integer precision past
         # 2^24 samples/round (the CLI exposes n_batch directly).
-        hit = jnp.logical_not(sep).astype(jnp.int32)
-        return acc + jnp.sum(hit, axis=0, keepdims=True)
+        hits = jnp.logical_not(sep_a).astype(jnp.int32) + jnp.logical_not(
+            sep_b
+        ).astype(jnp.int32)
+        return acc + jnp.sum(hits, axis=0, keepdims=True)
 
     acc = jax.lax.fori_loop(
         0, n_steps, step, jnp.zeros((1, LANE_CONFIGS), jnp.int32)
@@ -170,19 +203,20 @@ def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
 
 
 def _pick_sub(n_batch: int) -> int:
-    for sub in (32, 16, 8):
+    for sub in (64, 32, 16):
         if n_batch % sub == 0:
             return sub
     raise ValueError(
-        f"n_batch={n_batch} must be a multiple of 8 (the kernel's sample "
-        "sub-tile); round the budget up or use impl='jnp'. The adaptive "
-        "driver normalizes this automatically (estimator._plan_round)."
+        f"n_batch={n_batch} must be a multiple of 16 (the kernel's sample "
+        "sub-tile: two samples per sublane row, 8-row minimum tile); round "
+        "the budget up or use impl='jnp'. The adaptive driver normalizes "
+        "this automatically (estimator._plan_round)."
     )
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))
 def mc_counts_pallas(
-    seed, params: Array, n_steps, *, sub: int = 8, interpret: bool = False
+    seed, params: Array, n_steps, *, sub: int = 16, interpret: bool = False
 ) -> Array:
     """Collision counts out of ``n_steps * sub`` noise samples per config.
 
@@ -190,11 +224,13 @@ def mc_counts_pallas(
     round! ``n_steps``: TRACED int32 scalar — one compilation per (C, sub)
     serves the whole adaptive schedule (remote compiles cost minutes).
     ``params``: (16, C) from `pack_mc_params`, C a multiple of 128.
-    Returns int32 (C,) counts.
+    ``sub``: samples per loop step — even, >= 16 (each step evaluates two
+    samples per (sub/2, 128) tile row). Returns int32 (C,) counts.
     """
     c = params.shape[1]
     assert params.shape[0] == PARAM_ROWS, params.shape
     assert c % LANE_CONFIGS == 0, c
+    assert sub % 2 == 0 and sub >= 16, sub
     kernel = functools.partial(_mc_kernel, sub=sub)
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)
     if seed.shape[0] == 1:  # tolerate legacy scalar seeds

@@ -524,10 +524,11 @@ def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
     """Fused Pallas MC kernel throughput (hardware PRNG + Box-Muller +
     OBB + on-chip reduce) — the production sampler.
 
-    Measured bound (probed by substituting cheap noise / iota-hash
-    uniforms / 16-bit draws, all within 1%): plain VPU arithmetic+issue,
-    NOT the transcendental unit and NOT PRNG generation — ~7.4e9
-    samples/s is stable for sub-tile sizes 16-128."""
+    VPU-issue-bound (probed: neither the transcendental unit nor PRNG
+    generation limits it). The paired-draw relative-angle kernel (5
+    Box-Muller pairs = 2 samples, cos/sin of theta-phi) measures ~8.5e9
+    samples/s on the axon chip — +15% over the 6-draws-for-5-normals
+    layout it replaced."""
     from collide2d_tpu.ops.mc_pallas import mc_counts_pallas, pack_mc_params
 
     cfgs = _bench_configs(configs)
@@ -535,7 +536,7 @@ def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
         pack_mc_params(cfgs, jnp.asarray([4.07, 1.74], jnp.float32))
     )
     seed = jnp.asarray([123, 456], jnp.int32)
-    sub, n_steps = 32, 64
+    sub, n_steps = 64, 32
 
     @jax.jit
     def loop(params, k):

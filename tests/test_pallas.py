@@ -166,18 +166,24 @@ def test_mc_kernel_math_interpret(rng, monkeypatch):
     """Off-TPU CI coverage of the fused MC kernel's OBB math.
 
     The hardware PRNG has no CPU lowering, so the uniform source is
-    stubbed with a deterministic iota-hash; the same draws replayed
-    through the module's own Box-Muller feed `ops.sat.obb_collide`, and
-    the kernel's counts must match BIT FOR BIT (the kernel's half-extent
-    algebra is exactly-equal to obb_collide's under round-to-nearest;
-    see ops/mc_pallas.py docstring)."""
+    stubbed with a deterministic iota-hash. Two checks:
+
+    1. WIRING, bit-for-bit: the same draws replayed through the module's
+       own Box-Muller and `_obb_separated` (the tile function the kernel
+       itself calls) must reproduce the kernel's counts exactly — pins
+       packing, seeds-plumbing, the paired-draw order, and accumulation.
+    2. SEMANTICS: the counts must equal `ops.sat.obb_collide` on the same
+       noise. The kernel's relative-angle form rounds differently, so
+       labels could in principle flip on exactly-touching inputs; the
+       draws here are deterministic, and on them the agreement is exact.
+    """
     import collide2d_tpu.ops.mc_pallas as mcp
     from collide2d_tpu.mc.estimator import Configs
     from collide2d_tpu.ops.sat import obb_collide
     from tests.conftest import deterministic_uniform_stub
 
     C = mcp.LANE_CONFIGS  # one grid block
-    sub = 8
+    sub = 16  # two samples per row x 8 rows
     cfgs = Configs(
         position=jnp.asarray(rng.uniform(-6, 6, (C, 2)).astype(np.float32)),
         pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, C).astype(np.float32)),
@@ -196,28 +202,54 @@ def test_mc_kernel_math_interpret(rng, monkeypatch):
         )
     )
 
-    # Replay the same six draws through the module's own Box-Muller (the
-    # stub depends only on (shape, call index) — reset and repeat).
+    # Replay the same ten draws through the module's own Box-Muller (the
+    # stub depends only on (shape, call index) — reset and repeat): five
+    # pairs of shape (sub/2, C), halves a/b = two samples per row.
     replay = deterministic_uniform_stub()
     monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", replay)
-    shape = (sub, C)
-    z_dx, z_dy = mcp._box_muller(shape)
-    z_th, z_dw = mcp._box_muller(shape)
-    z_dh, _ = mcp._box_muller(shape)
+    shape = (sub // 2, C)
+    za_dx, zb_dx = mcp._box_muller(shape)
+    za_dy, zb_dy = mcp._box_muller(shape)
+    za_th, zb_th = mcp._box_muller(shape)
+    za_dw, zb_dw = mcp._box_muller(shape)
+    za_dh, zb_dh = mcp._box_muller(shape)
 
-    sd = cfgs.std_dev
-    offsets = jnp.stack([z_dx * sd[None, :, 0], z_dy * sd[None, :, 1]], axis=-1)
-    dwh = jnp.stack([z_dw * sd[None, :, 3], z_dh * sd[None, :, 4]], axis=-1)
-    hit = obb_collide(
-        jnp.broadcast_to(cfgs.position, (sub, C, 2)),
-        jnp.broadcast_to(robot, (sub, C, 2)),
-        jnp.broadcast_to(cfgs.pose_theta, (sub, C)),
-        offsets,
-        cfgs.obstacle_wh[None] + dwh,
-        z_th * sd[None, :, 2],
+    p = np.asarray(params)
+    prow = lambda i: jnp.asarray(p[i])[None, :]  # (1, C), as in the kernel
+    args = (
+        prow(0), prow(1), prow(2), prow(3), prow(13), prow(4), prow(5),
+        prow(6), prow(7), prow(8), prow(9), prow(10), prow(11), prow(12),
     )
-    want = np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
-    np.testing.assert_array_equal(counts, want)
+    sep_a = mcp._obb_separated(*args, za_dx, za_dy, za_th, za_dw, za_dh)
+    sep_b = mcp._obb_separated(*args, zb_dx, zb_dy, zb_th, zb_dw, zb_dh)
+    hits = jnp.logical_not(sep_a).astype(jnp.int32) + jnp.logical_not(
+        sep_b
+    ).astype(jnp.int32)
+    want_wiring = np.array(jnp.sum(hits, axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts, want_wiring)
+
+    # Semantic check against the independent closed-form OBB test.
+    sd = cfgs.std_dev
+    want_sem = np.zeros((C,), np.int64)
+    for z_dx, z_dy, z_th, z_dw, z_dh in (
+        (za_dx, za_dy, za_th, za_dw, za_dh),
+        (zb_dx, zb_dy, zb_th, zb_dw, zb_dh),
+    ):
+        rows = sub // 2
+        offsets = jnp.stack(
+            [z_dx * sd[None, :, 0], z_dy * sd[None, :, 1]], axis=-1
+        )
+        dwh = jnp.stack([z_dw * sd[None, :, 3], z_dh * sd[None, :, 4]], axis=-1)
+        hit = obb_collide(
+            jnp.broadcast_to(cfgs.position, (rows, C, 2)),
+            jnp.broadcast_to(robot, (rows, C, 2)),
+            jnp.broadcast_to(cfgs.pose_theta, (rows, C)),
+            offsets,
+            cfgs.obstacle_wh[None] + dwh,
+            z_th * sd[None, :, 2],
+        )
+        want_sem += np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts, want_sem)
 
 
 def _on_tpu():
