@@ -66,6 +66,14 @@ def _per_config_keys(key: Array, uids: Array) -> Array:
     return jax.vmap(lambda u: jax.random.fold_in(key, u))(uids)
 
 
+def _pick_sub_pallas(nb: int) -> int:
+    """The fused kernel's sub-tile for an ``nb``-sample round (lazy import:
+    ops.mc_pallas imports Configs from this module)."""
+    from collide2d_tpu.ops.mc_pallas import _pick_sub
+
+    return _pick_sub(nb)
+
+
 def _largest_divisor_leq(n: int, cap: int) -> int:
     for s in range(min(cap, n), 0, -1):
         if n % s == 0:
@@ -96,12 +104,14 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     """(n_batch, step_samples) for the round starting at ``sim_n`` samples.
 
     n_batch is rounded UP (never down) only as far as the execution path
-    requires: to a multiple of 16 for the Pallas kernel's sample sub-tile
-    (two samples per sublane row, 8-row minimum tile), of the sample-axis
-    device count, and — when the configured batch has no divisor >= 64
-    under the 512-lane cap — of the step itself, so a prime ``--n_batch``
-    can never degrade to a 1-lane fori loop (~500x slower). A
-    single-device jnp run keeps the exact configured batch.
+    requires: to a multiple of 64 for the Pallas kernel (so EVERY round
+    runs the largest, fastest 64-sample sub-tile and one compilation per
+    buffer shape serves the whole schedule — measured +4% over the
+    16-sample tile the ragged batches otherwise fall to), of the
+    sample-axis device count, and — when the configured batch has no
+    divisor >= 64 under the 512-lane cap — of the step itself, so a prime
+    ``--n_batch`` can never degrade to a 1-lane fori loop (~500x slower).
+    A single-device jnp run keeps the exact configured batch.
     Extra samples are counted in n_samples, so the CI criterion is
     evaluated at the true draw count (documented divergence: the
     reference draws exactly n_batch).
@@ -113,7 +123,7 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     # for a sharded run must equal the unsharded plan or the advertised
     # bitwise sample-axis contract breaks silently (review r2 finding).
     if impl == "pallas":
-        nb = -(-nb // 16) * 16  # the kernel's sample sub-tile granule
+        nb = -(-nb // 64) * 64  # the kernel's largest sub-tile granule
     if cfg.step_samples:
         step = cfg.step_samples
         if impl == "pallas":
@@ -127,6 +137,13 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
                 f"n_batch={nb}"
             )
         return nb, step
+    if impl == "pallas":
+        # The kernel draws 64-sample sub-tiles itself; step only advances
+        # the round tag. Skipping the canonical-step search matters: it
+        # was designed for the jnp path's lane divisibility, and for e.g.
+        # nb=100032 (= 2^6 * 3 * 521) it would bump the batch to 102400 —
+        # 2.4% pure extra work on the schedule's bulk rounds.
+        return nb, 64
     step = _canonical_step(nb)
     if step < 64 and nb >= 4096:
         # No decent divisor (prime-ish batch): bump to a multiple of
@@ -141,7 +158,7 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
         # unsharded run (pin step_samples to restore comparability).
         import warnings
 
-        g = math.lcm(16 if impl == "pallas" else 1, n_sample)
+        g = math.lcm(64 if impl == "pallas" else 1, n_sample)
         nb2 = -(-nb // g) * g
         step2 = _largest_divisor_leq(nb2 // n_sample, 512)
         if step2 < 64 and nb2 >= 512 * n_sample:
@@ -357,8 +374,9 @@ def _pallas_sharded_counts(
     configs: Configs,
     robot_wh: Array,
     chunk_offset: Array,
+    n_steps: Array,
     *,
-    n_batch: int,
+    sub: int,
     mesh,
     interpret: bool = False,
 ) -> Array:
@@ -368,8 +386,10 @@ def _pallas_sharded_counts(
     shard; each shard folds its axis index into the round key so block
     streams never repeat across shards. Requires the mesh's ``sample``
     axis to be 1 (the kernel owns the whole per-config sample budget).
-    ``interpret`` runs the kernel in interpreter mode (CPU-mesh smoke
-    tests of the shard_map wiring; pair with the PRNG stub hook).
+    ``n_steps`` is TRACED (samples per config = n_steps * sub) so one
+    compilation serves every round size. ``interpret`` runs the kernel in
+    interpreter mode (CPU-mesh smoke tests of the shard_map wiring; pair
+    with the PRNG stub hook).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -378,21 +398,22 @@ def _pallas_sharded_counts(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P("config"), P(), P()),
+        in_specs=(P(), P("config"), P(), P(), P()),
         out_specs=P("config"),
         # pallas_call emits ShapeDtypeStructs without varying-mesh-axes
         # annotations; skip the vma type check for this wrapper (the
         # output is config-varying by construction: per-shard key + data).
         check_vma=False,
     )
-    def body(key, cfgs, robot_wh, chunk_offset):
+    def body(key, cfgs, robot_wh, chunk_offset, n_steps):
         cidx = jax.lax.axis_index("config")
         k = jax.random.fold_in(key, cidx)
         return mc_round_pallas(
-            k, cfgs, robot_wh, chunk_offset, n_batch=n_batch, interpret=interpret
+            k, cfgs, robot_wh, chunk_offset,
+            n_steps=n_steps, sub=sub, interpret=interpret,
         )
 
-    return body(key, configs, robot_wh, chunk_offset)
+    return body(key, configs, robot_wh, chunk_offset, jnp.asarray(n_steps, jnp.int32))
 
 
 def collision_probability(
@@ -506,9 +527,11 @@ class AdaptiveConfig:
     the string "tuned". The reference's schedule jumps straight from 20k
     to 120k samples, yet its single largest population — zero-probability
     configurations — satisfies the rule-of-three criterion at 36,889: they
-    all wait for 120k. "tuned" adds geometric checkpoints (37k, 75k, 150k,
-    ... to the cap), cutting the mean samples/configuration ~40% while
-    every emitted label still satisfies the SAME per-bin CI criterion
+    all wait for 120k. "tuned" adds exactly ONE checkpoint there
+    (ln(1/alpha)/bin_accuracy[0], rounded up to the kernel granule) and
+    then keeps the reference's later_batch cadence — measured 26% fewer
+    samples/configuration and +34% configs/s end to end, while every
+    emitted label still satisfies the SAME per-bin CI criterion
     (checkpoints only decide WHERE convergence is tested, never the test).
     """
 
@@ -555,16 +578,26 @@ class AdaptiveConfig:
         if self.schedule is None:
             return None
         if self.schedule == "tuned":
+            from collide2d_tpu.mc import stats
+
             pts = [self.initial_batch * i
                    for i in range(1, self.initial_phase_samples // self.initial_batch + 1)]
-            n = 37_000  # just past the rule-of-three point ln(40)/1e-4
-            while pts and n > pts[-1] or not pts:
-                if n >= self.max_samples:
-                    break
-                pts.append(n)
-                n = -(-n * 2 // 8) * 8  # double, keep multiples of 8
-            pts.append(-(-self.max_samples // 8) * 8)
-            return tuple(p for i, p in enumerate(pts) if i == 0 or p > pts[i - 1])
+            # One extra checkpoint just past the rule-of-three point
+            # n3 = ln(1/alpha) / bin_accuracy[0] — the first sample count
+            # where a ZERO-count configuration meets the tightest bin
+            # target (stats.calc_slack's degenerate branch). The reference
+            # jumps from 20k straight to 120k (generate_dataset.cu:
+            # 427-430), so its largest population — zero-probability
+            # configurations, ~61% of the annulus workload — burns 3.2x
+            # the samples it needs; testing convergence here measured
+            # +34% end-to-end labeling. After this point the plain
+            # later_batch cadence continues to the cap (batch_for).
+            acc0 = float(self.bin_accuracy[0])
+            if acc0 > 0:
+                n3 = -(-int(np.ceil(stats._LOG_INV_ALPHA / acc0)) // 64) * 64
+                if (not pts or n3 > pts[-1]) and n3 < self.max_samples:
+                    pts.append(n3)
+            return tuple(pts)
         return tuple(int(x) for x in self.schedule)
 
     def batch_for(self, n_samples_so_far: int) -> int:
@@ -603,7 +636,7 @@ class _LoopState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_batch", "step_samples", "use_vertices", "impl",
+        "step_samples", "sub", "use_vertices", "impl",
         "accuracy_bins", "bin_accuracy", "mesh",
     ),
 )
@@ -613,9 +646,10 @@ def _fused_round(
     robot_wh: Array,
     chunk_offset: Array,
     n_samples_after: Array,
+    n_steps: Array,
     *,
-    n_batch: int,
     step_samples: int,
+    sub: int,
     use_vertices: bool,
     impl: str,
     accuracy_bins: tuple,
@@ -630,23 +664,29 @@ def _fused_round(
     host may dispatch many rounds back-to-back and read only a single
     done-count scalar when it chooses to synchronize. This is what turns
     the reference's once-per-round host sync into an amortized one.
+
+    ``n_steps`` is TRACED; the round's sample count is n_steps * sub
+    (pallas, ``step_samples`` must be 0) or n_steps * step_samples (jnp,
+    ``sub`` must be 0) — so ONE compilation per buffer shape serves every
+    round size in the schedule (remote compiles cost minutes each).
     """
     if impl == "pallas":
         if mesh is not None:
             counts = _pallas_sharded_counts(
-                key, state.active, robot_wh, chunk_offset,
-                n_batch=n_batch, mesh=mesh,
+                key, state.active, robot_wh, chunk_offset, n_steps,
+                sub=sub, mesh=mesh,
             )
         else:
             from collide2d_tpu.ops.mc_pallas import mc_round_pallas
 
             counts = mc_round_pallas(
-                key, state.active, robot_wh, chunk_offset, n_batch=n_batch
+                key, state.active, robot_wh, chunk_offset,
+                n_steps=n_steps, sub=sub,
             )
     elif mesh is not None and _mesh_axis(mesh, "sample") > 1:
         counts = _sample_sharded_counts(
             key, state.uids, state.active, robot_wh, chunk_offset,
-            jnp.int32(n_batch // step_samples),
+            n_steps,
             step_samples=step_samples, use_vertices=use_vertices, mesh=mesh,
         )
     else:
@@ -654,7 +694,7 @@ def _fused_round(
         # transparently under GSPMD (bitwise-equal, test_sharding.py).
         counts = _mc_round_jnp(
             key, state.uids, state.active, robot_wh, chunk_offset,
-            jnp.int32(n_batch // step_samples),
+            n_steps,
             step_samples=step_samples, use_vertices=use_vertices,
         )
     n_true = state.n_true + counts
@@ -1061,10 +1101,19 @@ def adaptive_collision_probabilities(
         num_done_dev = None
         for nb, step in group:
             n_samples += nb
+            if impl == "pallas":
+                # Static sub (always 64: _plan_round rounds nb to its
+                # granule), traced step count — one compile per bucket.
+                sub = _pick_sub_pallas(nb)
+                n_steps_v, step_static = nb // sub, 0
+            else:
+                sub = 0
+                n_steps_v, step_static = nb // step, step
             state, num_done_dev = _fused_round(
                 key, state, robot_wh,
                 jnp.int32(chunk_offset), jnp.int32(n_samples),
-                n_batch=nb, step_samples=step,
+                jnp.int32(n_steps_v),
+                step_samples=step_static, sub=sub,
                 use_vertices=cfg.use_vertices, impl=impl,
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
                 mesh=round_mesh,
@@ -1087,10 +1136,20 @@ def adaptive_collision_probabilities(
             repacked = action == REPACKED
         if repacked:
             continue
-        if work >= PIPELINE_WORK:
-            # Big group: resolve its count NOW (stall is a few percent of
-            # this much compute) so any repack lands before the next
-            # expensive round.
+        resolve_now = work >= PIPELINE_WORK
+        if not resolve_now and n_samples < cfg.max_samples:
+            # Schedule cliff: if the NEXT round is expensive relative to
+            # the ~30 ms readback stall, resolve this group's count NOW so
+            # a repack can land before it — pipelining here would dispatch
+            # the big round on the stale (possibly mostly-done) buffer.
+            # This is what lets a convergence checkpoint right before a
+            # large round (e.g. the 37k rule-of-three point ahead of a
+            # 100k round) actually shed its converged mass in time.
+            nb_next, _ = _plan_round(cfg, n_samples, n_sample, impl)
+            resolve_now = nb_next * len(state.uids) >= PIPELINE_WORK
+        if resolve_now:
+            # Resolve synchronously (stall is a few percent of this much
+            # compute) so any repack lands before the next expensive round.
             action = _handle(int(np.asarray(num_done_dev)))
             if action == STOP:
                 stopped = True

@@ -264,14 +264,24 @@ def mc_round_pallas(
     robot_wh,
     round_tag,
     *,
-    n_batch: int,
+    n_batch: int | None = None,
+    n_steps=None,
+    sub: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """Drop-in round step on the fused kernel: int32 (C,) counts.
 
     ``round_tag`` must differ across rounds (e.g. the chunk offset) so
     every round draws fresh i.i.d. samples.
+
+    Pass either ``n_batch`` (python int; the sub-tile is chosen
+    automatically) or a TRACED ``n_steps`` with a static ``sub``
+    (samples per config = n_steps * sub) — the traced form lets ONE
+    compilation serve every round size of an adaptive schedule.
     """
+    if n_steps is None:
+        sub = _pick_sub(n_batch)
+        n_steps = n_batch // sub
     c = configs.num
     params = pack_mc_params(configs, robot_wh)
     pad = -(-c // LANE_CONFIGS) * LANE_CONFIGS - c
@@ -285,8 +295,7 @@ def mc_round_pallas(
     seed = jax.lax.bitcast_convert_type(
         jax.random.key_data(folded).reshape(-1)[:2], jnp.int32
     )
-    sub = _pick_sub(n_batch)
     counts = mc_counts_pallas(
-        seed, params, n_batch // sub, sub=sub, interpret=interpret
+        seed, params, n_steps, sub=sub, interpret=interpret
     )
     return counts[:c].astype(jnp.int32)

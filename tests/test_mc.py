@@ -202,21 +202,26 @@ def test_sample_configurations_geometry(rng):
 
 
 def test_tuned_schedule_checkpoints():
-    # "tuned" inserts a checkpoint just past the rule-of-three point
-    # (ln(40)/1e-4 = 36889) where zero-probability configs can stop,
-    # then doubles geometrically to the cap; all diffs stay multiples
-    # of 8 (the fused kernel's sample-tile granularity).
+    # "tuned" inserts ONE checkpoint just past the rule-of-three point
+    # (ln(40)/1e-4 = 36889, rounded up to the 64-sample kernel granule)
+    # where zero-probability configs can stop, then keeps the reference's
+    # later_batch cadence to the cap.
     cfg = AdaptiveConfig(schedule="tuned")
     pts = cfg.checkpoints()
-    assert 37_000 in pts
-    assert pts[-1] >= cfg.max_samples
+    assert pts[-1] == 36_928  # ceil(36889 / 64) * 64
+    assert pts[:20] == tuple(range(1000, 21000, 1000))
     n, diffs = 0, []
     while n < cfg.max_samples:
         b = cfg.batch_for(n)
         n += b
         diffs.append(b)
     assert all(d % 8 == 0 for d in diffs)
-    assert len(diffs) < 35  # far fewer rounds than the reference's ~60
+    assert diffs[20] == 16_928  # 20k -> the rule-of-three point
+    assert diffs[21] == cfg.later_batch  # then the reference cadence
+    # the point scales with the tightest bin target, and degenerates
+    # gracefully when it falls inside the initial phase
+    loose = AdaptiveConfig(schedule="tuned", bin_accuracy=(0.005, 0.005, 0.01))
+    assert loose.checkpoints() == tuple(range(1000, 21000, 1000))
 
 
 def test_tuned_schedule_labels_satisfy_ci(rng):
@@ -258,9 +263,10 @@ def test_plan_round_prime_batch_never_degrades():
     for n_sample in (2, 4, 8):
         assert _plan_round(ref, 0, n_sample, "jnp") == (1000, 125)
         assert _plan_round(zt, 0, n_sample, "jnp") == (10_000, 250)
-    # pallas rounds the batch to its 8-sample sub-tile granule
+    # pallas rounds the batch to the 64-sample granule (largest sub-tile,
+    # one compilation per buffer shape)
     nb_p, _ = _plan_round(AdaptiveConfig(fixed_batch=9973), 0, 1, "pallas")
-    assert nb_p % 8 == 0 and nb_p >= 9973
+    assert nb_p % 64 == 0 and nb_p >= 9973
     # explicit step_samples that divides the user's batch keeps it exact
     # on the jnp path (no surprise rounding -> no mid-run ValueError)
     ex = AdaptiveConfig(fixed_batch=500, step_samples=500)

@@ -180,7 +180,8 @@ def test_pallas_sharded_counts_smoke_interpret(rng, devices, monkeypatch):
     counts = np.array(
         _pallas_sharded_counts(
             jax.random.PRNGKey(5), cfgs,
-            ROBOT, jnp.int32(0), n_batch=64, mesh=mesh, interpret=True,
+            ROBOT, jnp.int32(0), jnp.int32(4),  # 4 steps x sub 16 = 64
+            sub=16, mesh=mesh, interpret=True,
         )
     )
     assert counts.shape == (C,)
