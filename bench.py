@@ -87,10 +87,15 @@ def main() -> int:
 
     # Secondary metrics (stderr, '#'-prefixed). Failures never break the
     # headline.
+    import functools
+
+    noshape = functools.partial(bench_mc_pallas, shape_noise=False)
+    noshape.__name__ = "bench_mc_pallas_noshape"
     for fn in (
         bench_sat,
         bench_mc,
         bench_mc_pallas,
+        noshape,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
     ):

@@ -378,6 +378,7 @@ def _pallas_sharded_counts(
     *,
     sub: int,
     mesh,
+    shape_noise: bool = True,
     interpret: bool = False,
 ) -> Array:
     """The fused Pallas MC kernel under a config-sharded mesh.
@@ -410,7 +411,8 @@ def _pallas_sharded_counts(
         k = jax.random.fold_in(key, cidx)
         return mc_round_pallas(
             k, cfgs, robot_wh, chunk_offset,
-            n_steps=n_steps, sub=sub, interpret=interpret,
+            n_steps=n_steps, sub=sub, shape_noise=shape_noise,
+            interpret=interpret,
         )
 
     return body(key, configs, robot_wh, chunk_offset, jnp.asarray(n_steps, jnp.int32))
@@ -637,7 +639,7 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=(
         "step_samples", "sub", "use_vertices", "impl",
-        "accuracy_bins", "bin_accuracy", "mesh",
+        "accuracy_bins", "bin_accuracy", "mesh", "shape_noise",
     ),
 )
 def _fused_round(
@@ -655,6 +657,7 @@ def _fused_round(
     accuracy_bins: tuple,
     bin_accuracy: tuple,
     mesh=None,
+    shape_noise: bool = True,
 ) -> tuple[_LoopState, Array]:
     """One round + on-device convergence + label freezing, in ONE program.
 
@@ -674,14 +677,14 @@ def _fused_round(
         if mesh is not None:
             counts = _pallas_sharded_counts(
                 key, state.active, robot_wh, chunk_offset, n_steps,
-                sub=sub, mesh=mesh,
+                sub=sub, mesh=mesh, shape_noise=shape_noise,
             )
         else:
             from collide2d_tpu.ops.mc_pallas import mc_round_pallas
 
             counts = mc_round_pallas(
                 key, state.active, robot_wh, chunk_offset,
-                n_steps=n_steps, sub=sub,
+                n_steps=n_steps, sub=sub, shape_noise=shape_noise,
             )
     elif mesh is not None and _mesh_axis(mesh, "sample") > 1:
         counts = _sample_sharded_counts(
@@ -891,6 +894,17 @@ def adaptive_collision_probabilities(
         n_shards = 1
         round_mesh = None
         _shard = lambda s: s
+
+    # With every w/h sigma zero (the reference default —
+    # generate_dataset.cu:285-290 zeroes them unless --shape_variance),
+    # the fused kernel skips 2 of its 5 Box-Muller draw pairs (it is
+    # VPU-issue-bound; measured speedup in ops/mc_pallas.py). One scalar
+    # readback at driver start.
+    shape_noise = True
+    if impl == "pallas":
+        shape_noise = bool(
+            jax.device_get(jnp.any(configs.std_dev[:, 3:] != 0.0))
+        )
 
     # Device state: uids identify original rows through repacking (-1 =
     # padding); labels freeze on device (see _fused_round).
@@ -1116,7 +1130,7 @@ def adaptive_collision_probabilities(
                 step_samples=step_static, sub=sub,
                 use_vertices=cfg.use_vertices, impl=impl,
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
-                mesh=round_mesh,
+                mesh=round_mesh, shape_noise=shape_noise,
             )
             chunk_offset += nb // step
             rnd += 1

@@ -130,11 +130,20 @@ def _obb_separated(
     frame, the obstacle-frame projections are u*cos(delta) -+
     v*sin(delta) — two transcendentals for cos/sin(delta) replace
     cos/sin(phi) plus the two axis-dot products.
+
+    ``z_dw``/``z_dh`` may be None (shape noise disabled — the reference
+    default, generate_dataset.cu:285-290 zeroes the w/h sigmas unless
+    --shape_variance): the extents are then the loop-invariant |ow_h|,
+    |oh_h| and the two fused mul-adds drop out.
     """
     dx = z_dx * sx
     dy = z_dy * sy
-    a = jnp.abs(ow_h + z_dw * swh)
-    b = jnp.abs(oh_h + z_dh * shh)
+    if z_dw is None:
+        a = jnp.abs(ow_h)
+        b = jnp.abs(oh_h)
+    else:
+        a = jnp.abs(ow_h + z_dw * swh)
+        b = jnp.abs(oh_h + z_dh * shh)
     delta = theta - z_th * sth
     cd_raw = jnp.cos(delta)
     sd_raw = jnp.sin(delta)
@@ -155,7 +164,9 @@ def _obb_separated(
     return sep
 
 
-def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
+def _mc_kernel(
+    seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int, shape_noise: bool
+):
     if _TEST_UNIFORM_FN is None:
         # Two seed words (Mosaic's limit): both halves of the round's
         # folded threefry key give 64-bit round entropy; the grid block
@@ -181,12 +192,18 @@ def _mc_kernel(seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int):
 
     def step(_, acc):
         # Five pairs = ten normals = the (dx, dy, theta, dw, dh) noise
-        # for exactly TWO samples per tile row — nothing wasted.
+        # for exactly TWO samples per tile row — nothing wasted. With
+        # shape noise off (the reference default) only THREE pairs are
+        # drawn: Box-Muller is the kernel's largest op block and the
+        # kernel is VPU-issue-bound, so the dead draws are pure waste.
         za_dx, zb_dx = _box_muller(shape)
         za_dy, zb_dy = _box_muller(shape)
         za_th, zb_th = _box_muller(shape)
-        za_dw, zb_dw = _box_muller(shape)
-        za_dh, zb_dh = _box_muller(shape)
+        if shape_noise:
+            za_dw, zb_dw = _box_muller(shape)
+            za_dh, zb_dh = _box_muller(shape)
+        else:
+            za_dw = zb_dw = za_dh = zb_dh = None
         sep_a = _obb_separated(*args, za_dx, za_dy, za_th, za_dw, za_dh)
         sep_b = _obb_separated(*args, zb_dx, zb_dy, zb_th, zb_dw, zb_dh)
         # int32 accumulation: float32 would lose integer precision past
@@ -214,9 +231,10 @@ def _pick_sub(n_batch: int) -> int:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sub", "shape_noise", "interpret"))
 def mc_counts_pallas(
-    seed, params: Array, n_steps, *, sub: int = 16, interpret: bool = False
+    seed, params: Array, n_steps, *, sub: int = 16, shape_noise: bool = True,
+    interpret: bool = False,
 ) -> Array:
     """Collision counts out of ``n_steps * sub`` noise samples per config.
 
@@ -225,13 +243,18 @@ def mc_counts_pallas(
     serves the whole adaptive schedule (remote compiles cost minutes).
     ``params``: (16, C) from `pack_mc_params`, C a multiple of 128.
     ``sub``: samples per loop step — even, >= 16 (each step evaluates two
-    samples per (sub/2, 128) tile row). Returns int32 (C,) counts.
+    samples per (sub/2, 128) tile row). ``shape_noise=False`` (all w/h
+    sigmas zero — the reference default) draws 3 Box-Muller pairs per
+    step instead of 5: measurably faster, identical labels since the
+    skipped normals would be multiplied by zero anyway (the streams
+    differ, but the paths are only ever statistically comparable).
+    Returns int32 (C,) counts.
     """
     c = params.shape[1]
     assert params.shape[0] == PARAM_ROWS, params.shape
     assert c % LANE_CONFIGS == 0, c
     assert sub % 2 == 0 and sub >= 16, sub
-    kernel = functools.partial(_mc_kernel, sub=sub)
+    kernel = functools.partial(_mc_kernel, sub=sub, shape_noise=shape_noise)
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)
     if seed.shape[0] == 1:  # tolerate legacy scalar seeds
         seed = jnp.concatenate([seed, jnp.zeros((1,), jnp.int32)])
@@ -267,6 +290,7 @@ def mc_round_pallas(
     n_batch: int | None = None,
     n_steps=None,
     sub: int | None = None,
+    shape_noise: bool = True,
     interpret: bool = False,
 ) -> Array:
     """Drop-in round step on the fused kernel: int32 (C,) counts.
@@ -278,6 +302,8 @@ def mc_round_pallas(
     automatically) or a TRACED ``n_steps`` with a static ``sub``
     (samples per config = n_steps * sub) — the traced form lets ONE
     compilation serve every round size of an adaptive schedule.
+    ``shape_noise=False`` skips the two w/h noise draws (see
+    `mc_counts_pallas`); only valid when every config's w/h sigma is 0.
     """
     if n_steps is None:
         sub = _pick_sub(n_batch)
@@ -296,6 +322,7 @@ def mc_round_pallas(
         jax.random.key_data(folded).reshape(-1)[:2], jnp.int32
     )
     counts = mc_counts_pallas(
-        seed, params, n_steps, sub=sub, interpret=interpret
+        seed, params, n_steps, sub=sub, shape_noise=shape_noise,
+        interpret=interpret,
     )
     return counts[:c].astype(jnp.int32)

@@ -520,7 +520,9 @@ def bench_mc(configs: int = 65536, step_samples: int = 128, iters: int = 20) -> 
     }
 
 
-def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
+def bench_mc_pallas(
+    configs: int = 65536, iters: int = 30, shape_noise: bool = True
+) -> dict:
     """Fused Pallas MC kernel throughput (hardware PRNG + Box-Muller +
     OBB + on-chip reduce) — the production sampler.
 
@@ -528,7 +530,9 @@ def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
     generation limits it). The paired-draw relative-angle kernel (5
     Box-Muller pairs = 2 samples, cos/sin of theta-phi) measures ~8.5e9
     samples/s on the axon chip — +15% over the 6-draws-for-5-normals
-    layout it replaced."""
+    layout it replaced. ``shape_noise=False`` benchmarks the 3-pair
+    variant the driver selects when every w/h sigma is zero (the
+    reference default workload)."""
     from collide2d_tpu.ops.mc_pallas import mc_counts_pallas, pack_mc_params
 
     cfgs = _bench_configs(configs)
@@ -542,7 +546,10 @@ def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
     def loop(params, k):
         def body(i, acc):
             return acc + jnp.sum(
-                mc_counts_pallas(seed + i, params, jnp.int32(n_steps), sub=sub),
+                mc_counts_pallas(
+                    seed + i, params, jnp.int32(n_steps), sub=sub,
+                    shape_noise=shape_noise,
+                ),
                 dtype=jnp.int32,
             )
 
@@ -553,7 +560,8 @@ def bench_mc_pallas(configs: int = 65536, iters: int = 30) -> dict:
     )
     rate = params.shape[1] * sub * n_steps / dt
     return {
-        "metric": "mc_samples_per_sec_pallas",
+        "metric": "mc_samples_per_sec_pallas"
+        + ("" if shape_noise else "_noshape"),
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / SAT_TARGET,

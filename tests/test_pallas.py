@@ -252,6 +252,80 @@ def test_mc_kernel_math_interpret(rng, monkeypatch):
     np.testing.assert_array_equal(counts, want_sem)
 
 
+def test_mc_kernel_no_shape_noise_interpret(rng, monkeypatch):
+    """shape_noise=False (the reference default: w/h sigmas zero) draws
+    only THREE Box-Muller pairs per step. With zero w/h sigmas the
+    5-draw and 3-draw kernels see different streams, so equality is
+    checked against a replay: the same six draws through the module's
+    own tile functions with z_dw = z_dh = None must reproduce the counts
+    bit-for-bit, and must equal the closed-form `obb_collide` on the
+    same noise with zero extent perturbation."""
+    import collide2d_tpu.ops.mc_pallas as mcp
+    from collide2d_tpu.mc.estimator import Configs
+    from collide2d_tpu.ops.sat import obb_collide
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mcp.LANE_CONFIGS
+    sub = 16
+    sd = rng.uniform(0, 0.4, (C, 5)).astype(np.float32)
+    sd[:, 3:] = 0.0
+    cfgs = Configs(
+        position=jnp.asarray(rng.uniform(-6, 6, (C, 2)).astype(np.float32)),
+        pose_theta=jnp.asarray(rng.uniform(0, 2 * np.pi, C).astype(np.float32)),
+        obstacle_wh=jnp.asarray(rng.uniform(0.5, 5, (C, 2)).astype(np.float32)),
+        std_dev=jnp.asarray(sd),
+    )
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    params = mcp.pack_mc_params(cfgs, robot)
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    counts = np.array(
+        mcp.mc_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
+            sub=sub, shape_noise=False, interpret=True,
+        )
+    )
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    shape = (sub // 2, C)
+    za_dx, zb_dx = mcp._box_muller(shape)
+    za_dy, zb_dy = mcp._box_muller(shape)
+    za_th, zb_th = mcp._box_muller(shape)
+
+    p = np.asarray(params)
+    prow = lambda i: jnp.asarray(p[i])[None, :]
+    args = (
+        prow(0), prow(1), prow(2), prow(3), prow(13), prow(4), prow(5),
+        prow(6), prow(7), prow(8), prow(9), prow(10), prow(11), prow(12),
+    )
+    sep_a = mcp._obb_separated(*args, za_dx, za_dy, za_th, None, None)
+    sep_b = mcp._obb_separated(*args, zb_dx, zb_dy, zb_th, None, None)
+    hits = jnp.logical_not(sep_a).astype(jnp.int32) + jnp.logical_not(
+        sep_b
+    ).astype(jnp.int32)
+    np.testing.assert_array_equal(
+        counts, np.array(jnp.sum(hits, axis=0, dtype=jnp.int32))
+    )
+
+    sdj = cfgs.std_dev
+    want_sem = np.zeros((C,), np.int64)
+    rows = sub // 2
+    for z_dx, z_dy, z_th in ((za_dx, za_dy, za_th), (zb_dx, zb_dy, zb_th)):
+        offsets = jnp.stack(
+            [z_dx * sdj[None, :, 0], z_dy * sdj[None, :, 1]], axis=-1
+        )
+        hit = obb_collide(
+            jnp.broadcast_to(cfgs.position, (rows, C, 2)),
+            jnp.broadcast_to(robot, (rows, C, 2)),
+            jnp.broadcast_to(cfgs.pose_theta, (rows, C)),
+            offsets,
+            jnp.broadcast_to(cfgs.obstacle_wh[None], (rows, C, 2)),
+            z_th * sdj[None, :, 2],
+        )
+        want_sem += np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts, want_sem)
+
+
 def _on_tpu():
     # Where do fresh arrays actually land? (jax.devices() alone lies in
     # environments where a TPU plugin registers itself as default while
