@@ -48,9 +48,14 @@ from collide2d_tpu.mc.estimator import (
     collision_probability_pruned,
     mc_round,
     AdaptiveConfig,
+    Configs,
+    PolygonConfigs,
     adaptive_collision_probabilities,
 )
-from collide2d_tpu.models.collision_model import CollisionProbabilityModel
+from collide2d_tpu.models.collision_model import (
+    CollisionProbabilityModel,
+    PolygonCollisionProbabilityModel,
+)
 
 __version__ = "0.1.0"
 
@@ -74,6 +79,9 @@ __all__ = [
     "collision_probability",
     "mc_round",
     "AdaptiveConfig",
+    "Configs",
+    "PolygonConfigs",
     "adaptive_collision_probabilities",
     "CollisionProbabilityModel",
+    "PolygonCollisionProbabilityModel",
 ]

@@ -376,6 +376,13 @@ def main(argv: list[str] | None = None) -> int:
     _add_compare(sub)
     _add_bench(sub)
     args = parser.parse_args(argv)
+    # Remote TPU compiles cost minutes; make them once-per-machine rather
+    # than once-per-process (opt out: COLLIDE2D_CACHE_DIR="").
+    from collide2d_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     return args.func(args)
 
 

@@ -60,6 +60,65 @@ class Configs(NamedTuple):
         return self.position.shape[0]
 
 
+class PolygonConfigs(NamedTuple):
+    """A batch of C convex-k-gon configurations — BEYOND the reference.
+
+    The reference names arbitrary convex polygons as SAT's extension path
+    (README.md:3) but its Monte-Carlo machinery is rectangle-only; here
+    the same adaptive driver (`adaptive_collision_probabilities`,
+    `collision_probability`) accepts either type. Noise is POSE noise
+    (x, y, theta) on the obstacle — the rectangle model's additive
+    width/height noise has no k-gon analogue, so std_dev has 3 columns,
+    not 5.
+
+    position:       (C, 2)    robot center in the obstacle frame
+    pose_theta:     (C,)      robot orientation
+    obstacle_verts: (C, K, 2) CCW convex vertices in the obstacle frame
+                              (rotated about the ORIGIN by the theta
+                              noise, like the reference's rectangles,
+                              utils.cu:144-157). Fixed-K contract: pad
+                              short polygons by REPEATING a real vertex
+                              (see ops.sat.sat_polygons), or build via
+                              `from_padded` with a mask.
+    std_dev:        (C, 3)    noise sigmas (x, y, theta)
+
+    The robot is passed where rectangle calls pass ``robot_wh``: a
+    (K2, 2) vertex array in the robot frame (around its own origin).
+    Only impl='jnp' supports polygons (the fused Pallas kernel is the
+    closed-form rectangle OBB path); uid-keyed streams keep every
+    rectangle-path guarantee — compaction invariance, bitwise config-DP.
+    """
+
+    position: Array
+    pose_theta: Array
+    obstacle_verts: Array
+    std_dev: Array
+
+    @property
+    def num(self) -> int:
+        return self.position.shape[0]
+
+    @classmethod
+    def from_padded(
+        cls, position, pose_theta, obstacle_verts, std_dev, mask=None
+    ) -> "PolygonConfigs":
+        """Build configs from arbitrarily padded fixed-K vertices: with a
+        ``mask`` ((C, K) bool, True = real vertex), padded slots are
+        rewritten to the last real vertex (the repeat-padding the SAT
+        contract requires)."""
+        from collide2d_tpu.ops.sat import _normalize_padding
+
+        return cls(
+            position=jnp.asarray(position, jnp.float32),
+            pose_theta=jnp.asarray(pose_theta, jnp.float32),
+            obstacle_verts=_normalize_padding(
+                jnp.asarray(obstacle_verts, jnp.float32),
+                None if mask is None else jnp.asarray(mask, bool),
+            ),
+            std_dev=jnp.asarray(std_dev, jnp.float32),
+        )
+
+
 def _per_config_keys(key: Array, uids: Array) -> Array:
     """Stable per-configuration keys: fold the config uid into the base
     key so results are invariant under compaction/re-ordering."""
@@ -177,10 +236,56 @@ def _plan_round(cfg, sim_n: int, n_sample: int, impl: str) -> tuple[int, int]:
     return nb, step
 
 
+def _counts_chunk_polygons(
+    keys: Array, configs: "PolygonConfigs", robot_verts: Array, n_lanes: int
+) -> Array:
+    """Polygon analogue of `_counts_chunk`: the obstacle k-gon is rotated
+    about the origin by the theta draw and translated by the (x, y) draw
+    (the k-gon generalization of sample_rectangle, utils.cu:144-157,
+    minus the rectangle-only shape noise), then tested against the fixed
+    robot k-gon with true-normal SAT."""
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 3), jnp.float32))(keys)
+    d = z * configs.std_dev[:, None, :]  # (C, S, 3)
+    # Robot: fixed per configuration — rotate by pose_theta, translate to
+    # position (rot_trans_rectangle semantics, utils.cu:132-142).
+    ca = jnp.cos(configs.pose_theta)[:, None]  # (C, 1)
+    sa = jnp.sin(configs.pose_theta)[:, None]
+    rx, ry = robot_verts[..., 0], robot_verts[..., 1]  # (K2,)
+    robot = jnp.stack(
+        [
+            ca * rx - sa * ry + configs.position[:, 0:1],
+            sa * rx + ca * ry + configs.position[:, 1:2],
+        ],
+        axis=-1,
+    )[:, None]  # (C, 1, K2, 2)
+    # Obstacle: per-sample rotation + translation of the base vertices.
+    ct = jnp.cos(d[..., 2])[..., None]  # (C, S, 1)
+    st = jnp.sin(d[..., 2])[..., None]
+    ox = configs.obstacle_verts[..., 0][:, None, :]  # (C, 1, K)
+    oy = configs.obstacle_verts[..., 1][:, None, :]
+    obstacle = jnp.stack(
+        [
+            ct * ox - st * oy + d[..., 0:1],
+            st * ox + ct * oy + d[..., 1:2],
+        ],
+        axis=-1,
+    )  # (C, S, K, 2)
+    s = obstacle.shape[1]
+    hit = sat_polygons(
+        jnp.broadcast_to(robot, robot.shape[:1] + (s,) + robot.shape[2:]),
+        obstacle,
+    )
+    return jnp.sum(hit, axis=-1, dtype=jnp.int32)
+
+
 def _counts_chunk(
     keys: Array, configs: Configs, robot_wh: Array, n_lanes: int, use_vertices: bool
 ) -> Array:
     """Collision count over ``n_lanes`` samples for each configuration."""
+    if isinstance(configs, PolygonConfigs):
+        return _counts_chunk_polygons(keys, configs, robot_wh, n_lanes)
     z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 5), jnp.float32))(keys)
     d = z * configs.std_dev[:, None, :]  # (C, S, 5)
     if use_vertices:
@@ -252,8 +357,21 @@ def mc_round(
     streams tied to (round, block) instead of uid (each round reseeds, so
     samples stay i.i.d., but results are not compaction-invariant).
     impl='auto': pallas on TPU, jnp elsewhere.
+
+    `PolygonConfigs` batches run on the jnp path only (the fused kernel
+    is the closed-form rectangle OBB test); 'auto' resolves to jnp and
+    an explicit 'pallas' raises.
     """
-    impl = resolve_impl(impl, configs.position)
+    if isinstance(configs, PolygonConfigs):
+        if impl == "pallas":
+            raise ValueError(
+                "impl='pallas' supports rectangle Configs only (the fused "
+                "kernel is the closed-form OBB path); PolygonConfigs runs "
+                "on impl='jnp'"
+            )
+        impl = "jnp"
+    else:
+        impl = resolve_impl(impl, configs.position)
     if impl == "pallas":
         from collide2d_tpu.ops.mc_pallas import mc_round_pallas
 
@@ -496,7 +614,7 @@ def collision_probability_pruned(
         [idx, np.full(bucket - idx.size, idx[0], dtype=idx.dtype)]
     )
     gather = jnp.asarray(padded, jnp.int32)
-    sub = Configs(*(jnp.take(a, gather, axis=0) for a in configs))
+    sub = type(configs)(*(jnp.take(a, gather, axis=0) for a in configs))
     counts = mc_round(
         key,
         gather,  # original row ids as uids => streams match the unpruned run
@@ -778,7 +896,7 @@ def _pack_active(state: _LoopState, *, bucket: int):
     slot_valid = jnp.take(active, order)
     new_state = _LoopState(
         uids=jnp.where(slot_valid, jnp.take(state.uids, order), -1),
-        active=Configs(*(jnp.take(a, order, axis=0) for a in state.active)),
+        active=type(state.active)(*(jnp.take(a, order, axis=0) for a in state.active)),
         n_true=jnp.take(state.n_true, order),
         done=jnp.logical_not(slot_valid),
         k_frozen=jnp.take(state.k_frozen, order),
@@ -859,6 +977,12 @@ def adaptive_collision_probabilities(
     robot_wh = jnp.asarray(robot_wh, jnp.float32)
     acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
     bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
+    is_poly = isinstance(configs, PolygonConfigs)
+    if is_poly and cfg.impl == "pallas":
+        raise ValueError(
+            "impl='pallas' supports rectangle Configs only; PolygonConfigs "
+            "runs on impl='jnp' (see mc_round)"
+        )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -894,6 +1018,8 @@ def adaptive_collision_probabilities(
         n_shards = 1
         round_mesh = None
         _shard = lambda s: s
+    if is_poly:
+        impl = "jnp"  # 'auto' on TPU resolves to pallas; polygons are jnp-only
 
     # With every w/h sigma zero (the reference default —
     # generate_dataset.cu:285-290 zeroes them unless --shape_variance),
@@ -934,7 +1060,7 @@ def adaptive_collision_probabilities(
         state = _shard(
             _LoopState(
                 uids=jnp.where(pad_mask0, -1, gather0),
-                active=Configs(*(jnp.take(a, gather0, axis=0) for a in configs)),
+                active=type(configs)(*(jnp.take(a, gather0, axis=0) for a in configs)),
                 n_true=jnp.zeros((len(pad0),), jnp.int32),
                 done=jnp.asarray(pad_mask0),
                 k_frozen=jnp.zeros((len(pad0),), jnp.int32),
@@ -976,7 +1102,7 @@ def adaptive_collision_probabilities(
             )
             state = _shard(_LoopState(
                 uids=jnp.asarray(ckpt["uids"], jnp.int32),
-                active=Configs(*(jnp.asarray(a) for a in ckpt["active"])),
+                active=type(configs)(*(jnp.asarray(a) for a in ckpt["active"])),
                 n_true=jnp.asarray(ckpt["n_true"], jnp.int32),
                 done=jnp.asarray(ckpt["done"], bool),
                 k_frozen=jnp.asarray(ckpt["k_frozen"], jnp.int32),

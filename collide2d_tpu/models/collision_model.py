@@ -17,6 +17,7 @@ from jax import Array
 from collide2d_tpu.mc.estimator import (
     AdaptiveConfig,
     Configs,
+    PolygonConfigs,
     adaptive_collision_probabilities,
     collision_probability,
     collision_probability_pruned,
@@ -93,6 +94,80 @@ class CollisionProbabilityModel:
         """Adaptive labeling to per-bin CI accuracy (host loop around the
         jitted round step). Returns (cp, n_samples, converged) numpy."""
         return adaptive_collision_probabilities(key, configs, self.robot_wh, cfg)
+
+
+class PolygonCollisionProbabilityModel:
+    """Collision labels + probabilities for a convex-k-gon robot — the
+    extension the reference names (README.md:3) but never builds.
+
+    ``robot_verts``: (K2, 2) CCW convex vertices in the robot frame.
+    Accepts `PolygonConfigs` batches; same adaptive machinery, CI
+    guarantees, pruning, and sharding semantics as the rectangle model
+    (jnp path: uid-keyed streams, bitwise config-DP)."""
+
+    def __init__(self, robot_verts):
+        self.robot_verts = jnp.asarray(robot_verts, jnp.float32)
+
+    def collide(self, configs: PolygonConfigs) -> Array:
+        """Deterministic true-normal SAT label at zero noise. int32 (C,)."""
+        ca = jnp.cos(configs.pose_theta)[:, None]
+        sa = jnp.sin(configs.pose_theta)[:, None]
+        rx, ry = self.robot_verts[..., 0], self.robot_verts[..., 1]
+        robot = jnp.stack(
+            [
+                ca * rx - sa * ry + configs.position[:, 0:1],
+                sa * rx + ca * ry + configs.position[:, 1:2],
+            ],
+            axis=-1,
+        )
+        return sat_polygons(robot, configs.obstacle_verts)
+
+    def forward(self, key: Array, configs: PolygonConfigs, n_samples: int) -> Array:
+        """Fixed-budget MC collision probabilities; jittable. f32 (C,)."""
+        return collision_probability(
+            key, configs, self.robot_verts, n_samples
+        )
+
+    def forward_pruned(
+        self, key: Array, configs: PolygonConfigs, n_samples: int, *,
+        sigma_margin: float = 6.0,
+    ):
+        """Fixed-budget MC with noise-aware pruning (circumscribed-circle
+        reach test on the vertex norms)."""
+        return collision_probability_pruned(
+            key, configs, self.robot_verts, n_samples,
+            sigma_margin=sigma_margin, impl="jnp",
+        )
+
+    def label(
+        self, key: Array, configs: PolygonConfigs,
+        cfg: AdaptiveConfig = AdaptiveConfig(),
+    ):
+        """Adaptive labeling to per-bin CI accuracy. Returns (cp,
+        n_samples, converged) numpy arrays."""
+        return adaptive_collision_probabilities(
+            key, configs, self.robot_verts, cfg
+        )
+
+
+def example_polygon_configs(
+    n: int = 8, k: int = 6, seed: int = 0
+) -> PolygonConfigs:
+    """Small deterministic PolygonConfigs batch (convex by construction:
+    vertices on per-config ellipses at sorted angles)."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    ang = jnp.sort(
+        jax.random.uniform(k1, (n, k), jnp.float32, 0.0, 2.0 * jnp.pi), axis=-1
+    )
+    ab = jax.random.uniform(k2, (n, 1, 2), jnp.float32, 0.5, 3.0)
+    verts = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1) * ab
+    return PolygonConfigs(
+        position=jax.random.uniform(k3, (n, 2), jnp.float32, -6.0, 6.0),
+        pose_theta=jax.random.uniform(k4, (n,), jnp.float32, 0.0, 2.0 * jnp.pi),
+        obstacle_verts=verts,
+        std_dev=jax.random.uniform(k5, (n, 3), jnp.float32, 0.0, 0.55),
+    )
 
 
 def example_configs(n: int = 8, seed: int = 0) -> Configs:

@@ -78,14 +78,23 @@ def possible_collision_mask(configs, robot_wh, sigma_margin: float = 6.0):
     (generate_dataset.cu:58-59), so pruned configurations may be labeled
     cp = 0 without sampling.
 
-    ``configs``: an `mc.estimator.Configs` batch. Returns bool (C,).
+    ``configs``: an `mc.estimator.Configs` batch (``robot_wh`` = (2,)
+    width/height) or an `mc.estimator.PolygonConfigs` batch (``robot_wh``
+    = (K2, 2) robot vertices; the circumscribed radii come from the
+    vertex norms — exact for rotation about the origin, which is how the
+    noise model rotates both bodies). Returns bool (C,).
     """
-    robot_wh = jnp.asarray(robot_wh, jnp.float32)
-    r_rob = 0.5 * jnp.hypot(robot_wh[..., 0], robot_wh[..., 1])
+    robot = jnp.asarray(robot_wh, jnp.float32)
     sd = configs.std_dev
-    ow = jnp.abs(configs.obstacle_wh[:, 0]) + sigma_margin * sd[:, 3]
-    oh = jnp.abs(configs.obstacle_wh[:, 1]) + sigma_margin * sd[:, 4]
-    r_obs = 0.5 * jnp.hypot(ow, oh)
+    if hasattr(configs, "obstacle_verts"):
+        r_rob = jnp.max(jnp.hypot(robot[..., 0], robot[..., 1]), axis=-1)
+        v = configs.obstacle_verts
+        r_obs = jnp.max(jnp.hypot(v[..., 0], v[..., 1]), axis=-1)
+    else:
+        r_rob = 0.5 * jnp.hypot(robot[..., 0], robot[..., 1])
+        ow = jnp.abs(configs.obstacle_wh[:, 0]) + sigma_margin * sd[:, 3]
+        oh = jnp.abs(configs.obstacle_wh[:, 1]) + sigma_margin * sd[:, 4]
+        r_obs = 0.5 * jnp.hypot(ow, oh)
     reach = sigma_margin * jnp.hypot(sd[:, 0], sd[:, 1])
     dist = jnp.hypot(configs.position[:, 0], configs.position[:, 1])
     return dist <= r_rob + r_obs + reach

@@ -170,3 +170,34 @@ def test_compare_labels_report():
     rep2 = compare_labels(rows, a)
     assert rep2.max_abs_diff == 0.0
     assert rep2.frac_z_ok == 1.0
+
+
+def test_persistent_compilation_cache_config(tmp_path, monkeypatch):
+    import jax
+
+    from collide2d_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # Explicit path wins and the directory is created.
+        jax.config.update("jax_compilation_cache_dir", None)
+        d = str(tmp_path / "xla")
+        assert enable_persistent_compilation_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+
+        assert os.path.isdir(d)
+        # An already-configured cache dir is left untouched.
+        assert enable_persistent_compilation_cache(str(tmp_path / "o")) == d
+        # Empty env var disables.
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("COLLIDE2D_CACHE_DIR", "")
+        assert enable_persistent_compilation_cache() is None
+        assert jax.config.jax_compilation_cache_dir is None
+        # Env var supplies the default.
+        monkeypatch.setenv("COLLIDE2D_CACHE_DIR", str(tmp_path / "env"))
+        assert enable_persistent_compilation_cache() == str(tmp_path / "env")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

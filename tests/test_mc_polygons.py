@@ -1,0 +1,214 @@
+"""Monte Carlo estimation for convex k-gons — the extension beyond the
+reference (its README.md:3 names arbitrary convex polygons for SAT; its
+MC machinery is rectangle-only). Same adaptive driver, same guarantees."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from collide2d_tpu.mc.estimator import (
+    AdaptiveConfig,
+    Configs,
+    PolygonConfigs,
+    adaptive_collision_probabilities,
+    collision_probability,
+    collision_probability_pruned,
+    mc_round,
+)
+from collide2d_tpu.models.collision_model import (
+    PolygonCollisionProbabilityModel,
+    example_polygon_configs,
+)
+from tests.conftest import cpu_devices
+
+RECT_ROBOT_WH = np.asarray([4.07, 1.74], np.float32)
+# The reference robot as a CCW polygon (create_rect layout, utils.cu:119-130)
+RECT_ROBOT_VERTS = jnp.asarray(
+    [
+        [-2.035, -0.87],
+        [2.035, -0.87],
+        [2.035, 0.87],
+        [-2.035, 0.87],
+    ],
+    jnp.float32,
+)
+
+
+def _rect_verts(wh):
+    w, h = wh[..., 0] * 0.5, wh[..., 1] * 0.5
+    return jnp.stack(
+        [
+            jnp.stack([-w, -h], -1),
+            jnp.stack([w, -h], -1),
+            jnp.stack([w, h], -1),
+            jnp.stack([-w, h], -1),
+        ],
+        axis=-2,
+    )
+
+
+def test_zero_noise_equals_deterministic_sat(rng):
+    cfgs0 = example_polygon_configs(32, k=6, seed=3)
+    cfgs = cfgs0._replace(std_dev=jnp.zeros_like(cfgs0.std_dev))
+    model = PolygonCollisionProbabilityModel(RECT_ROBOT_VERTS)
+    want = np.array(model.collide(cfgs), np.float32)
+    got = np.array(model.forward(jax.random.PRNGKey(0), cfgs, 64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rect_as_polygon_agrees_with_rect_path(rng):
+    # A rectangle expressed as a 4-gon with pose-only noise must estimate
+    # the same probabilities as the rectangle path (statistically: the
+    # draws differ — (S,3) vs (S,5) normals).
+    C, n = 48, 40_000
+    pos = rng.uniform(-5, 5, (C, 2)).astype(np.float32)
+    theta = rng.uniform(0, 2 * np.pi, C).astype(np.float32)
+    owh = rng.uniform(0.5, 5, (C, 2)).astype(np.float32)
+    sd3 = rng.uniform(0.05, 0.4, (C, 3)).astype(np.float32)
+    rect_cfgs = Configs(
+        position=jnp.asarray(pos),
+        pose_theta=jnp.asarray(theta),
+        obstacle_wh=jnp.asarray(owh),
+        std_dev=jnp.concatenate(
+            [jnp.asarray(sd3), jnp.zeros((C, 2), jnp.float32)], axis=1
+        ),
+    )
+    poly_cfgs = PolygonConfigs(
+        position=jnp.asarray(pos),
+        pose_theta=jnp.asarray(theta),
+        obstacle_verts=_rect_verts(jnp.asarray(owh)),
+        std_dev=jnp.asarray(sd3),
+    )
+    cp_rect = np.array(
+        collision_probability(
+            jax.random.PRNGKey(7), rect_cfgs, RECT_ROBOT_WH, n, impl="jnp"
+        )
+    )
+    cp_poly = np.array(
+        collision_probability(
+            jax.random.PRNGKey(8), poly_cfgs, RECT_ROBOT_VERTS, n
+        )
+    )
+    # MC sigma at n=4e4 is <= 0.0025; 6 sigma with margin.
+    np.testing.assert_allclose(cp_poly, cp_rect, atol=0.02)
+
+
+def test_polygon_pallas_raises(rng):
+    cfgs = example_polygon_configs(8)
+    with pytest.raises(ValueError, match="pallas"):
+        mc_round(
+            jax.random.PRNGKey(0),
+            jnp.arange(8, dtype=jnp.int32),
+            cfgs,
+            RECT_ROBOT_VERTS,
+            jnp.int32(0),
+            n_batch=64,
+            impl="pallas",
+        )
+    with pytest.raises(ValueError, match="pallas"):
+        adaptive_collision_probabilities(
+            jax.random.PRNGKey(0), cfgs, RECT_ROBOT_VERTS,
+            AdaptiveConfig(impl="pallas"),
+        )
+
+
+def test_from_padded_mask_equals_exact_k(rng):
+    # A pentagon padded to k=8 with garbage in the padded slots + a mask
+    # must label exactly like the repeat-padded form.
+    base = example_polygon_configs(16, k=5, seed=11)
+    C = base.num
+    garbage = jnp.asarray(rng.uniform(-50, 50, (C, 3, 2)).astype(np.float32))
+    padded_verts = jnp.concatenate([base.obstacle_verts, garbage], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((C, 5), bool), jnp.zeros((C, 3), bool)], axis=1
+    )
+    clean = PolygonConfigs.from_padded(
+        base.position, base.pose_theta, padded_verts, base.std_dev, mask=mask
+    )
+    repeat = jnp.concatenate(
+        [base.obstacle_verts, jnp.repeat(base.obstacle_verts[:, -1:], 3, 1)],
+        axis=1,
+    )
+    want = PolygonConfigs(base.position, base.pose_theta, repeat, base.std_dev)
+    key = jax.random.PRNGKey(5)
+    np.testing.assert_array_equal(
+        np.array(collision_probability(key, clean, RECT_ROBOT_VERTS, 256)),
+        np.array(collision_probability(key, want, RECT_ROBOT_VERTS, 256)),
+    )
+
+
+def test_adaptive_polygon_labels_satisfy_ci(rng):
+    from collide2d_tpu.mc import stats
+
+    cfgs = example_polygon_configs(64, k=6, seed=2)
+    cfg = AdaptiveConfig(
+        accuracy_bins=(0.0, 0.1, 1.0),
+        bin_accuracy=(0.01, 0.05),
+        max_samples=40_000,
+        fixed_batch=1000,
+    )
+    cp, n_used, done = adaptive_collision_probabilities(
+        jax.random.PRNGKey(9), cfgs, RECT_ROBOT_VERTS, cfg
+    )
+    assert done.all()
+    assert ((cp >= 0) & (cp <= 1)).all()
+    k = np.round(cp * n_used).astype(np.int64)
+    slack = np.array(
+        stats.calc_slack(jnp.asarray(n_used, jnp.int32), jnp.asarray(k, jnp.int32))
+    )
+    bins = np.array([0.0, 0.1, 1.0], np.float32)
+    acc = np.array([0.01, 0.05], np.float32)
+    b = np.clip(np.searchsorted(bins, cp, side="right") - 1, 0, len(acc) - 1)
+    assert (slack <= acc[b] + 1e-7).all()
+
+
+def test_polygon_pruned_matches_unpruned_on_candidates(rng):
+    # Far-away polygons label 0 without sampling; candidate rows are
+    # BITWISE the unpruned labels (uid-keyed streams survive compaction).
+    cfgs0 = example_polygon_configs(32, k=6, seed=4)
+    far = jnp.asarray(
+        np.where(rng.uniform(size=(32, 1)) < 0.5, 500.0, 1.0).astype(np.float32)
+    )
+    cfgs = cfgs0._replace(position=cfgs0.position * far)
+    key = jax.random.PRNGKey(3)
+    pruned = collision_probability_pruned(
+        key, cfgs, RECT_ROBOT_VERTS, 512, impl="jnp"
+    )
+    full = np.array(collision_probability(key, cfgs, RECT_ROBOT_VERTS, 512))
+    far_rows = np.asarray(far[:, 0]) > 100
+    assert (pruned[far_rows] == 0).all()
+    np.testing.assert_array_equal(pruned[~far_rows], full[~far_rows])
+
+
+def test_polygon_config_dp_bitwise(rng):
+    # P1 data parallelism stays a value-level no-op for polygons (the jnp
+    # path's uid-keyed streams are position-independent).
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    from collide2d_tpu.parallel import make_mesh
+
+    C = 64
+    cfgs = example_polygon_configs(C, k=6, seed=6)
+    key = jax.random.PRNGKey(0)
+    uids = jnp.arange(C, dtype=jnp.int32)
+    base = np.array(
+        mc_round(key, uids, cfgs, RECT_ROBOT_VERTS, jnp.int32(0), n_batch=512)
+    )
+    mesh = make_mesh(devs)
+    sharding = NamedSharding(mesh, P("config"))
+    sharded = PolygonConfigs(
+        *(jax.device_put(a, sharding) for a in cfgs)
+    )
+    got = mc_round(
+        key,
+        jax.device_put(uids, sharding),
+        sharded,
+        RECT_ROBOT_VERTS,
+        jnp.int32(0),
+        n_batch=512,
+    )
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.array(got), base)
