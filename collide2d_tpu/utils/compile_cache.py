@@ -9,6 +9,15 @@ generate, repeat runs) skip compilation entirely for shapes it has seen.
 
 The reference has no analogue (nvcc compiles ahead of time); this is
 TPU-operational plumbing, not a ported component.
+
+Measured caveat (this image's axon tunnel): the cache demonstrably HITS
+across processes ("Persistent compilation cache hit for 'jit_f'",
+identical keys run to run), but LOADING the cached executable through
+the remote tunnel costs as much as compiling it (~160-200 s either way
+for even a trivial program), so there is no wall-clock win HERE. On a
+standard TPU deployment, where deserialize+load is milliseconds, the
+cache removes the entire per-process compile bill (~5.5 min of a cold
+10^7-config generate run).
 """
 
 from __future__ import annotations
