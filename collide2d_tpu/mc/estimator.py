@@ -905,6 +905,84 @@ def _pack_active(state: _LoopState, *, bucket: int):
     return new_state, jnp.sum(active, dtype=jnp.int32)
 
 
+def _ladder_buckets(c0: int, min_bucket: int) -> list[int]:
+    """Every bucket size the repack ladder can visit starting from a
+    ``c0``-row buffer: c0 itself plus all {2^k, 3*2^(k-1)} values below
+    it (>= min_bucket-ish; `_round_up_bucket` semantics)."""
+    vals = {c0}
+    b = max(min_bucket, 1)
+    while b < c0:
+        vals.add(b)
+        b2 = b + b // 2
+        if b2 < c0 and b >= 16:
+            vals.add(b2)
+        b *= 2
+    return sorted(vals, reverse=True)
+
+
+def _warm_fused_round_compiles(
+    key, configs, robot_wh, cfg, *, impl, shape_noise, c0, acc_bins, bin_acc
+):
+    """Fire-and-forget compile warmup for every bucket shape the repack
+    ladder can visit.
+
+    The adaptive driver's programs compile on first dispatch, serially —
+    on this image's remote tunnel that is 1.4-11 min of a cold
+    10^7-config run (pure tunnel-load latency: each program compiles in
+    0.5-2 s when idle), and the persistent on-disk cache cannot help
+    (executable LOADING through the tunnel costs as much as compiling;
+    see utils/compile_cache.py). But the compile service handles
+    CONCURRENT requests at near-perfect overlap (measured 4 programs in
+    the time of one), so warming the ladder's `_fused_round` variants on
+    daemon threads while the first rounds execute hides most of the
+    bill. Each warm call is an AOT ``.lower().compile()`` with the big
+    arrays abstract and every scalar/static EXACTLY as the driver
+    passes them, so the populated jit cache is hit verbatim; a warm
+    failure only means that shape compiles on demand as before.
+    """
+    import threading
+
+    # The distinct (step_samples, sub) static combos the schedule uses.
+    combos, n = set(), 0
+    while n < cfg.max_samples and len(combos) < 6:
+        nb, step = _plan_round(cfg, n, 1, impl)
+        n += nb
+        if impl == "pallas":
+            combos.add((0, _pick_sub_pallas(nb)))
+        else:
+            combos.add((step, 0))
+
+    def warm(bucket, step_samples, sub):
+        try:
+            sds = lambda a: jax.ShapeDtypeStruct(
+                (bucket,) + a.shape[1:], a.dtype
+            )
+            state_abs = _LoopState(
+                uids=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+                active=type(configs)(*(sds(a) for a in configs)),
+                n_true=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+                done=jax.ShapeDtypeStruct((bucket,), jnp.bool_),
+                k_frozen=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+                n_frozen=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+            )
+            _fused_round.lower(
+                key, state_abs, robot_wh,
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                step_samples=step_samples, sub=sub,
+                use_vertices=cfg.use_vertices, impl=impl,
+                accuracy_bins=acc_bins, bin_accuracy=bin_acc,
+                mesh=None, shape_noise=shape_noise,
+            ).compile()
+        except Exception:
+            pass  # that shape simply compiles on demand, as before
+
+    for bucket in _ladder_buckets(c0, cfg.min_active):
+        for step_samples, sub in combos:
+            threading.Thread(
+                target=warm, args=(bucket, step_samples, sub), daemon=True
+            ).start()
+
+
 def _round_up_bucket(n: int, min_bucket: int) -> int:
     """Smallest ladder size >= n, ladder = {2^k, 3*2^(k-1)}.
 
@@ -1116,6 +1194,18 @@ def adaptive_collision_probabilities(
                 ((ckpt["uids"] >= 0) & ~ckpt["done"].astype(bool)).sum()
             )
             rnd = int(ckpt["round"])
+
+    # Overlap the ladder's program compilations with the first rounds'
+    # execution (big win on remote-compile environments; no-op cost
+    # otherwise). Mesh runs skip it: the warm lowers unsharded avals,
+    # which would miss the sharded-arg cache keys anyway. Small runs skip
+    # it: their two or three shapes compile on demand faster than a
+    # thread herd pays off.
+    if mesh is None and state.uids.shape[0] >= 16384:
+        _warm_fused_round_compiles(
+            key, configs, robot_wh, cfg, impl=impl, shape_noise=shape_noise,
+            c0=state.uids.shape[0], acc_bins=acc_bins, bin_acc=bin_acc,
+        )
 
     # Dispatch enough rounds between host syncs to amortize the readback
     # latency (~30 ms through the remote tunnel) against real compute.

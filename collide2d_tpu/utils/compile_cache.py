@@ -16,8 +16,9 @@ identical keys run to run), but LOADING the cached executable through
 the remote tunnel costs as much as compiling it (~160-200 s either way
 for even a trivial program), so there is no wall-clock win HERE. On a
 standard TPU deployment, where deserialize+load is milliseconds, the
-cache removes the entire per-process compile bill (~5.5 min of a cold
-10^7-config generate run).
+cache removes the entire per-process compile bill (1.4-11 min of a
+cold 10^7-config generate run on this image, varying purely with
+tunnel load).
 """
 
 from __future__ import annotations
