@@ -31,6 +31,7 @@ def main() -> int:
     from collide2d_tpu.utils.benchmarks import (
         bench_mc,
         bench_mc_pallas,
+        bench_mc_polygons_pallas,
         bench_reduce_bandwidth,
         bench_sat,
         bench_sat_pallas,
@@ -96,6 +97,7 @@ def main() -> int:
         bench_mc,
         bench_mc_pallas,
         noshape,
+        bench_mc_polygons_pallas,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
     ):

@@ -358,20 +358,17 @@ def mc_round(
     samples stay i.i.d., but results are not compaction-invariant).
     impl='auto': pallas on TPU, jnp elsewhere.
 
-    `PolygonConfigs` batches run on the jnp path only (the fused kernel
-    is the closed-form rectangle OBB test); 'auto' resolves to jnp and
-    an explicit 'pallas' raises.
+    `PolygonConfigs` batches dispatch to the fused polygon kernel
+    (ops.mc_polygon_pallas) on the pallas path, with the same stream
+    semantics as the rectangle kernel.
     """
-    if isinstance(configs, PolygonConfigs):
-        if impl == "pallas":
-            raise ValueError(
-                "impl='pallas' supports rectangle Configs only (the fused "
-                "kernel is the closed-form OBB path); PolygonConfigs runs "
-                "on impl='jnp'"
-            )
-        impl = "jnp"
-    else:
-        impl = resolve_impl(impl, configs.position)
+    impl = resolve_impl(impl, configs.position)
+    if impl == "pallas" and isinstance(configs, PolygonConfigs):
+        from collide2d_tpu.ops.mc_polygon_pallas import mc_round_polygons_pallas
+
+        return mc_round_polygons_pallas(
+            key, configs, robot_wh, chunk_offset, n_batch=n_batch
+        )
     if impl == "pallas":
         from collide2d_tpu.ops.mc_pallas import mc_round_pallas
 
@@ -792,7 +789,16 @@ def _fused_round(
     round size in the schedule (remote compiles cost minutes each).
     """
     if impl == "pallas":
-        if mesh is not None:
+        if isinstance(state.active, PolygonConfigs):
+            from collide2d_tpu.ops.mc_polygon_pallas import (
+                mc_round_polygons_pallas,
+            )
+
+            counts = mc_round_polygons_pallas(
+                key, state.active, robot_wh, chunk_offset,
+                n_steps=n_steps, sub=sub,
+            )
+        elif mesh is not None:
             counts = _pallas_sharded_counts(
                 key, state.active, robot_wh, chunk_offset, n_steps,
                 sub=sub, mesh=mesh, shape_noise=shape_noise,
@@ -1056,10 +1062,11 @@ def adaptive_collision_probabilities(
     acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
     bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
     is_poly = isinstance(configs, PolygonConfigs)
-    if is_poly and cfg.impl == "pallas":
+    if is_poly and cfg.impl == "pallas" and mesh is not None:
         raise ValueError(
-            "impl='pallas' supports rectangle Configs only; PolygonConfigs "
-            "runs on impl='jnp' (see mc_round)"
+            "impl='pallas' under a mesh is rectangle-only for now (the "
+            "shard_map wrapper wraps the rectangle kernel); polygon "
+            "batches shard on impl='jnp', or run pallas single-device"
         )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -1096,8 +1103,8 @@ def adaptive_collision_probabilities(
         n_shards = 1
         round_mesh = None
         _shard = lambda s: s
-    if is_poly:
-        impl = "jnp"  # 'auto' on TPU resolves to pallas; polygons are jnp-only
+    if is_poly and mesh is not None:
+        impl = "jnp"  # polygon sharding runs on the uid-keyed jnp path
 
     # With every w/h sigma zero (the reference default —
     # generate_dataset.cu:285-290 zeroes them unless --shape_variance),
@@ -1105,7 +1112,7 @@ def adaptive_collision_probabilities(
     # VPU-issue-bound; measured speedup in ops/mc_pallas.py). One scalar
     # readback at driver start.
     shape_noise = True
-    if impl == "pallas":
+    if impl == "pallas" and not is_poly:
         shape_noise = bool(
             jax.device_get(jnp.any(configs.std_dev[:, 3:] != 0.0))
         )

@@ -95,22 +95,22 @@ def test_rect_as_polygon_agrees_with_rect_path(rng):
     np.testing.assert_allclose(cp_poly, cp_rect, atol=0.02)
 
 
-def test_polygon_pallas_raises(rng):
+def test_polygon_pallas_mesh_raises(rng):
+    # Single-device pallas dispatches to the fused polygon kernel
+    # (ops.mc_polygon_pallas, TPU-only); under a mesh the shard_map
+    # wrapper is rectangle-only, so an explicit pallas request fails
+    # loudly instead of silently downgrading.
+    from collide2d_tpu.parallel import make_mesh
+    from tests.conftest import cpu_devices
+
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
     cfgs = example_polygon_configs(8)
-    with pytest.raises(ValueError, match="pallas"):
-        mc_round(
-            jax.random.PRNGKey(0),
-            jnp.arange(8, dtype=jnp.int32),
-            cfgs,
-            RECT_ROBOT_VERTS,
-            jnp.int32(0),
-            n_batch=64,
-            impl="pallas",
-        )
     with pytest.raises(ValueError, match="pallas"):
         adaptive_collision_probabilities(
             jax.random.PRNGKey(0), cfgs, RECT_ROBOT_VERTS,
-            AdaptiveConfig(impl="pallas"),
+            AdaptiveConfig(impl="pallas"), mesh=make_mesh(devs),
         )
 
 

@@ -359,3 +359,110 @@ def test_mc_kernel_statistics_tpu():
     ) / n
     tol = 3 * np.sqrt(2 * np.maximum(want * (1 - want), 1e-4) / n)
     assert (np.abs(got - want) <= tol).all()
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="MC kernel needs the TPU hardware PRNG")
+def test_mc_polygon_kernel_statistics_tpu():
+    from collide2d_tpu.mc.estimator import mc_round
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from collide2d_tpu.ops.mc_polygon_pallas import mc_round_polygons_pallas
+
+    C = 96
+    cfgs = example_polygon_configs(C, k=6, seed=1)
+    key = jax.random.PRNGKey(0)
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    n = 8000
+    got = np.array(mc_round_polygons_pallas(key, cfgs, robot, 0, n_batch=n)) / n
+    uids = jnp.arange(C, dtype=jnp.int32)
+    want = np.array(
+        mc_round(key, uids, cfgs, robot, jnp.int32(0), n_batch=n, impl="jnp")
+    ) / n
+    tol = 3 * np.sqrt(2 * np.maximum(want * (1 - want), 1e-4) / n)
+    assert (np.abs(got - want) <= tol).all()
+
+
+def test_mc_polygon_kernel_math_interpret(rng, monkeypatch):
+    """Off-TPU CI coverage of the fused polygon MC kernel.
+
+    1. WIRING, bit-for-bit: stubbed draws replayed through the module's
+       own `_poly_separated` on the packed rows must reproduce the
+       kernel's counts exactly — pins packing layout, offsets, the
+       paired-draw order, and accumulation.
+    2. SEMANTICS: the counts must equal true-normal `sat_polygons` on
+       explicitly rigid-transformed obstacles with the same noise (the
+       kernel's blended-table form rounds differently, so exact-boundary
+       inputs could in principle flip; on these deterministic draws the
+       agreement is exact).
+    """
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from collide2d_tpu.ops.sat import sat_polygons
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mpp.LANE_CONFIGS
+    sub, K, K2 = 16, 6, 4
+    cfgs = example_polygon_configs(C, k=K, seed=13)
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    params = mpp.pack_polygon_mc_params(cfgs, robot)
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    counts = np.array(
+        mpp.mc_poly_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
+            sub=sub, k=K, k2=K2, interpret=True,
+        )
+    )
+
+    # --- wiring replay through the module's own tile function
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    shape = (sub // 2, C)
+    za_dx, zb_dx = mcp._box_muller(shape)
+    za_dy, zb_dy = mcp._box_muller(shape)
+    za_th, zb_th = mcp._box_muller(shape)
+    p = np.asarray(params)
+    rows = lambda i: jnp.asarray(p[i])[None, :]
+    sep_a = mpp._poly_separated(rows, K, K2, za_dx, za_dy, za_th)
+    sep_b = mpp._poly_separated(rows, K, K2, zb_dx, zb_dy, zb_th)
+    hits = jnp.logical_not(sep_a).astype(jnp.int32) + jnp.logical_not(
+        sep_b
+    ).astype(jnp.int32)
+    np.testing.assert_array_equal(
+        counts, np.array(jnp.sum(hits, axis=0, dtype=jnp.int32))
+    )
+
+    # --- semantic check against true-normal SAT on transformed vertices
+    ca = jnp.cos(cfgs.pose_theta)[:, None]
+    sa = jnp.sin(cfgs.pose_theta)[:, None]
+    rx, ry = robot[..., 0], robot[..., 1]
+    rob_world = jnp.stack(
+        [
+            ca * rx - sa * ry + cfgs.position[:, 0:1],
+            sa * rx + ca * ry + cfgs.position[:, 1:2],
+        ],
+        axis=-1,
+    )  # (C, K2, 2)
+    sd = cfgs.std_dev
+    want = np.zeros((C,), np.int64)
+    rows_n = sub // 2
+    for z_dx, z_dy, z_th in ((za_dx, za_dy, za_th), (zb_dx, zb_dy, zb_th)):
+        dx = (z_dx * sd[None, :, 0])[..., None]   # (S, C, 1)
+        dy = (z_dy * sd[None, :, 1])[..., None]
+        th = z_th * sd[None, :, 2]
+        ct, st = jnp.cos(th)[..., None], jnp.sin(th)[..., None]
+        ox = cfgs.obstacle_verts[None, :, :, 0]   # (1, C, K)
+        oy = cfgs.obstacle_verts[None, :, :, 1]
+        obstacle = jnp.stack(
+            [ct * ox - st * oy + dx, st * ox + ct * oy + dy], axis=-1
+        )  # (S, C, K, 2)
+        hit = sat_polygons(
+            jnp.broadcast_to(rob_world, (rows_n,) + rob_world.shape), obstacle
+        )
+        want += np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts, want)
