@@ -505,11 +505,22 @@ def _pallas_sharded_counts(
     ``n_steps`` is TRACED (samples per config = n_steps * sub) so one
     compilation serves every round size. ``interpret`` runs the kernel in
     interpreter mode (CPU-mesh smoke tests of the shard_map wiring; pair
-    with the PRNG stub hook).
+    with the PRNG stub hook). `PolygonConfigs` shards dispatch to the
+    fused polygon kernel with the same per-shard stream semantics
+    (``robot_wh`` = the (K2, 2) robot polygon there).
     """
     from jax.sharding import PartitionSpec as P
 
-    from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+    if isinstance(configs, PolygonConfigs):
+        from collide2d_tpu.ops.mc_polygon_pallas import (
+            mc_round_polygons_pallas as _round_fn,
+        )
+
+        kw = {}
+    else:
+        from collide2d_tpu.ops.mc_pallas import mc_round_pallas as _round_fn
+
+        kw = {"shape_noise": shape_noise}
 
     @functools.partial(
         jax.shard_map,
@@ -524,10 +535,9 @@ def _pallas_sharded_counts(
     def body(key, cfgs, robot_wh, chunk_offset, n_steps):
         cidx = jax.lax.axis_index("config")
         k = jax.random.fold_in(key, cidx)
-        return mc_round_pallas(
+        return _round_fn(
             k, cfgs, robot_wh, chunk_offset,
-            n_steps=n_steps, sub=sub, shape_noise=shape_noise,
-            interpret=interpret,
+            n_steps=n_steps, sub=sub, interpret=interpret, **kw,
         )
 
     return body(key, configs, robot_wh, chunk_offset, jnp.asarray(n_steps, jnp.int32))
@@ -789,7 +799,12 @@ def _fused_round(
     round size in the schedule (remote compiles cost minutes each).
     """
     if impl == "pallas":
-        if isinstance(state.active, PolygonConfigs):
+        if mesh is not None:
+            counts = _pallas_sharded_counts(
+                key, state.active, robot_wh, chunk_offset, n_steps,
+                sub=sub, mesh=mesh, shape_noise=shape_noise,
+            )
+        elif isinstance(state.active, PolygonConfigs):
             from collide2d_tpu.ops.mc_polygon_pallas import (
                 mc_round_polygons_pallas,
             )
@@ -797,11 +812,6 @@ def _fused_round(
             counts = mc_round_polygons_pallas(
                 key, state.active, robot_wh, chunk_offset,
                 n_steps=n_steps, sub=sub,
-            )
-        elif mesh is not None:
-            counts = _pallas_sharded_counts(
-                key, state.active, robot_wh, chunk_offset, n_steps,
-                sub=sub, mesh=mesh, shape_noise=shape_noise,
             )
         else:
             from collide2d_tpu.ops.mc_pallas import mc_round_pallas
@@ -1062,12 +1072,6 @@ def adaptive_collision_probabilities(
     acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
     bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
     is_poly = isinstance(configs, PolygonConfigs)
-    if is_poly and cfg.impl == "pallas" and mesh is not None:
-        raise ValueError(
-            "impl='pallas' under a mesh is rectangle-only for now (the "
-            "shard_map wrapper wraps the rectangle kernel); polygon "
-            "batches shard on impl='jnp', or run pallas single-device"
-        )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -1103,8 +1107,6 @@ def adaptive_collision_probabilities(
         n_shards = 1
         round_mesh = None
         _shard = lambda s: s
-    if is_poly and mesh is not None:
-        impl = "jnp"  # polygon sharding runs on the uid-keyed jnp path
 
     # With every w/h sigma zero (the reference default —
     # generate_dataset.cu:285-290 zeroes them unless --shape_variance),

@@ -95,23 +95,24 @@ def test_rect_as_polygon_agrees_with_rect_path(rng):
     np.testing.assert_allclose(cp_poly, cp_rect, atol=0.02)
 
 
-def test_polygon_pallas_mesh_raises(rng):
-    # Single-device pallas dispatches to the fused polygon kernel
-    # (ops.mc_polygon_pallas, TPU-only); under a mesh the shard_map
-    # wrapper is rectangle-only, so an explicit pallas request fails
-    # loudly instead of silently downgrading.
-    from collide2d_tpu.parallel import make_mesh
-    from tests.conftest import cpu_devices
+def test_polygon_impl_resolution(rng):
+    # Off-TPU, 'auto' resolves polygons to the jnp path (the fused
+    # polygon kernel needs the hardware PRNG); mc_round accepts both
+    # types uniformly.
+    from collide2d_tpu.mc.estimator import resolve_impl
 
-    devs = cpu_devices()
-    if len(devs) < 8:
-        pytest.skip("needs 8 virtual CPU devices")
     cfgs = example_polygon_configs(8)
-    with pytest.raises(ValueError, match="pallas"):
-        adaptive_collision_probabilities(
-            jax.random.PRNGKey(0), cfgs, RECT_ROBOT_VERTS,
-            AdaptiveConfig(impl="pallas"), mesh=make_mesh(devs),
-        )
+    assert resolve_impl("auto", cfgs.position) == "jnp"
+    counts = mc_round(
+        jax.random.PRNGKey(0),
+        jnp.arange(8, dtype=jnp.int32),
+        cfgs,
+        RECT_ROBOT_VERTS,
+        jnp.int32(0),
+        n_batch=64,
+        impl="auto",
+    )
+    assert counts.shape == (8,)
 
 
 def test_from_padded_mask_equals_exact_k(rng):
