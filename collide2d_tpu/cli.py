@@ -353,6 +353,83 @@ def _run_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_polylabel(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "polylabel",
+        help="adaptively label convex k-gon configurations (beyond the "
+             "reference: its MC machinery is rectangle-only)",
+    )
+    p.add_argument("--data_in", required=True,
+                   help=".npz with obstacle_verts (C,K,2), position (C,2), "
+                        "pose_theta (C,), std_dev (C,3), robot_verts (K2,2) "
+                        "[optional mask (C,K) bool for padded K-gons]")
+    p.add_argument("--data_out", required=True,
+                   help="output .npz: cp (C,), n_samples (C,), converged (C,)")
+    p.add_argument("--max_samples", type=int, default=4_000_000,
+                   help="per-configuration sample cap")
+    p.add_argument("--accuracy_bins", type=float, nargs="+",
+                   default=[0.0, 0.01, 0.1, 1.0])
+    p.add_argument("--bin_accuracy", type=float, nargs="+",
+                   default=[1e-4, 1e-3, 1e-2])
+    p.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto",
+                   help=_IMPL_HELP)
+    p.add_argument("--prune_sigma", type=float, default=0.0,
+                   help="label impossible-to-touch configs cp=0 without "
+                        "sampling (0 = off)")
+    p.add_argument("--schedule", choices=["reference", "tuned"], default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed (default: time-randomized, like the "
+                        "reference's curand seed)")
+    p.add_argument("--verbose", type=_bool_flag, default=False)
+
+    def run(args: argparse.Namespace) -> int:
+        import time
+
+        import numpy as np
+        import jax
+
+        from collide2d_tpu.mc.estimator import (
+            AdaptiveConfig,
+            PolygonConfigs,
+            adaptive_collision_probabilities,
+        )
+
+        data = np.load(args.data_in)
+        for field in ("obstacle_verts", "position", "pose_theta", "std_dev",
+                      "robot_verts"):
+            if field not in data:
+                raise SystemExit(f"polylabel: {args.data_in} missing '{field}'")
+        cfgs = PolygonConfigs.from_padded(
+            data["position"], data["pose_theta"], data["obstacle_verts"],
+            data["std_dev"], mask=data["mask"] if "mask" in data else None,
+        )
+        cfg = AdaptiveConfig(
+            accuracy_bins=tuple(args.accuracy_bins),
+            bin_accuracy=tuple(args.bin_accuracy),
+            max_samples=args.max_samples,
+            impl=args.impl,
+            prune_sigma=args.prune_sigma,
+            schedule=args.schedule,
+        )
+        seed = args.seed if args.seed is not None else int(time.time())
+        progress = None
+        if args.verbose:
+            def progress(num_left, n_samples, round):
+                print(f"[polylabel] round {round}: left={num_left} "
+                      f"n_samples={n_samples}", flush=True)
+        cp, n_used, done = adaptive_collision_probabilities(
+            jax.random.PRNGKey(seed), cfgs,
+            np.asarray(data["robot_verts"], np.float32), cfg,
+            progress=progress,
+        )
+        np.savez(args.data_out, cp=cp, n_samples=n_used, converged=done)
+        print(f"labeled {cfgs.num} configurations -> {args.data_out} "
+              f"(converged {float(done.mean()):.1%})")
+        return 0
+
+    p.set_defaults(func=run)
+
+
 def _bool_flag(value: str) -> bool:
     if value.lower() in ("1", "true", "yes", "on"):
         return True
@@ -375,6 +452,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_show(sub)
     _add_compare(sub)
     _add_bench(sub)
+    _add_polylabel(sub)
     args = parser.parse_args(argv)
     # Remote TPU compiles cost minutes; make them once-per-machine rather
     # than once-per-process (opt out: COLLIDE2D_CACHE_DIR="").

@@ -682,9 +682,18 @@ def bench_e2e(configs: int = 65536, seed: int = 0) -> dict:
 
 
 def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
-    return [
+    out = [
         json.dumps(bench_sat_pallas(pairs=pairs, iters=iters)),
         json.dumps(bench_sat(pairs=pairs, iters=iters)),
         json.dumps(bench_mc()),
-        json.dumps(bench_e2e()),
     ]
+    # Pallas kernels need the TPU hardware PRNG; keep `collide2d bench`
+    # usable on CPU-only hosts.
+    try:
+        out.append(json.dumps(bench_mc_pallas()))
+        out.append(json.dumps(bench_mc_pallas(shape_noise=False)))
+        out.append(json.dumps(bench_mc_polygons_pallas()))
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        out.append(json.dumps({"metric": "mc_pallas_suite", "error": str(e)}))
+    out.append(json.dumps(bench_e2e()))
+    return out

@@ -213,3 +213,43 @@ def test_polygon_config_dp_bitwise(rng):
     )
     assert len(got.sharding.device_set) == 8
     np.testing.assert_array_equal(np.array(got), base)
+
+
+def test_polylabel_cli_roundtrip(tmp_path, rng):
+    # End-to-end CLI: npz in -> adaptive labels out; zero-noise rows must
+    # equal the deterministic SAT label exactly.
+    from collide2d_tpu.cli import main
+    from collide2d_tpu.models.collision_model import (
+        PolygonCollisionProbabilityModel,
+    )
+
+    C = 32
+    base = example_polygon_configs(C, k=5, seed=21)
+    sd = np.array(base.std_dev)  # writable host copy
+    sd[: C // 2] = 0.0  # half the rows: deterministic
+    inp = tmp_path / "polys.npz"
+    outp = tmp_path / "labels.npz"
+    np.savez(
+        inp,
+        obstacle_verts=np.asarray(base.obstacle_verts),
+        position=np.asarray(base.position),
+        pose_theta=np.asarray(base.pose_theta),
+        std_dev=sd,
+        robot_verts=np.asarray(RECT_ROBOT_VERTS),
+    )
+    rc = main([
+        "polylabel", "--data_in", str(inp), "--data_out", str(outp),
+        "--max_samples", "4000",
+        "--accuracy_bins", "0.0", "0.1", "1.0",
+        "--bin_accuracy", "0.02", "0.05",
+        "--impl", "jnp", "--seed", "3", "--verbose", "true",
+    ])
+    assert rc == 0
+    out = np.load(outp)
+    assert out["cp"].shape == (C,)
+    model = PolygonCollisionProbabilityModel(RECT_ROBOT_VERTS)
+    det = np.array(
+        model.collide(base._replace(std_dev=jnp.zeros_like(base.std_dev)))
+    )
+    np.testing.assert_array_equal(out["cp"][: C // 2], det[: C // 2].astype(np.float32))
+    assert out["converged"].all()
