@@ -90,8 +90,12 @@ def main() -> int:
     # headline.
     import functools
 
+    from collide2d_tpu.utils.benchmarks import bench_e2e
+
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
+    e2e = functools.partial(bench_e2e, configs=65536)
+    e2e.__name__ = "bench_e2e"
     for fn in (
         bench_sat,
         bench_mc,
@@ -100,6 +104,11 @@ def main() -> int:
         bench_mc_polygons_pallas,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
+        # LAST: the adaptive-driver metric compiles the whole bucket
+        # ladder; under a congested tunnel that can take minutes, and the
+        # timeout-proof contract (headline already printed, secondaries on
+        # stderr) keeps a mid-run kill harmless.
+        e2e,
     ):
         try:
             log(fn())

@@ -253,3 +253,46 @@ def test_polylabel_cli_roundtrip(tmp_path, rng):
     )
     np.testing.assert_array_equal(out["cp"][: C // 2], det[: C // 2].astype(np.float32))
     assert out["converged"].all()
+
+
+def test_polygon_checkpoint_resume_identical(rng, tmp_path):
+    # The generic checkpoint machinery (type(configs)-reconstructed
+    # active arrays) must resume polygon runs bit-identically too.
+    cfgs = example_polygon_configs(48, k=6, seed=8)
+    # Tight targets so the loop needs several rounds and checkpoints
+    # actually land before the interrupt (same shape as test_aux.CFG).
+    cfg = AdaptiveConfig(
+        max_samples=6000, initial_batch=1000, initial_phase_samples=2000,
+        later_batch=2000, bin_accuracy=(0.002, 0.002, 0.005), min_active=32,
+    )
+    key = jax.random.PRNGKey(11)
+    base, base_n, base_done = adaptive_collision_probabilities(
+        key, cfgs, RECT_ROBOT_VERTS, cfg
+    )
+
+    ckpt = tmp_path / "checkpoint.npz"
+
+    class Stop(Exception):
+        pass
+
+    def bomb(round, **kw):
+        if round >= 3:
+            raise Stop
+
+    try:
+        adaptive_collision_probabilities(
+            key, cfgs, RECT_ROBOT_VERTS, cfg,
+            progress=lambda **kw: bomb(**kw),
+            checkpoint_path=str(ckpt), checkpoint_every=1,
+        )
+    except Stop:
+        pass
+    assert ckpt.exists()
+
+    cp, n_used, done = adaptive_collision_probabilities(
+        key, cfgs, RECT_ROBOT_VERTS, cfg,
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    np.testing.assert_array_equal(cp, base)
+    np.testing.assert_array_equal(n_used, base_n)
+    np.testing.assert_array_equal(done, base_done)
