@@ -108,14 +108,38 @@ class PolygonConfigs(NamedTuple):
         contract requires)."""
         from collide2d_tpu.ops.sat import _normalize_padding
 
+        position = jnp.asarray(position, jnp.float32)
+        pose_theta = jnp.asarray(pose_theta, jnp.float32)
+        obstacle_verts = jnp.asarray(obstacle_verts, jnp.float32)
+        std_dev = jnp.asarray(std_dev, jnp.float32)
+        c = position.shape[0] if position.ndim else -1
+        ok = (
+            position.ndim == 2 and position.shape == (c, 2)
+            and pose_theta.shape == (c,)
+            and obstacle_verts.ndim == 3
+            and obstacle_verts.shape[0] == c
+            and obstacle_verts.shape[2] == 2
+            and std_dev.shape == (c, 3)
+            and (mask is None or jnp.shape(mask) == obstacle_verts.shape[:2])
+        )
+        if not ok:
+            raise ValueError(
+                "PolygonConfigs.from_padded: expected position (C, 2), "
+                "pose_theta (C,), obstacle_verts (C, K, 2), std_dev (C, 3) "
+                "[pose-noise sigmas x/y/theta], optional mask (C, K); got "
+                f"position {position.shape}, pose_theta {pose_theta.shape}, "
+                f"obstacle_verts {obstacle_verts.shape}, std_dev "
+                f"{std_dev.shape}"
+                + ("" if mask is None else f", mask {jnp.shape(mask)}")
+            )
         return cls(
-            position=jnp.asarray(position, jnp.float32),
-            pose_theta=jnp.asarray(pose_theta, jnp.float32),
+            position=position,
+            pose_theta=pose_theta,
             obstacle_verts=_normalize_padding(
-                jnp.asarray(obstacle_verts, jnp.float32),
+                obstacle_verts,
                 None if mask is None else jnp.asarray(mask, bool),
             ),
-            std_dev=jnp.asarray(std_dev, jnp.float32),
+            std_dev=std_dev,
         )
 
 

