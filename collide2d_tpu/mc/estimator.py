@@ -37,7 +37,7 @@ from jax import Array
 from collide2d_tpu.mc import stats
 from collide2d_tpu.mc.noise import sampled_obstacle_vertices, NoiseParams
 from collide2d_tpu.ops.sat import obb_collide, sat_rects
-from collide2d_tpu.ops.geometry import rects_from_params
+from collide2d_tpu.ops.geometry import rects_from_params, transform_vertices
 
 
 class Configs(NamedTuple):
@@ -84,9 +84,10 @@ class PolygonConfigs(NamedTuple):
 
     The robot is passed where rectangle calls pass ``robot_wh``: a
     (K2, 2) vertex array in the robot frame (around its own origin).
-    Only impl='jnp' supports polygons (the fused Pallas kernel is the
-    closed-form rectangle OBB path); uid-keyed streams keep every
-    rectangle-path guarantee — compaction invariance, bitwise config-DP.
+    impl='pallas' (and 'auto' on TPU) dispatches to the fused polygon
+    kernel (ops.mc_polygon_pallas, ~2x the XLA path); impl='jnp' keeps
+    every rectangle-path guarantee — uid-keyed streams, compaction
+    invariance, bitwise config-DP.
     """
 
     position: Array
@@ -272,29 +273,15 @@ def _counts_chunk_polygons(
 
     z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 3), jnp.float32))(keys)
     d = z * configs.std_dev[:, None, :]  # (C, S, 3)
-    # Robot: fixed per configuration — rotate by pose_theta, translate to
-    # position (rot_trans_rectangle semantics, utils.cu:132-142).
-    ca = jnp.cos(configs.pose_theta)[:, None]  # (C, 1)
-    sa = jnp.sin(configs.pose_theta)[:, None]
-    rx, ry = robot_verts[..., 0], robot_verts[..., 1]  # (K2,)
-    robot = jnp.stack(
-        [
-            ca * rx - sa * ry + configs.position[:, 0:1],
-            sa * rx + ca * ry + configs.position[:, 1:2],
-        ],
-        axis=-1,
+    # Robot: fixed per configuration; obstacle: per-sample rigid motion.
+    # Both use the shared reference-parity rotate-then-translate
+    # (ops.geometry.transform_vertices, utils.cu:132-142).
+    robot = transform_vertices(
+        jnp.asarray(robot_verts)[None],
+        configs.position[:, 0], configs.position[:, 1], configs.pose_theta,
     )[:, None]  # (C, 1, K2, 2)
-    # Obstacle: per-sample rotation + translation of the base vertices.
-    ct = jnp.cos(d[..., 2])[..., None]  # (C, S, 1)
-    st = jnp.sin(d[..., 2])[..., None]
-    ox = configs.obstacle_verts[..., 0][:, None, :]  # (C, 1, K)
-    oy = configs.obstacle_verts[..., 1][:, None, :]
-    obstacle = jnp.stack(
-        [
-            ct * ox - st * oy + d[..., 0:1],
-            st * ox + ct * oy + d[..., 1:2],
-        ],
-        axis=-1,
+    obstacle = transform_vertices(
+        configs.obstacle_verts[:, None], d[..., 0], d[..., 1], d[..., 2]
     )  # (C, S, K, 2)
     s = obstacle.shape[1]
     hit = sat_polygons(
@@ -945,19 +932,23 @@ def _pack_active(state: _LoopState, *, bucket: int):
     return new_state, jnp.sum(active, dtype=jnp.int32)
 
 
-def _ladder_buckets(c0: int, min_bucket: int) -> list[int]:
+@functools.lru_cache(maxsize=None)
+def _ladder_buckets(c0: int, min_bucket: int) -> tuple[int, ...]:
     """Every bucket size the repack ladder can visit starting from a
-    ``c0``-row buffer: c0 itself plus all {2^k, 3*2^(k-1)} values below
-    it (>= min_bucket-ish; `_round_up_bucket` semantics)."""
+    ``c0``-row buffer: c0 itself plus `_round_up_bucket`'s image over all
+    possible active counts below it — DERIVED from the real ladder
+    function so the warm list can never drift from what the driver
+    actually compiles."""
     vals = {c0}
-    b = max(min_bucket, 1)
-    while b < c0:
-        vals.add(b)
-        b2 = b + b // 2
-        if b2 < c0 and b >= 16:
-            vals.add(b2)
-        b *= 2
-    return sorted(vals, reverse=True)
+    n = 1
+    while n < c0:
+        b = _round_up_bucket(n, min_bucket)
+        if b < c0:
+            vals.add(b)
+        # jump to the next n that can map to a new bucket (the image is
+        # monotone in n, so the next change is just past this bucket)
+        n = b + 1
+    return tuple(sorted(vals, reverse=True))
 
 
 def _warm_fused_round_compiles(
@@ -1204,7 +1195,9 @@ def adaptive_collision_probabilities(
 
     key_data = np.asarray(jax.random.key_data(key)).ravel()
     if checkpoint_path is not None:
-        ckpt = _load_checkpoint(checkpoint_path, key_data, C)
+        ckpt = _load_checkpoint(
+            checkpoint_path, key_data, C, cfg_type=type(configs).__name__
+        )
         if ckpt is not None:
             outs = _OutState(
                 k=jnp.asarray(ckpt["out_k"], jnp.int32),
@@ -1229,12 +1222,17 @@ def adaptive_collision_probabilities(
             rnd = int(ckpt["round"])
 
     # Overlap the ladder's program compilations with the first rounds'
-    # execution (big win on remote-compile environments; no-op cost
-    # otherwise). Mesh runs skip it: the warm lowers unsharded avals,
-    # which would miss the sharded-arg cache keys anyway. Small runs skip
-    # it: their two or three shapes compile on demand faster than a
-    # thread herd pays off.
-    if mesh is None and state.uids.shape[0] >= 16384:
+    # execution. Gated to TPU-platform data (the remote-compile
+    # environment it targets): on CPU hosts the thread herd would burn
+    # real compile CPU next to the measured run for no latency win. Mesh
+    # runs skip it: the warm lowers unsharded avals, which would miss the
+    # sharded-arg cache keys anyway. Small runs skip it: their two or
+    # three shapes compile on demand faster than a thread herd pays off.
+    if (
+        mesh is None
+        and state.uids.shape[0] >= 16384
+        and resolve_impl("auto", configs.position) == "pallas"
+    ):
         _warm_fused_round_compiles(
             key, configs, robot_wh, cfg, impl=impl, shape_noise=shape_noise,
             c0=state.uids.shape[0], acc_bins=acc_bins, bin_acc=bin_acc,
@@ -1250,6 +1248,7 @@ def adaptive_collision_probabilities(
         if checkpoint_path is not None and checkpoint_every:
             _save_checkpoint(
                 checkpoint_path, key_data, C,
+                cfg_type=type(configs).__name__,
                 out_k=np.asarray(jax.device_get(outs.k)),
                 out_nn=np.asarray(jax.device_get(outs.n)),
                 out_flag=np.asarray(jax.device_get(outs.flag)),
@@ -1452,7 +1451,9 @@ def adaptive_collision_probabilities(
     return out_cp, out_n, out_done
 
 
-def _save_checkpoint(path, key_data, n_configs, *, active, **state) -> None:
+def _save_checkpoint(
+    path, key_data, n_configs, *, active, cfg_type: str, **state
+) -> None:
     import os
 
     tmp = f"{path}.tmp.npz"  # ends in .npz so np.savez won't rename it
@@ -1460,6 +1461,7 @@ def _save_checkpoint(path, key_data, n_configs, *, active, **state) -> None:
         tmp,
         key_data=key_data,
         n_configs=n_configs,
+        cfg_type=np.str_(cfg_type),
         active_position=active[0],
         active_pose_theta=active[1],
         active_obstacle_wh=active[2],
@@ -1469,7 +1471,7 @@ def _save_checkpoint(path, key_data, n_configs, *, active, **state) -> None:
     os.replace(tmp, path)  # atomic publish
 
 
-def _load_checkpoint(path, key_data, n_configs):
+def _load_checkpoint(path, key_data, n_configs, cfg_type: str = "Configs"):
     import os
 
     if not os.path.exists(path):
@@ -1480,6 +1482,11 @@ def _load_checkpoint(path, key_data, n_configs):
                 z["n_configs"] != n_configs
                 or z["key_data"].shape != key_data.shape
                 or not (z["key_data"] == key_data).all()
+                # A rectangle checkpoint must never resume into a polygon
+                # run (same key + C is plausible in a reused driver
+                # script); pre-cfg_type checkpoints are ignored via the
+                # KeyError path like any other stale format.
+                or str(z["cfg_type"]) != cfg_type
             ):
                 return None  # stale checkpoint from a different run
             return {

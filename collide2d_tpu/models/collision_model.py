@@ -24,7 +24,7 @@ from collide2d_tpu.mc.estimator import (
 )
 from collide2d_tpu.ops.broad_phase import candidate_mask, collide_polygons_pruned
 from collide2d_tpu.ops.sat import sat_rects, sat_polygons
-from collide2d_tpu.ops.geometry import rects_from_params
+from collide2d_tpu.ops.geometry import rects_from_params, transform_vertices
 
 
 class CollisionProbabilityModel:
@@ -110,15 +110,10 @@ class PolygonCollisionProbabilityModel:
 
     def collide(self, configs: PolygonConfigs) -> Array:
         """Deterministic true-normal SAT label at zero noise. int32 (C,)."""
-        ca = jnp.cos(configs.pose_theta)[:, None]
-        sa = jnp.sin(configs.pose_theta)[:, None]
-        rx, ry = self.robot_verts[..., 0], self.robot_verts[..., 1]
-        robot = jnp.stack(
-            [
-                ca * rx - sa * ry + configs.position[:, 0:1],
-                sa * rx + ca * ry + configs.position[:, 1:2],
-            ],
-            axis=-1,
+        robot = transform_vertices(
+            self.robot_verts[None],
+            configs.position[:, 0], configs.position[:, 1],
+            configs.pose_theta,
         )
         return sat_polygons(robot, configs.obstacle_verts)
 

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from collide2d_tpu.mc.estimator import PolygonConfigs
 from collide2d_tpu.ops import mc_pallas as _mcp
+from collide2d_tpu.ops.geometry import edge_normals, transform_vertices
 
 LANE_CONFIGS = 128  # configurations per grid block (one lane each)
 
@@ -73,20 +74,15 @@ def pack_polygon_mc_params(configs: PolygonConfigs, robot_verts) -> Array:
     ov = configs.obstacle_verts  # (C, K, 2)
     k = ov.shape[1]
 
-    # Robot world vertices (sample-invariant): rotate by pose_theta,
-    # translate to position.
-    ca = jnp.cos(configs.pose_theta)[:, None]
-    sa = jnp.sin(configs.pose_theta)[:, None]
-    rx = ca * rv[None, :, 0] - sa * rv[None, :, 1] + configs.position[:, 0:1]
-    ry = sa * rv[None, :, 0] + ca * rv[None, :, 1] + configs.position[:, 1:2]
-    r = jnp.stack([rx, ry], axis=-1)  # (C, K2, 2)
+    # Robot world vertices (sample-invariant): rotate-then-translate,
+    # the shared reference-parity transform (utils.cu:132-142).
+    r = transform_vertices(
+        rv[None], configs.position[:, 0], configs.position[:, 1],
+        configs.pose_theta,
+    )  # (C, K2, 2)
 
-    def perp_edges(p):  # perpendicular edge normals (ey, -ex), cyclic
-        e = jnp.roll(p, shift=-1, axis=-2) - p
-        return jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
-
-    a = perp_edges(r)   # (C, K2, 2) robot axes (world, sample-invariant)
-    n = perp_edges(ov)  # (C, K, 2) obstacle normals (obstacle frame)
+    a = edge_normals(r)   # (C, K2, 2) robot axes (world, sample-invariant)
+    n = edge_normals(ov)  # (C, K, 2) obstacle normals (obstacle frame)
 
     # Robot's own intervals on its axes.
     pr = jnp.einsum("cid,cjd->cij", a, r)  # (C, K2, K2)

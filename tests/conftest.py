@@ -10,6 +10,12 @@ we additionally pin jax_default_device to a CPU device.
 
 import os
 
+# CLI entry points enable the persistent compilation cache as a global
+# JAX config side effect; tests must neither write to ~/.cache nor run
+# later cases under a mutated global config (cli.main() is called
+# in-process by the CLI tests).
+os.environ.setdefault("COLLIDE2D_CACHE_DIR", "")
+
 os.environ["JAX_NUM_CPU_DEVICES"] = "8"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
