@@ -682,18 +682,27 @@ def bench_e2e(configs: int = 65536, seed: int = 0) -> dict:
 
 
 def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
-    out = [
-        json.dumps(bench_sat_pallas(pairs=pairs, iters=iters)),
-        json.dumps(bench_sat(pairs=pairs, iters=iters)),
-        json.dumps(bench_mc()),
-    ]
-    # Pallas kernels need the TPU hardware PRNG; keep `collide2d bench`
-    # usable on CPU-only hosts.
-    try:
-        out.append(json.dumps(bench_mc_pallas()))
-        out.append(json.dumps(bench_mc_pallas(shape_noise=False)))
-        out.append(json.dumps(bench_mc_polygons_pallas()))
-    except Exception as e:  # pragma: no cover - hardware-dependent
-        out.append(json.dumps({"metric": "mc_pallas_suite", "error": str(e)}))
-    out.append(json.dumps(bench_e2e()))
+    # Pallas kernels need TPU hardware (no CPU lowering for the TPU
+    # memory spaces / PRNG); keep `collide2d bench` usable on CPU-only
+    # hosts by gating every Pallas leg on where data actually lands.
+    from collide2d_tpu.mc.estimator import resolve_impl
+
+    on_tpu = resolve_impl("auto", jnp.zeros(1)) == "pallas"
+    out = []
+    if on_tpu:
+        out.append(json.dumps(bench_sat_pallas(pairs=pairs, iters=iters)))
+    out.append(json.dumps(bench_sat(pairs=pairs, iters=iters)))
+    out.append(json.dumps(bench_mc()))
+    if on_tpu:
+        try:
+            out.append(json.dumps(bench_mc_pallas()))
+            out.append(json.dumps(bench_mc_pallas(shape_noise=False)))
+            out.append(json.dumps(bench_mc_polygons_pallas()))
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            out.append(
+                json.dumps({"metric": "mc_pallas_suite", "error": str(e)})
+            )
+    # The adaptive driver draws ~2e5 samples/config at reference bins: a
+    # CPU host needs a small batch or this leg runs for hours.
+    out.append(json.dumps(bench_e2e(configs=65536 if on_tpu else 256)))
     return out
