@@ -505,6 +505,7 @@ def _pallas_sharded_counts(
     sub: int,
     mesh,
     shape_noise: bool = True,
+    poly_a_keep: tuple | None = None,
     interpret: bool = False,
 ) -> Array:
     """The fused Pallas MC kernel under a config-sharded mesh.
@@ -527,7 +528,7 @@ def _pallas_sharded_counts(
             mc_round_polygons_pallas as _round_fn,
         )
 
-        kw = {}
+        kw = {"a_keep": poly_a_keep}
     else:
         from collide2d_tpu.ops.mc_pallas import mc_round_pallas as _round_fn
 
@@ -776,6 +777,7 @@ class _LoopState(NamedTuple):
     static_argnames=(
         "step_samples", "sub", "use_vertices", "impl",
         "accuracy_bins", "bin_accuracy", "mesh", "shape_noise",
+        "poly_a_keep",
     ),
 )
 def _fused_round(
@@ -794,6 +796,7 @@ def _fused_round(
     bin_accuracy: tuple,
     mesh=None,
     shape_noise: bool = True,
+    poly_a_keep: tuple | None = None,
 ) -> tuple[_LoopState, Array]:
     """One round + on-device convergence + label freezing, in ONE program.
 
@@ -814,6 +817,7 @@ def _fused_round(
             counts = _pallas_sharded_counts(
                 key, state.active, robot_wh, chunk_offset, n_steps,
                 sub=sub, mesh=mesh, shape_noise=shape_noise,
+                poly_a_keep=poly_a_keep,
             )
         elif isinstance(state.active, PolygonConfigs):
             from collide2d_tpu.ops.mc_polygon_pallas import (
@@ -822,7 +826,7 @@ def _fused_round(
 
             counts = mc_round_polygons_pallas(
                 key, state.active, robot_wh, chunk_offset,
-                n_steps=n_steps, sub=sub,
+                n_steps=n_steps, sub=sub, a_keep=poly_a_keep,
             )
         else:
             from collide2d_tpu.ops.mc_pallas import mc_round_pallas
@@ -952,7 +956,8 @@ def _ladder_buckets(c0: int, min_bucket: int) -> tuple[int, ...]:
 
 
 def _warm_fused_round_compiles(
-    key, configs, robot_wh, cfg, *, impl, shape_noise, c0, acc_bins, bin_acc
+    key, configs, robot_wh, cfg, *, impl, shape_noise, c0, acc_bins, bin_acc,
+    poly_a_keep=None,
 ):
     """Fire-and-forget compile warmup for every bucket shape the repack
     ladder can visit.
@@ -1003,6 +1008,7 @@ def _warm_fused_round_compiles(
                 use_vertices=cfg.use_vertices, impl=impl,
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
                 mesh=None, shape_noise=shape_noise,
+                poly_a_keep=poly_a_keep,
             ).compile()
         except Exception:
             pass  # that shape simply compiles on demand, as before
@@ -1129,10 +1135,17 @@ def adaptive_collision_probabilities(
     # VPU-issue-bound; measured speedup in ops/mc_pallas.py). One scalar
     # readback at driver start.
     shape_noise = True
+    poly_a_keep = None
     if impl == "pallas" and not is_poly:
         shape_noise = bool(
             jax.device_get(jnp.any(configs.std_dev[:, 3:] != 0.0))
         )
+    elif impl == "pallas" and is_poly:
+        # Static robot-axis dedupe for the fused polygon kernel (robot
+        # vertices are concrete here; inside the jit they are traced).
+        from collide2d_tpu.ops.mc_polygon_pallas import dedup_robot_axes
+
+        poly_a_keep = dedup_robot_axes(np.asarray(jax.device_get(robot_wh)))
 
     # Device state: uids identify original rows through repacking (-1 =
     # padding); labels freeze on device (see _fused_round).
@@ -1236,6 +1249,7 @@ def adaptive_collision_probabilities(
         _warm_fused_round_compiles(
             key, configs, robot_wh, cfg, impl=impl, shape_noise=shape_noise,
             c0=state.uids.shape[0], acc_bins=acc_bins, bin_acc=bin_acc,
+            poly_a_keep=poly_a_keep,
         )
 
     # Dispatch enough rounds between host syncs to amortize the readback
@@ -1379,6 +1393,7 @@ def adaptive_collision_probabilities(
                 use_vertices=cfg.use_vertices, impl=impl,
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
                 mesh=round_mesh, shape_noise=shape_noise,
+                poly_a_keep=poly_a_keep,
             )
             chunk_offset += nb // step
             rnd += 1

@@ -55,24 +55,60 @@ from collide2d_tpu.ops.geometry import edge_normals, transform_vertices
 LANE_CONFIGS = 128  # configurations per grid block (one lane each)
 
 
-def _num_rows(k: int, k2: int) -> int:
-    """Parameter rows: 3 sigmas + robot axes (2*K2) + robot intervals
-    (2*K2) + obstacle normals (2*K) + obstacle intervals (2*K) +
-    P1/P2 (2*K2*K) + Q1/Q2 (2*K*K2), padded to a multiple of 8."""
-    n = 3 + 4 * k2 + 4 * k + 4 * k2 * k
+def dedup_robot_axes(robot_verts) -> tuple[int, ...]:
+    """Indices of the robot's edge normals with duplicates removed.
+
+    SAT verdicts are invariant under dropping an axis that is (anti-)
+    parallel to an earlier one — the projection intervals merely scale
+    and/or negate-and-swap. A centrally symmetric robot (rectangles, any
+    even-gon with opposite edges parallel — rigid motion preserves the
+    pattern, so the BASE polygon decides) therefore needs only half its
+    axes. Exact-zero cross products only: near-parallel axes are kept,
+    so the axis SET is never approximated. Host-side (concrete numpy).
+    """
+    import numpy as np
+
+    v = np.asarray(robot_verts, np.float32)
+    e = np.roll(v, -1, axis=0) - v
+    axes = np.stack([e[:, 1], -e[:, 0]], axis=-1)
+    keep = []
+    for i in range(axes.shape[0]):
+        dup = any(
+            float(axes[i, 0] * axes[j, 1] - axes[i, 1] * axes[j, 0]) == 0.0
+            for j in keep
+        )
+        if not dup:
+            keep.append(i)
+    return tuple(keep)
+
+
+def _num_rows(k: int, k2: int, k2_axes: int | None = None) -> int:
+    """Parameter rows: 3 sigmas + robot axes (2*K2A) + robot intervals
+    (2*K2A) + obstacle normals (2*K) + obstacle intervals (2*K) +
+    P1/P2 (2*K2A*K) + Q1/Q2 (2*K*K2), padded to a multiple of 8.
+    K2A = number of KEPT robot axes (<= K2; see `dedup_robot_axes`)."""
+    if k2_axes is None:
+        k2_axes = k2
+    n = 3 + 4 * k2_axes + 4 * k + 2 * k2_axes * k + 2 * k * k2
     return -(-n // 8) * 8
 
 
-def pack_polygon_mc_params(configs: PolygonConfigs, robot_verts) -> Array:
+def pack_polygon_mc_params(
+    configs: PolygonConfigs, robot_verts, a_keep: tuple[int, ...] | None = None
+) -> Array:
     """PolygonConfigs + robot polygon -> (ROWS, C) rows for the kernel.
 
     All sample-invariant SAT geometry is folded here (one fused XLA pass
     per round; ~K^2 scalars per config read once per round from HBM).
+    ``a_keep``: static robot-axis subset from `dedup_robot_axes` (None =
+    keep all) — the packed A-side rows cover only these axes.
     """
     rv = jnp.asarray(robot_verts, jnp.float32)  # (K2, 2)
     k2 = rv.shape[0]
     ov = configs.obstacle_verts  # (C, K, 2)
     k = ov.shape[1]
+    if a_keep is None:
+        a_keep = tuple(range(k2))
 
     # Robot world vertices (sample-invariant): rotate-then-translate,
     # the shared reference-parity transform (utils.cu:132-142).
@@ -83,9 +119,11 @@ def pack_polygon_mc_params(configs: PolygonConfigs, robot_verts) -> Array:
 
     a = edge_normals(r)   # (C, K2, 2) robot axes (world, sample-invariant)
     n = edge_normals(ov)  # (C, K, 2) obstacle normals (obstacle frame)
+    a = a[:, jnp.asarray(a_keep, jnp.int32)]  # (C, K2A, 2) deduped axes
+    k2a = len(a_keep)
 
-    # Robot's own intervals on its axes.
-    pr = jnp.einsum("cid,cjd->cij", a, r)  # (C, K2, K2)
+    # Robot's own intervals on its (kept) axes — over ALL robot verts.
+    pr = jnp.einsum("cid,cjd->cij", a, r)  # (C, K2A, K2)
     rmin = jnp.min(pr, axis=-1)
     rmax = jnp.max(pr, axis=-1)
     # Obstacle's own intervals on its own (co-rotating) normals:
@@ -94,7 +132,7 @@ def pack_polygon_mc_params(configs: PolygonConfigs, robot_verts) -> Array:
     nmin = jnp.min(po, axis=-1)
     nmax = jnp.max(po, axis=-1)
     # Blend tables: a_i · R(t) v_j = ct*P1[i,j] + st*P2[i,j]
-    p1 = jnp.einsum("cid,cjd->cij", a, ov)  # (C, K2, K)
+    p1 = jnp.einsum("cid,cjd->cij", a, ov)  # (C, K2A, K)
     p2 = (
         a[..., 1][:, :, None] * ov[..., 0][:, None, :]
         - a[..., 0][:, :, None] * ov[..., 1][:, None, :]
@@ -111,22 +149,22 @@ def pack_polygon_mc_params(configs: PolygonConfigs, robot_verts) -> Array:
         configs.std_dev[:, 0],
         configs.std_dev[:, 1],
         configs.std_dev[:, 2],
-        a[..., 0].T.reshape(k2, c),
-        a[..., 1].T.reshape(k2, c),
-        rmin.T.reshape(k2, c),
-        rmax.T.reshape(k2, c),
+        a[..., 0].T.reshape(k2a, c),
+        a[..., 1].T.reshape(k2a, c),
+        rmin.T.reshape(k2a, c),
+        rmax.T.reshape(k2a, c),
         n[..., 0].T.reshape(k, c),
         n[..., 1].T.reshape(k, c),
         nmin.T.reshape(k, c),
         nmax.T.reshape(k, c),
-        p1.transpose(1, 2, 0).reshape(k2 * k, c),
-        p2.transpose(1, 2, 0).reshape(k2 * k, c),
+        p1.transpose(1, 2, 0).reshape(k2a * k, c),
+        p2.transpose(1, 2, 0).reshape(k2a * k, c),
         q1.transpose(1, 2, 0).reshape(k * k2, c),
         q2.transpose(1, 2, 0).reshape(k * k2, c),
     ]
     rows = [jnp.atleast_2d(x) for x in rows]
     mat = jnp.concatenate(rows, axis=0)
-    pad = _num_rows(k, k2) - mat.shape[0]
+    pad = _num_rows(k, k2, k2a) - mat.shape[0]
     if pad:
         mat = jnp.concatenate(
             [mat, jnp.zeros((pad, c), jnp.float32)], axis=0
@@ -134,21 +172,23 @@ def pack_polygon_mc_params(configs: PolygonConfigs, robot_verts) -> Array:
     return mat.astype(jnp.float32)
 
 
-def _poly_separated(rows, k: int, k2: int, z_dx, z_dy, z_th):
+def _poly_separated(rows, k: int, k2: int, z_dx, z_dy, z_th, k2_axes=None):
     """Separation mask for one 3-normal draw — shared by the kernel and
     the CI replay in tests (pins the wiring bit-for-bit).
 
     ``rows``: callable i -> (1, L) parameter row, laid out as in
-    `pack_polygon_mc_params`.
+    `pack_polygon_mc_params`. ``k2_axes``: number of KEPT robot axes the
+    rows were packed with (None = all K2).
     """
+    k2a = k2 if k2_axes is None else k2_axes
     sx, sy, sth = rows(0), rows(1), rows(2)
-    o_ax, o_ay = 3, 3 + k2
-    o_rmin, o_rmax = 3 + 2 * k2, 3 + 3 * k2
-    o_nx, o_ny = 3 + 4 * k2, 3 + 4 * k2 + k
-    o_nmin, o_nmax = 3 + 4 * k2 + 2 * k, 3 + 4 * k2 + 3 * k
-    o_p1 = 3 + 4 * k2 + 4 * k
-    o_p2 = o_p1 + k2 * k
-    o_q1 = o_p2 + k2 * k
+    o_ax, o_ay = 3, 3 + k2a
+    o_rmin, o_rmax = 3 + 2 * k2a, 3 + 3 * k2a
+    o_nx, o_ny = 3 + 4 * k2a, 3 + 4 * k2a + k
+    o_nmin, o_nmax = 3 + 4 * k2a + 2 * k, 3 + 4 * k2a + 3 * k
+    o_p1 = 3 + 4 * k2a + 4 * k
+    o_p2 = o_p1 + k2a * k
+    o_q1 = o_p2 + k2a * k
     o_q2 = o_q1 + k * k2
 
     dx = z_dx * sx
@@ -160,7 +200,7 @@ def _poly_separated(rows, k: int, k2: int, z_dx, z_dy, z_th):
     u2 = ct * dy - st * dx   # (R^T t)_y
 
     sep = None
-    for i in range(k2):  # robot axes: fixed interval vs blended obstacle
+    for i in range(k2a):  # robot axes: fixed interval vs blended obstacle
         at = rows(o_ax + i) * dx + rows(o_ay + i) * dy
         mn = mx = ct * rows(o_p1 + i * k) + st * rows(o_p2 + i * k)
         for j in range(1, k):
@@ -186,7 +226,8 @@ def _poly_separated(rows, k: int, k2: int, z_dx, z_dy, z_th):
 
 
 def _mc_poly_kernel(
-    seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int, k: int, k2: int
+    seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int, k: int, k2: int,
+    k2_axes: int,
 ):
     if _mcp._TEST_UNIFORM_FN is None:
         block_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
@@ -203,8 +244,8 @@ def _mc_poly_kernel(
         za_dx, zb_dx = _mcp._box_muller(shape)
         za_dy, zb_dy = _mcp._box_muller(shape)
         za_th, zb_th = _mcp._box_muller(shape)
-        sep_a = _poly_separated(rows, k, k2, za_dx, za_dy, za_th)
-        sep_b = _poly_separated(rows, k, k2, zb_dx, zb_dy, zb_th)
+        sep_a = _poly_separated(rows, k, k2, za_dx, za_dy, za_th, k2_axes)
+        sep_b = _poly_separated(rows, k, k2, zb_dx, zb_dy, zb_th, k2_axes)
         hits = jnp.logical_not(sep_a).astype(jnp.int32) + jnp.logical_not(
             sep_b
         ).astype(jnp.int32)
@@ -217,24 +258,29 @@ def _mc_poly_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sub", "k", "k2", "interpret")
+    jax.jit, static_argnames=("sub", "k", "k2", "k2_axes", "interpret")
 )
 def mc_poly_counts_pallas(
     seed, params: Array, n_steps, *, sub: int = 16, k: int, k2: int,
-    interpret: bool = False,
+    k2_axes: int | None = None, interpret: bool = False,
 ) -> Array:
     """Collision counts out of ``n_steps * sub`` samples per config.
 
     Same contract as `mc_pallas.mc_counts_pallas` (two seed words, traced
     ``n_steps``, configs as lanes); ``params`` from
     `pack_polygon_mc_params`, ``k``/``k2`` the obstacle/robot vertex
-    counts the rows were packed with.
+    counts the rows were packed with; ``k2_axes`` the kept robot-axis
+    count when the rows were packed with a `dedup_robot_axes` subset.
     """
+    if k2_axes is None:
+        k2_axes = k2
     c = params.shape[1]
-    assert params.shape[0] == _num_rows(k, k2), (params.shape, k, k2)
+    assert params.shape[0] == _num_rows(k, k2, k2_axes), (params.shape, k, k2)
     assert c % LANE_CONFIGS == 0, c
     assert sub % 2 == 0 and sub >= 16, sub
-    kernel = functools.partial(_mc_poly_kernel, sub=sub, k=k, k2=k2)
+    kernel = functools.partial(
+        _mc_poly_kernel, sub=sub, k=k, k2=k2, k2_axes=k2_axes
+    )
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:2]
     out = pl.pallas_call(
         kernel,
@@ -270,19 +316,26 @@ def mc_round_polygons_pallas(
     n_batch: int | None = None,
     n_steps=None,
     sub: int | None = None,
+    a_keep: tuple[int, ...] | None = None,
     interpret: bool = False,
 ) -> Array:
     """Drop-in round step on the fused polygon kernel: int32 (C,) counts.
 
     Same call shape as `mc_pallas.mc_round_pallas`; ``robot_verts`` is
     the (K2, 2) robot polygon. ``round_tag`` must differ across rounds.
+    ``a_keep``: static robot-axis subset (`dedup_robot_axes`); when None
+    and ``robot_verts`` is concrete it is computed automatically (a
+    centrally symmetric robot then skips half its axis tests); traced
+    robot vertices keep all axes unless the caller passes the subset.
     """
     if n_steps is None:
         sub = _mcp._pick_sub(n_batch)
         n_steps = n_batch // sub
     c = configs.num
     rv = jnp.asarray(robot_verts, jnp.float32)
-    params = pack_polygon_mc_params(configs, rv)
+    if a_keep is None and not isinstance(rv, jax.core.Tracer):
+        a_keep = dedup_robot_axes(rv)
+    params = pack_polygon_mc_params(configs, rv, a_keep)
     pad = -(-c // LANE_CONFIGS) * LANE_CONFIGS - c
     if pad:
         params = jnp.concatenate(
@@ -296,6 +349,7 @@ def mc_round_polygons_pallas(
     counts = mc_poly_counts_pallas(
         seed, params, n_steps, sub=sub,
         k=configs.obstacle_verts.shape[1], k2=rv.shape[0],
+        k2_axes=rv.shape[0] if a_keep is None else len(a_keep),
         interpret=interpret,
     )
     return counts[:c].astype(jnp.int32)

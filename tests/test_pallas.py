@@ -466,3 +466,42 @@ def test_mc_polygon_kernel_math_interpret(rng, monkeypatch):
         )
         want += np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
     np.testing.assert_array_equal(counts, want)
+
+
+def test_mc_polygon_axis_dedup_interpret(rng, monkeypatch):
+    """A centrally symmetric robot carries (anti-)parallel duplicate
+    axes; `dedup_robot_axes` drops them and the kernel must produce
+    BITWISE the counts of the full-axis pack on identical draws (the
+    noise stream does not depend on the axis count)."""
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mpp.LANE_CONFIGS
+    sub, K = 16, 6
+    cfgs = example_polygon_configs(C, k=K, seed=17)
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    keep = mpp.dedup_robot_axes(robot)
+    assert keep == (0, 1)  # a rectangle needs only two of its four axes
+    # an irregular robot keeps everything
+    assert mpp.dedup_robot_axes(
+        jnp.asarray([[0.0, 0.0], [2.0, 0.1], [1.1, 1.7]], jnp.float32)
+    ) == (0, 1, 2)
+
+    counts = {}
+    for label, a_keep in (("full", tuple(range(4))), ("dedup", keep)):
+        params = mpp.pack_polygon_mc_params(cfgs, robot, a_keep)
+        monkeypatch.setattr(
+            mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub()
+        )
+        counts[label] = np.array(
+            mpp.mc_poly_counts_pallas(
+                jnp.asarray([1, 2], jnp.int32), params, jnp.int32(2),
+                sub=sub, k=K, k2=4, k2_axes=len(a_keep), interpret=True,
+            )
+        )
+    np.testing.assert_array_equal(counts["dedup"], counts["full"])
