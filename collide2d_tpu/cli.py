@@ -85,8 +85,8 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--schedule", default="reference", choices=["reference", "tuned"],
                    help="convergence-checkpoint schedule: 'reference' (default; "
                         "1k rounds to 20k then 100k rounds) or 'tuned' "
-                        "(geometric checkpoints, ~40%% fewer samples, same CI "
-                        "guarantees)")
+                        "(one extra rule-of-three checkpoint, ~26%% fewer "
+                        "samples and +31%% configs/s, same CI guarantees)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
@@ -99,6 +99,11 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "this many noise std-devs as cp=0 without sampling "
                         "(0 = off/reference parity; 6.0 recommended: label "
                         "error ~1e-8, far below every accuracy bin)")
+    p.add_argument("--ladder", default="quarter",
+                   choices=["half", "quarter"],
+                   help="repack bucket ladder granularity (quarter: less "
+                        "padding waste, measured +5-7%% end to end; half: "
+                        "fewer compiled shapes)")
     p.set_defaults(func=_run_generate)
 
 
@@ -134,6 +139,7 @@ def _run_generate(args: argparse.Namespace) -> int:
         trace_dir=args.trace_dir,
         prune_sigma=args.prune_sigma,
         impl=args.impl,
+        ladder=args.ladder,
     )
     generate_dataset(cfg)
     return 0

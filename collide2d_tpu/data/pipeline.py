@@ -105,6 +105,10 @@ class GenerateConfig:
     # 'auto' (pallas on TPU, jnp elsewhere; jnp under a mesh for bitwise
     # DP) | 'jnp' | 'pallas' — see AdaptiveConfig.impl.
     impl: str = "auto"
+    # Repack bucket ladder: "quarter" (default; finer rungs, less
+    # padding waste) | "half" (fewer compiled shapes) —
+    # AdaptiveConfig.ladder.
+    ladder: str = "quarter"
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -275,6 +279,7 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
         kwargs["schedule"] = cfg.schedule
     if getattr(cfg, "prune_sigma", 0.0):
         kwargs["prune_sigma"] = cfg.prune_sigma
+    kwargs["ladder"] = getattr(cfg, "ladder", "quarter")
     if getattr(cfg, "impl", "auto") != "auto":
         kwargs["impl"] = cfg.impl
     if fixed_batch is not None:

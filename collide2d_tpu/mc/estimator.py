@@ -692,6 +692,12 @@ class AdaptiveConfig:
     # configs/s at the old 0.25 on the reference schedule. Going lower
     # (0.02) over-repacks — every repack discards one pipelined count.
     repack_fraction: float = 0.05
+    # Repack bucket ladder: "quarter" (default) = {2^k, 1.25x, 1.5x,
+    # 1.75x rungs — measured +7%/+5% configs/s over "half" on the
+    # reference/tuned schedules at 65k configs; two extra compiled
+    # shapes per octave, hidden by the warmup threads); "half" =
+    # {2^k, 3*2^(k-1)} for the minimal compile bill.
+    ladder: str = "quarter"
     # Noise-aware broad phase (0 = off, reference parity): configurations
     # that cannot touch within this many std-devs are emitted as cp=0
     # WITHOUT sampling (ops.broad_phase.possible_collision_mask; label
@@ -701,6 +707,9 @@ class AdaptiveConfig:
     prune_sigma: float = 0.0
 
     def __post_init__(self):
+        if self.ladder not in ("half", "quarter"):
+            raise ValueError(f"ladder must be 'half' or 'quarter', got "
+                             f"{self.ladder!r}")
         # A length mismatch would otherwise be silent: jnp's clamping
         # gather in stats.is_converged reuses the last accuracy target for
         # out-of-range bins, yielding wrong convergence thresholds.
@@ -937,7 +946,9 @@ def _pack_active(state: _LoopState, *, bucket: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _ladder_buckets(c0: int, min_bucket: int) -> tuple[int, ...]:
+def _ladder_buckets(
+    c0: int, min_bucket: int, ladder: str = "half"
+) -> tuple[int, ...]:
     """Every bucket size the repack ladder can visit starting from a
     ``c0``-row buffer: c0 itself plus `_round_up_bucket`'s image over all
     possible active counts below it — DERIVED from the real ladder
@@ -946,7 +957,7 @@ def _ladder_buckets(c0: int, min_bucket: int) -> tuple[int, ...]:
     vals = {c0}
     n = 1
     while n < c0:
-        b = _round_up_bucket(n, min_bucket)
+        b = _round_up_bucket(n, min_bucket, ladder)
         if b < c0:
             vals.add(b)
         # jump to the next n that can map to a new bucket (the image is
@@ -1013,26 +1024,35 @@ def _warm_fused_round_compiles(
         except Exception:
             pass  # that shape simply compiles on demand, as before
 
-    for bucket in _ladder_buckets(c0, cfg.min_active):
+    for bucket in _ladder_buckets(c0, cfg.min_active, cfg.ladder):
         for step_samples, sub in combos:
             threading.Thread(
                 target=warm, args=(bucket, step_samples, sub), daemon=True
             ).start()
 
 
-def _round_up_bucket(n: int, min_bucket: int) -> int:
-    """Smallest ladder size >= n, ladder = {2^k, 3*2^(k-1)}.
+def _round_up_bucket(n: int, min_bucket: int, ladder: str = "half") -> int:
+    """Smallest ladder size >= n.
 
-    The half-step (1.5x) ladder bounds bucket padding waste at 33%
+    ladder="half": {2^k, 3*2^(k-1)} — bounds bucket padding waste at 33%
     (average ~17%) instead of the pure power-of-two ladder's 100% (avg
-    ~33%), at the cost of one extra compiled shape per octave — each
-    shape compiles once and the remote service caches it.
+    ~33%), at the cost of one extra compiled shape per octave.
+    ladder="quarter": {2^k, 5*2^(k-2), 3*2^(k-1), 7*2^(k-2)} — padding
+    <= 25% (avg ~11%) for two extra shapes per octave; worth it when the
+    compile bill is hidden (warm threads / cached) and rounds are large.
+    Every rung is a multiple of 8 at the sizes where it is used (b >= 16
+    half-steps, b >= 32 quarter-steps).
     """
     b = max(min_bucket, 1)
     while b < n:
-        b2 = b + b // 2  # 3 * 2^(k-1): even, and a multiple of 8 when b >= 16
-        if b2 >= n and b >= 16:
-            return b2
+        if ladder == "quarter" and b >= 32:
+            for m in (b + b // 4, b + b // 2, b + 3 * (b // 4)):
+                if m >= n:
+                    return m
+        elif b >= 16:
+            b2 = b + b // 2  # 3 * 2^(k-1)
+            if b2 >= n:
+                return b2
         b *= 2
     return b
 
@@ -1165,7 +1185,7 @@ def adaptive_collision_probabilities(
         keep0 = np.flatnonzero(keep_mask)
         if keep0.size == 0:
             return out_cp, out_n, out_done
-        bucket = _round_up_bucket(max(keep0.size, 1), cfg.min_active)
+        bucket = _round_up_bucket(max(keep0.size, 1), cfg.min_active, cfg.ladder)
         bucket = min(-(-bucket // n_shards) * n_shards, -(-C // n_shards) * n_shards)
         pad0 = np.concatenate(
             [keep0, np.full(bucket - keep0.size, keep0[0], dtype=keep0.dtype)]
@@ -1330,7 +1350,7 @@ def adaptive_collision_probabilities(
         if est_active == 0:
             num_real = 0
             return STOP
-        bucket = _round_up_bucket(est_active, cfg.min_active)
+        bucket = _round_up_bucket(est_active, cfg.min_active, cfg.ladder)
         bucket = min(
             -(-bucket // n_shards) * n_shards, len(state.uids)
         )  # shardable, never grows
