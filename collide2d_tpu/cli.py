@@ -386,6 +386,10 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-randomized, like the "
                         "reference's curand seed)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the configuration axis across all local "
+                        "chips (uid-keyed jnp path: labels bitwise-equal "
+                        "to a single-chip run)")
     p.add_argument("--verbose", type=_bool_flag, default=False)
 
     def run(args: argparse.Namespace) -> int:
@@ -423,10 +427,15 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
             def progress(num_left, n_samples, round):
                 print(f"[polylabel] round {round}: left={num_left} "
                       f"n_samples={n_samples}", flush=True)
+        mesh = None
+        if args.data_parallel:
+            from collide2d_tpu.parallel import make_mesh
+
+            mesh = make_mesh(jax.devices())
         cp, n_used, done = adaptive_collision_probabilities(
             jax.random.PRNGKey(seed), cfgs,
             np.asarray(data["robot_verts"], np.float32), cfg,
-            progress=progress,
+            progress=progress, mesh=mesh,
         )
         np.savez(args.data_out, cp=cp, n_samples=n_used, converged=done)
         print(f"labeled {cfgs.num} configurations -> {args.data_out} "

@@ -296,3 +296,104 @@ def test_polygon_checkpoint_resume_identical(rng, tmp_path):
     np.testing.assert_array_equal(cp, base)
     np.testing.assert_array_equal(n_used, base_n)
     np.testing.assert_array_equal(done, base_done)
+
+
+def test_polygon_sample_axis_bitwise(rng):
+    # P2 for polygons: the generic step-round-robin sample sharding
+    # (estimator._sample_sharded_counts -> _counts_chunk's polygon
+    # branch) must stay bitwise-equal to the unsharded stream sum.
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    from collide2d_tpu.parallel import make_mesh
+
+    C = 32
+    cfgs = example_polygon_configs(C, k=6, seed=12)
+    key = jax.random.PRNGKey(4)
+    uids = jnp.arange(C, dtype=jnp.int32)
+    base = np.array(
+        mc_round(key, uids, cfgs, RECT_ROBOT_VERTS, jnp.int32(0),
+                 n_batch=512, step_samples=64)
+    )
+    mesh = make_mesh(devs, sample_axis=2)  # (config=4, sample=2)
+    sharding = NamedSharding(mesh, P("config"))
+    from collide2d_tpu.mc.estimator import _sample_sharded_counts
+
+    got = np.array(
+        _sample_sharded_counts(
+            key,
+            jax.device_put(uids, sharding),
+            PolygonConfigs(*(jax.device_put(a, sharding) for a in cfgs)),
+            RECT_ROBOT_VERTS,
+            jnp.int32(0),
+            jnp.int32(512 // 64),
+            step_samples=64,
+            use_vertices=False,
+            mesh=mesh,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+
+
+def test_polygon_adaptive_dp_bitwise_matches_unsharded(rng):
+    # Full adaptive polygon labeling under a config-DP mesh equals the
+    # unsharded run bit for bit (uid-keyed jnp streams).
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    from collide2d_tpu.parallel import make_mesh
+
+    cfgs = example_polygon_configs(64, k=6, seed=14)
+    cfg = AdaptiveConfig(
+        accuracy_bins=(0.0, 0.1, 1.0), bin_accuracy=(0.02, 0.05),
+        max_samples=10_000, fixed_batch=1000, min_active=32,
+    )
+    key = jax.random.PRNGKey(6)
+    base = adaptive_collision_probabilities(key, cfgs, RECT_ROBOT_VERTS, cfg)
+    got = adaptive_collision_probabilities(
+        key, cfgs, RECT_ROBOT_VERTS, cfg, mesh=make_mesh(devs)
+    )
+    for a, b in zip(got, base):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_polylabel_cli_data_parallel_bitwise(tmp_path, rng, monkeypatch):
+    # --data_parallel labels must equal the single-device run bit for bit
+    # (uid-keyed jnp streams under config DP). The CLI builds its mesh
+    # over jax.devices() — the real chips in production; pin it to the
+    # CPU harness here (this container's axon plugin registers a remote
+    # TPU that jax.devices() reports even under the CPU-pinned harness).
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    import collide2d_tpu.parallel as par
+    from collide2d_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(par, "make_mesh", lambda *a, **k: make_mesh(devs))
+    from collide2d_tpu.cli import main
+
+    base = example_polygon_configs(32, k=6, seed=31)
+    inp = tmp_path / "polys.npz"
+    np.savez(
+        inp,
+        obstacle_verts=np.asarray(base.obstacle_verts),
+        position=np.asarray(base.position),
+        pose_theta=np.asarray(base.pose_theta),
+        std_dev=np.asarray(base.std_dev),
+        robot_verts=np.asarray(RECT_ROBOT_VERTS),
+    )
+    args = [
+        "polylabel", "--data_in", str(inp),
+        "--max_samples", "2000",  # 2 rounds: the bitwise claim needs no more
+        "--accuracy_bins", "0.0", "0.1", "1.0",
+        "--bin_accuracy", "0.02", "0.05",
+        "--impl", "jnp", "--seed", "3",
+    ]
+    assert main(args + ["--data_out", str(tmp_path / "a.npz")]) == 0
+    assert main(
+        args + ["--data_out", str(tmp_path / "b.npz"), "--data_parallel"]
+    ) == 0
+    a = np.load(tmp_path / "a.npz")
+    b = np.load(tmp_path / "b.npz")
+    np.testing.assert_array_equal(a["cp"], b["cp"])
+    np.testing.assert_array_equal(a["n_samples"], b["n_samples"])
