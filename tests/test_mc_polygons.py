@@ -397,3 +397,60 @@ def test_polylabel_cli_data_parallel_bitwise(tmp_path, rng, monkeypatch):
     b = np.load(tmp_path / "b.npz")
     np.testing.assert_array_equal(a["cp"], b["cp"])
     np.testing.assert_array_equal(a["n_samples"], b["n_samples"])
+
+
+def test_polygon_kernel_tile_vs_numpy_oracle(rng, monkeypatch):
+    # Third, fully independent line of evidence for the fused polygon
+    # kernel's math: counts on stubbed draws must equal the repo-root
+    # NumPy oracle (SAT.py, the reference-semantics ground truth — not
+    # sat_polygons, which the other tests already use) applied to
+    # explicitly transformed vertices sample by sample.
+    import SAT
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mpp.LANE_CONFIGS
+    sub, K = 16, 5
+    cfgs = example_polygon_configs(C, k=K, seed=23)
+    robot = np.asarray(RECT_ROBOT_VERTS)
+    keep = mpp.dedup_robot_axes(robot)
+    params = mpp.pack_polygon_mc_params(cfgs, jnp.asarray(robot), keep)
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    counts = np.array(
+        mpp.mc_poly_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
+            sub=sub, k=K, k2=4, k2_axes=len(keep), interpret=True,
+        )
+    )
+
+    # Replay the exact draws, then brute-force per (sample, config).
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    shape = (sub // 2, C)
+    za_dx, zb_dx = mcp._box_muller(shape)
+    za_dy, zb_dy = mcp._box_muller(shape)
+    za_th, zb_th = mcp._box_muller(shape)
+
+    pos = np.asarray(cfgs.position)
+    theta = np.asarray(cfgs.pose_theta)
+    ov = np.asarray(cfgs.obstacle_verts)
+    sd = np.asarray(cfgs.std_dev)
+    want = np.zeros((C,), np.int64)
+    for z_dx, z_dy, z_th in (
+        (np.asarray(za_dx), np.asarray(za_dy), np.asarray(za_th)),
+        (np.asarray(zb_dx), np.asarray(zb_dy), np.asarray(zb_th)),
+    ):
+        for s in range(sub // 2):
+            for c in range(C):
+                ca, sa = np.cos(theta[c]), np.sin(theta[c])
+                R = np.asarray([[ca, -sa], [sa, ca]], np.float32)
+                rob = robot @ R.T + pos[c]
+                dth = np.float32(z_th[s, c] * sd[c, 2])
+                ct, st = np.cos(dth), np.sin(dth)
+                R2 = np.asarray([[ct, -st], [st, ct]], np.float32)
+                obs = ov[c] @ R2.T + np.asarray(
+                    [z_dx[s, c] * sd[c, 0], z_dy[s, c] * sd[c, 1]], np.float32
+                )
+                want[c] += SAT.convex_collide_polygons(rob, obs)
+    np.testing.assert_array_equal(counts, want)
