@@ -86,7 +86,8 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                    help="convergence-checkpoint schedule: 'reference' (default; "
                         "1k rounds to 20k then 100k rounds) or 'tuned' "
                         "(one extra rule-of-three checkpoint, ~26%% fewer "
-                        "samples and +31%% configs/s, same CI guarantees)")
+                        "samples and +32%% configs/s at 65k-config batches, "
+                        "same CI guarantees)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")

@@ -669,7 +669,8 @@ class AdaptiveConfig:
     all wait for 120k. "tuned" adds exactly ONE checkpoint there
     (ln(1/alpha)/bin_accuracy[0], rounded up to the kernel granule) and
     then keeps the reference's later_batch cadence — measured 26% fewer
-    samples/configuration and +34% configs/s end to end, while every
+    samples/configuration and +32% configs/s end to end (at 65k-config
+    batches; +12% at the 100k production batch), while every
     emitted label still satisfies the SAME per-bin CI criterion
     (checkpoints only decide WHERE convergence is tested, never the test).
     """
@@ -738,7 +739,8 @@ class AdaptiveConfig:
             # 427-430), so its largest population — zero-probability
             # configurations, ~61% of the annulus workload — burns 3.2x
             # the samples it needs; testing convergence here measured
-            # +34% end-to-end labeling. After this point the plain
+            # +32% end-to-end labeling (65k-config batches). After this
+            # point the plain
             # later_batch cadence continues to the cap (batch_for).
             acc0 = float(self.bin_accuracy[0])
             if acc0 > 0:

@@ -73,6 +73,13 @@ def dedup_robot_axes(robot_verts) -> tuple[int, ...]:
     axes = np.stack([e[:, 1], -e[:, 0]], axis=-1)
     keep = []
     for i in range(axes.shape[0]):
+        if axes[i, 0] == 0.0 and axes[i, 1] == 0.0:
+            # Zero-length edge (e.g. repeat-padded vertex): its zero
+            # normal never separates, so drop it outright. Keeping it
+            # would be worse than useless — cross() with the zero axis
+            # is always 0, so every later REAL axis would be discarded
+            # as its "duplicate".
+            continue
         dup = any(
             float(axes[i, 0] * axes[j, 1] - axes[i, 1] * axes[j, 0]) == 0.0
             for j in keep
@@ -221,7 +228,9 @@ def _poly_separated(rows, k: int, k2: int, z_dx, z_dy, z_th, k2_axes=None):
         s = jnp.logical_or(
             mx < rows(o_nmin + j) + bt, rows(o_nmax + j) + bt < mn
         )
-        sep = jnp.logical_or(sep, s)
+        # sep can still be None here when k2_axes == 0 (a fully
+        # degenerate robot whose axes all deduped away as zero-length).
+        sep = s if sep is None else jnp.logical_or(sep, s)
     return sep
 
 

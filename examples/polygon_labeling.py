@@ -27,7 +27,7 @@ def main() -> None:
     )
     model = PolygonCollisionProbabilityModel(robot)
 
-    # 4096 obstacle hexagons on per-config ellipses, with Gaussian pose
+    # 1024 obstacle hexagons on per-config ellipses, with Gaussian pose
     # noise (x, y, theta) on the obstacle.
     rng = np.random.default_rng(0)
     C, K = 1024, 6  # small enough for a CPU run in well under a minute

@@ -36,6 +36,56 @@ def test_ref_engine_stream_continuity():
 
 
 @needs_native
+def test_ref_engine_golden_values():
+    """Pin the refcompat contract to VALUES, not to the toolchain.
+
+    `RefEngine` promises the exact libstdc++ streams the reference
+    consumes (std::default_random_engine = minstd_rand0 default-seeded,
+    generate_dataset.cu:279; std::shuffle seed 0, generate_dataset.cu:
+    496). The determinism/continuity tests above would still pass on a
+    libc++/MSVC toolchain whose std::default_random_engine differs —
+    silently voiding the bit-compat promise — so this test hardcodes
+    golden values generated with libstdc++ (g++ 13, this image) and
+    FAILS (never skips) on any deviation.
+
+    Independent sanity anchor: minstd_rand0 from seed 1 yields 16807 as
+    its first output, and libstdc++'s uniform_real_distribution maps it
+    through generate_canonical in FLOAT arithmetic as
+    float32(16806 / 2147483646) * float32(0.3) = 2.3477712e-06 — which
+    is exactly the first golden word below (0x361d8e67).
+    """
+    # First 8 floats (bit patterns) of a default-seeded [0, 0.3)^5 table,
+    # row-major — one shared engine, one distribution per column.
+    tbl = native.RefEngine().uniform_table(2, [0.0] * 5, [0.3] * 5)
+    got = [f"{b:08x}" for b in np.frombuffer(tbl.tobytes(), np.uint32)[:8]]
+    assert got == [
+        "361d8e67", "3d21a237", "3e681f39", "3e0ce5b7",
+        "3e23aa86", "3d86874e", "3c673bd4", "3e508c19",
+    ], f"libstdc++ minstd_rand0 uniform stream mismatch: {got}"
+    assert tbl[0, 0] == np.float32(
+        np.float32(np.float32(16806.0) / np.float32(2147483646.0))
+        * np.float32(0.3)
+    )
+
+    # std::shuffle(10 rows, engine(0)) permutation.
+    assert native.std_shuffle_perm(10, 0).tolist() == [
+        2, 7, 1, 6, 8, 0, 4, 9, 5, 3
+    ]
+
+    # Checksum of the (64, 5) variance + (64, 3) pose table pair drawn
+    # from ONE engine in reference order (variances first —
+    # generate_dataset.cu:279-330), the refcompat_tables code path.
+    import math
+    import zlib
+
+    e = native.RefEngine()
+    v = e.uniform_table(64, [0.0] * 5, [0.3] * 5)
+    p = e.uniform_table(64, [0.1, 0.1, 0.0], [5.0, 5.0, 2 * math.pi])
+    assert zlib.crc32(v.tobytes()) == 0x1A8486E6, "variance table drifted"
+    assert zlib.crc32(p.tobytes()) == 0xCA9B0BA3, "pose table drifted"
+
+
+@needs_native
 def test_std_shuffle_perm_properties():
     p1 = native.std_shuffle_perm(1000, 0)
     p2 = native.std_shuffle_perm(1000, 0)

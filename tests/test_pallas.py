@@ -491,6 +491,20 @@ def test_mc_polygon_axis_dedup_interpret(rng, monkeypatch):
     assert mpp.dedup_robot_axes(
         jnp.asarray([[0.0, 0.0], [2.0, 0.1], [1.1, 1.7]], jnp.float32)
     ) == (0, 1, 2)
+    # A zero-length edge (user repeat-padding a vertex) yields a zero
+    # normal: it must be DROPPED, not kept — a kept zero axis would
+    # swallow every later real axis as its "duplicate" (cross with the
+    # zero vector is always 0) and the kernel would overcount collisions.
+    padded = jnp.asarray(
+        [[0.0, 0.0], [0.0, 0.0], [2.0, 0.1], [1.1, 1.7]], jnp.float32
+    )
+    assert mpp.dedup_robot_axes(padded) == (1, 2, 3)
+    # repeat-LAST-vertex padding (the sat_polygons contract): the zero
+    # edge sits at index 2 and only it is dropped
+    assert mpp.dedup_robot_axes(
+        jnp.asarray([[0.0, 0.0], [2.0, 0.1], [1.1, 1.7], [1.1, 1.7]],
+                    jnp.float32)
+    ) == (0, 1, 3)
 
     counts = {}
     for label, a_keep in (("full", tuple(range(4))), ("dedup", keep)):
