@@ -90,10 +90,17 @@ def main() -> int:
     # headline.
     import functools
 
-    from collide2d_tpu.utils.benchmarks import bench_e2e
+    from collide2d_tpu.utils.benchmarks import bench_agreement, bench_e2e
 
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
+    poly_bf16 = functools.partial(bench_sat_polygons_pallas, precision="bf16")
+    poly_bf16.__name__ = "bench_sat_polygons_pallas_bf16"
+    from collide2d_tpu.utils.benchmarks import bench_sat_polygons_mxu
+
+    poly_mxu = bench_sat_polygons_mxu
+    poly_mxu_bf16 = functools.partial(bench_sat_polygons_mxu, dtype="bf16")
+    poly_mxu_bf16.__name__ = "bench_sat_polygons_mxu_bf16"
     e2e = functools.partial(bench_e2e, configs=65536)
     e2e.__name__ = "bench_e2e"
     for fn in (
@@ -104,6 +111,12 @@ def main() -> int:
         bench_mc_polygons_pallas,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
+        poly_bf16,
+        poly_mxu,
+        poly_mxu_bf16,
+        # On-hardware statistical acceptance of the fused MC path
+        # (hardware-PRNG distribution vs threefry; ok must be true).
+        bench_agreement,
         # LAST: the adaptive-driver metric compiles the whole bucket
         # ladder; under a congested tunnel that can take minutes, and the
         # timeout-proof contract (headline already printed, secondaries on

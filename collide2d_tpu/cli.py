@@ -33,6 +33,33 @@ _IMPL_HELP = ("MC sampler: auto = fused Pallas kernel on TPU, threefry-jnp "
               "fastest, block-tied streams")
 
 
+def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
+    """The AdaptiveConfig extension flags shared by every mode that runs
+    the adaptive driver (flag parity across generate/relabel/ztest/
+    polylabel — review r2 finding)."""
+    p.add_argument("--schedule", default="reference",
+                   choices=["reference", "tuned"],
+                   help="convergence-checkpoint schedule: 'reference' "
+                        "(default; the mode's reference cadence) or "
+                        "'tuned' (one extra rule-of-three checkpoint, "
+                        "~26%% fewer samples and +32%% configs/s at "
+                        "65k-config batches, same CI guarantees)")
+    p.add_argument("--prune_sigma", type=float, default=0.0,
+                   help="label configurations that cannot collide within "
+                        "this many noise std-devs as cp=0 without sampling "
+                        "(0 = off/reference parity; 6.0 recommended: label "
+                        "error ~1e-8, far below every accuracy bin)")
+    p.add_argument("--ladder", default="quarter",
+                   choices=["half", "quarter"],
+                   help="repack bucket ladder granularity (quarter: less "
+                        "padding waste, measured +5-7%% end to end; half: "
+                        "fewer compiled shapes)")
+
+
+def _schedule_arg(args: argparse.Namespace):
+    return None if args.schedule in (None, "reference") else args.schedule
+
+
 def _add_generate(sub: argparse._SubParsersAction) -> None:
     d = GenerateConfig()
     p = sub.add_parser("generate", help="create a labeled collision dataset")
@@ -82,12 +109,12 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "checkpoint.npz (requires a fixed --seed)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
-    p.add_argument("--schedule", default="reference", choices=["reference", "tuned"],
-                   help="convergence-checkpoint schedule: 'reference' (default; "
-                        "1k rounds to 20k then 100k rounds) or 'tuned' "
-                        "(one extra rule-of-three checkpoint, ~26%% fewer "
-                        "samples and +32%% configs/s at 65k-config batches, "
-                        "same CI guarantees)")
+    p.add_argument("--overlap_batches", type=int, default=2,
+                   help="cross-batch pipelining depth: batch i+1's rounds "
+                        "interleave with batch i's convergence tail so the "
+                        "chip never idles at batch boundaries; results are "
+                        "bitwise-identical to the serial loop (1 = "
+                        "reference-style strictly serial batches)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
@@ -95,16 +122,7 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                    help="capture a jax.profiler trace of the run here")
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"],
                    help=_IMPL_HELP)
-    p.add_argument("--prune_sigma", type=float, default=0.0,
-                   help="label configurations that cannot collide within "
-                        "this many noise std-devs as cp=0 without sampling "
-                        "(0 = off/reference parity; 6.0 recommended: label "
-                        "error ~1e-8, far below every accuracy bin)")
-    p.add_argument("--ladder", default="quarter",
-                   choices=["half", "quarter"],
-                   help="repack bucket ladder granularity (quarter: less "
-                        "padding waste, measured +5-7%% end to end; half: "
-                        "fewer compiled shapes)")
+    _add_adaptive_extensions(p)
     p.set_defaults(func=_run_generate)
 
 
@@ -135,7 +153,8 @@ def _run_generate(args: argparse.Namespace) -> int:
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         data_parallel=args.data_parallel,
-        schedule=None if args.schedule in (None, "reference") else args.schedule,
+        overlap_batches=args.overlap_batches,
+        schedule=_schedule_arg(args),
         verbose=args.verbose,
         trace_dir=args.trace_dir,
         prune_sigma=args.prune_sigma,
@@ -172,6 +191,14 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
                    help=_IMPL_HELP)
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
+    _add_adaptive_extensions(p)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="rounds between mid-batch checkpoints (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip already-written output batches and resume "
+                        "mid-batch from checkpoint.npz (requires a fixed "
+                        "--seed; the first run's output-numbering window "
+                        "is pinned so a rerun never appends a second copy)")
     p.set_defaults(func=_run_relabel)
 
 
@@ -190,6 +217,11 @@ def _run_relabel(args: argparse.Namespace) -> int:
             verbose=args.verbose,
             trace_dir=args.trace_dir,
             impl=args.impl,
+            schedule=_schedule_arg(args),
+            prune_sigma=args.prune_sigma,
+            ladder=args.ladder,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
         )
     )
     return 0
@@ -226,6 +258,11 @@ def _add_ztest(sub: argparse._SubParsersAction) -> None:
                    help=_IMPL_HELP)
     p.add_argument("--trace_dir", default="",
                    help="capture a jax.profiler trace of the run here")
+    _add_adaptive_extensions(p)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="rounds between mid-run checkpoints to "
+                        "data_dir/ztest_checkpoint.npz (0 = off; a rerun "
+                        "with the same --seed auto-resumes from it)")
     p.set_defaults(func=_run_ztest)
 
 
@@ -247,6 +284,10 @@ def _run_ztest(args: argparse.Namespace) -> int:
             verbose=args.verbose,
             trace_dir=args.trace_dir,
             impl=args.impl,
+            schedule=_schedule_arg(args),
+            prune_sigma=args.prune_sigma,
+            ladder=args.ladder,
+            checkpoint_every=args.checkpoint_every,
         )
     )
     return 0
@@ -380,10 +421,7 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
                    default=[1e-4, 1e-3, 1e-2])
     p.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto",
                    help=_IMPL_HELP)
-    p.add_argument("--prune_sigma", type=float, default=0.0,
-                   help="label impossible-to-touch configs cp=0 without "
-                        "sampling (0 = off)")
-    p.add_argument("--schedule", choices=["reference", "tuned"], default=None)
+    _add_adaptive_extensions(p)
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-randomized, like the "
                         "reference's curand seed)")
@@ -391,6 +429,14 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
                    help="shard the configuration axis across all local "
                         "chips (uid-keyed jnp path: labels bitwise-equal "
                         "to a single-chip run)")
+    p.add_argument("--sample_parallel", type=int, default=0,
+                   help="shard each configuration's sample budget across "
+                        "this many devices (jnp path; labels bitwise-equal "
+                        "to a single-chip run); ignored with --data_parallel")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="rounds between mid-run checkpoints to "
+                        "<data_out>.checkpoint.npz (0 = off; a rerun with "
+                        "the same --seed auto-resumes from it)")
     p.add_argument("--verbose", type=_bool_flag, default=False)
 
     def run(args: argparse.Namespace) -> int:
@@ -420,7 +466,8 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
             max_samples=args.max_samples,
             impl=args.impl,
             prune_sigma=args.prune_sigma,
-            schedule=args.schedule,
+            schedule=_schedule_arg(args),
+            ladder=args.ladder,
         )
         seed = args.seed if args.seed is not None else int(time.time())
         progress = None
@@ -433,10 +480,26 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
             from collide2d_tpu.parallel import make_mesh
 
             mesh = make_mesh(jax.devices())
+        elif args.sample_parallel and args.sample_parallel > 1:
+            from collide2d_tpu.parallel import make_mesh
+
+            devices = jax.devices()
+            if len(devices) < args.sample_parallel:
+                raise SystemExit(
+                    f"polylabel: sample_parallel={args.sample_parallel} "
+                    f"needs that many devices, have {len(devices)}"
+                )
+            mesh = make_mesh(devices[: args.sample_parallel],
+                             sample_axis=args.sample_parallel)
         cp, n_used, done = adaptive_collision_probabilities(
             jax.random.PRNGKey(seed), cfgs,
             np.asarray(data["robot_verts"], np.float32), cfg,
             progress=progress, mesh=mesh,
+            checkpoint_path=(
+                args.data_out + ".checkpoint.npz" if args.checkpoint_every
+                else None
+            ),
+            checkpoint_every=args.checkpoint_every,
         )
         np.savez(args.data_out, cp=cp, n_samples=n_used, converged=done)
         print(f"labeled {cfgs.num} configurations -> {args.data_out} "

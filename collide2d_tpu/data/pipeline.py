@@ -29,6 +29,7 @@ TPU-first differences from the reference (all documented divergences):
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from dataclasses import dataclass
@@ -109,6 +110,16 @@ class GenerateConfig:
     # padding waste) | "half" (fewer compiled shapes) —
     # AdaptiveConfig.ladder.
     ladder: str = "quarter"
+    # Cross-batch pipelining: up to this many batches labeled in flight
+    # at once. When batch i's active pool shrinks into its tail, batch
+    # i+1's configurations are sampled and its (big, efficient) rounds
+    # interleave with the tail's — the device never idles across the
+    # batch boundary. Results are BITWISE identical to the serial loop
+    # (each batch keeps its own fold_in key and an untouched scheduler
+    # trajectory; interleaving only reorders dispatch). 1 = the
+    # reference's strictly serial batch loop (generate_dataset.cu:
+    # 418-505).
+    overlap_batches: int = 2
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -141,6 +152,17 @@ class RelabelConfig:
     sample_parallel: int = 0
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
     impl: str = "auto"
+    # Full AdaptiveConfig capability parity with generate (review r2
+    # finding: a 100-batch relabel used to be stuck with the untuned
+    # schedule, no pruning, and batch-level resume only):
+    schedule: object = None  # None = reference schedule | "tuned" | tuple
+    prune_sigma: float = 0.0  # see GenerateConfig.prune_sigma
+    ladder: str = "quarter"  # see GenerateConfig.ladder
+    checkpoint_every: int = 0  # rounds between mid-batch checkpoints
+    resume: bool = False  # skip already-written output batches + resume
+    #   mid-batch from checkpoint.npz (requires a fixed --seed; output
+    #   numbering is pinned by a .relabel_start marker so a resumed run
+    #   continues the SAME append window instead of appending again)
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -176,6 +198,13 @@ class ZTestConfig:
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
     trace_dir: str = ""  # capture a jax.profiler trace of the run here
     impl: str = "auto"
+    # AdaptiveConfig capability parity with generate (review r2 finding):
+    schedule: object = None  # None = reference (fixed n_batch) | "tuned" | tuple
+    prune_sigma: float = 0.0  # see GenerateConfig.prune_sigma
+    ladder: str = "quarter"  # see GenerateConfig.ladder
+    # Mid-run checkpoints every N rounds to data_dir/ztest_checkpoint.npz;
+    # a rerun with the same --seed auto-resumes from it (key-validated).
+    checkpoint_every: int = 0
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -380,33 +409,76 @@ def generate_dataset(cfg: GenerateConfig) -> None:
     _log(cfg, f"Total number of configurations: {cfg.batch_size * cfg.num_batches}")
     _log(cfg, "Begin computation...")
     begin = time.monotonic()
+    overlap = max(1, int(getattr(cfg, "overlap_batches", 1) or 1))
+    mesh = _mesh_for(cfg)
+    from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
+
+    pending = []
+    for batch_index in range(cfg.num_batches):
+        target = batch_path(data_dir, cfg.start_batch_count + batch_index)
+        if cfg.resume and target.exists():
+            _log(cfg, f"resume: skipping existing {target.name}")
+            continue
+        pending.append(batch_index)
+    progress_state = {"done": cfg.num_batches - len(pending), "first": True}
+
+    def _start(batch_index: int):
+        abs_index = cfg.start_batch_count + batch_index
+        bkey = jax.random.fold_in(key, abs_index)
+        k_init, k_mc = jax.random.split(bkey)
+        positions, pose_idx, var_idx = sample_configurations(
+            k_init, cfg.batch_size, poses_j, std_devs_j,
+            r_offset=cfg.r_offset, spread=cfg.spread,
+        )
+        positions = np.asarray(positions)
+        pose_idx = np.asarray(pose_idx, np.int64)
+        var_idx = np.asarray(var_idx, np.int64)
+        pose = poses[pose_idx]
+        configs = Configs(
+            position=jnp.asarray(positions, jnp.float32),
+            pose_theta=jnp.asarray(pose[:, 2], jnp.float32),
+            obstacle_wh=jnp.asarray(pose[:, 0:2], jnp.float32),
+            std_dev=jnp.asarray(std_devs[var_idx], jnp.float32),
+        )
+        run = AdaptiveRun(
+            k_mc, configs, cfg.robot_wh, adaptive,
+            checkpoint_path=(
+                # One checkpoint file PER in-flight batch (numeric batch
+                # stems are unaffected: get_num_batches_in_dir counts
+                # numeric names only, and balance skips checkpoint*).
+                data_dir / f"checkpoint_{abs_index}.npz"
+                if cfg.checkpoint_every else None
+            ),
+            checkpoint_every=cfg.checkpoint_every,
+            mesh=mesh,
+            progress=_progress_logger(cfg, cfg.batch_size),
+            # Warm the compile ladder once per process, not once per
+            # batch (every batch shares the same bucket shapes).
+            warmup=None if progress_state["first"] else False,
+        )
+        progress_state["first"] = False
+        tag = dict(
+            target=batch_path(data_dir, abs_index),
+            positions=positions, pose_idx=pose_idx, var_idx=var_idx,
+        )
+        return tag, run
+
     with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
-        for batch_index in range(cfg.num_batches):
-            target = batch_path(data_dir, cfg.start_batch_count + batch_index)
-            if cfg.resume and target.exists():
-                _log(cfg, f"resume: skipping existing {target.name}")
-                continue
-            bkey = jax.random.fold_in(key, cfg.start_batch_count + batch_index)
-            k_init, k_mc = jax.random.split(bkey)
-            positions, pose_idx, var_idx = sample_configurations(
-                k_init, cfg.batch_size, poses_j, std_devs_j,
-                r_offset=cfg.r_offset, spread=cfg.spread,
-            )
-            rows = _label_batch(
-                k_mc, np.asarray(positions), np.asarray(pose_idx),
-                np.asarray(var_idx), poses, std_devs, cfg.robot_wh, adaptive,
-                checkpoint_path=(
-                    data_dir / "checkpoint.npz" if cfg.checkpoint_every else None
-                ),
-                checkpoint_every=cfg.checkpoint_every,
-                mesh=_mesh_for(cfg),
-                progress=_progress_logger(cfg, cfg.batch_size),
+        def _finish(tag, run):
+            cp, _, _ = run.materialize()
+            rows = schemas.pack_dataset_rows(
+                tag["positions"], cp, tag["var_idx"], tag["pose_idx"]
             )
             rows = _shuffle_rows(rows, cfg.shuffle)
-            writer.submit(target, rows)
+            writer.submit(tag["target"], rows)
+            progress_state["done"] += 1
             mins = (time.monotonic() - begin) / 60.0
-            _log(cfg, f"batches generated: {batch_index + 1}/{cfg.num_batches}, "
-                      f"Time: {mins:.1f} [min]")
+            _log(cfg, f"batches generated: {progress_state['done']}/"
+                      f"{cfg.num_batches}, Time: {mins:.1f} [min]")
+
+        run_interleaved(
+            [functools.partial(_start, i) for i in pending], overlap, _finish
+        )
         errors = writer.flush()
         if errors:
             raise IOError(f"{errors} batch file(s) failed to write")
@@ -421,8 +493,16 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
     data_in = Path(cfg.data_in)
     data_out = mkdirs(cfg.data_out)
     # Output numbering resumes after existing batches
-    # (compute_collision_probability.cu:157).
+    # (compute_collision_probability.cu:157). With --resume the first
+    # run's append window is pinned in a marker file: a rerun must SKIP
+    # its already-written outputs, not append a second copy after them
+    # (get_num_batches_in_dir would otherwise count them as preexisting).
     start_batch_count = get_num_batches_in_dir(data_out)
+    marker = data_out / ".relabel_start"
+    if cfg.resume and marker.exists():
+        start_batch_count = int(marker.read_text())
+    elif cfg.resume:
+        marker.write_text(str(start_batch_count))
     num_batches = get_num_batches_in_dir(data_in)
 
     _log(cfg, "Reading data...")
@@ -440,6 +520,9 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
         bin_accuracy=tuple(float(x) for x in bin_accuracy),
         max_samples=cfg.max_samples,
         impl=cfg.impl,
+        schedule=cfg.schedule,
+        prune_sigma=cfg.prune_sigma,
+        ladder=cfg.ladder,
     )
     key = _master_key(cfg.seed)
 
@@ -447,22 +530,33 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
     begin = time.monotonic()
     with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
         for batch_index in range(num_batches):
+            target = batch_path(data_out, start_batch_count + batch_index)
+            if cfg.resume and target.exists():
+                _log(cfg, f"resume: skipping existing {target.name}")
+                continue
             rows_in = load_npy(batch_path(data_in, batch_index))
             positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
             rows = _label_batch(
                 jax.random.fold_in(key, batch_index),
                 positions, pose_idx, var_idx, poses, std_devs,
                 cfg.robot_wh, adaptive, mesh=_mesh_for(cfg),
+                checkpoint_path=(
+                    data_out / "checkpoint.npz" if cfg.checkpoint_every
+                    else None
+                ),
+                checkpoint_every=cfg.checkpoint_every,
                 progress=_progress_logger(cfg, len(positions)),
             )
             rows = _shuffle_rows(rows, cfg.shuffle)
-            writer.submit(batch_path(data_out, start_batch_count + batch_index), rows)
+            writer.submit(target, rows)
             mins = (time.monotonic() - begin) / 60.0
             _log(cfg, f"batches generated: {batch_index + 1}/{num_batches}, "
                       f"Time: {mins:.1f} [min]")
         errors = writer.flush()
         if errors:
             raise IOError(f"{errors} batch file(s) failed to write")
+    if cfg.resume and marker.exists():
+        marker.unlink()  # clean finish: next relabel appends afresh
     _log(cfg, "Finished computation")
 
 
@@ -507,12 +601,19 @@ def ztest(cfg: ZTestConfig) -> np.ndarray:
     _log(cfg, f"num variances: {len(variances)}")
     _log(cfg, f"num data points: {len(positions)}")
 
+    # ztest.cu:332 fixes 10k samples per round; an explicit --schedule
+    # replaces that fixed cadence with the adaptive one (fixed_batch wins
+    # over schedule inside AdaptiveConfig.batch_for, so it must be
+    # dropped here for the schedule to take effect).
     adaptive = cfg.adaptive or AdaptiveConfig(
         accuracy_bins=tuple(float(x) for x in accuracy_bins),
         bin_accuracy=tuple(float(x) for x in bin_accuracy),
         max_samples=cfg.max_samples,
-        fixed_batch=cfg.n_batch,  # ztest.cu:332 — fixed 10k per round
+        fixed_batch=None if cfg.schedule is not None else cfg.n_batch,
         impl=cfg.impl,
+        schedule=cfg.schedule,
+        prune_sigma=cfg.prune_sigma,
+        ladder=cfg.ladder,
     )
     mesh = cfg.mesh
     if mesh is None and cfg.sample_parallel and cfg.sample_parallel > 1:
@@ -539,6 +640,11 @@ def ztest(cfg: ZTestConfig) -> np.ndarray:
         rows = _label_batch(
             _master_key(cfg.seed), positions, pose_idx, var_idx,
             poses, std_devs, cfg.robot_wh, adaptive, mesh=mesh,
+            checkpoint_path=(
+                data_dir / "ztest_checkpoint.npz" if cfg.checkpoint_every
+                else None
+            ),
+            checkpoint_every=cfg.checkpoint_every,
             progress=_progress_logger(cfg, len(positions)),
         )
     if cfg.cps_only:

@@ -617,6 +617,7 @@ def collision_probability_pruned(
     Host-orchestrated (one device sync); returns a host numpy array.
     """
     from collide2d_tpu.ops.broad_phase import possible_collision_mask
+    from collide2d_tpu.mc.driver import _round_up_bucket
 
     C = configs.num
     mask = np.asarray(
@@ -879,675 +880,32 @@ def _fused_round(
     return new_state, num_done
 
 
-class _OutState(NamedTuple):
-    """Device-resident emission buffers, one row per ORIGINAL config.
+# ---------------------------------------------------------------------------
+# The host-side adaptive driver lives in collide2d_tpu.mc.driver (the
+# scheduler + device-ops split, round-3 refactor). The names below remain
+# importable from this module for backward compatibility.
+# ---------------------------------------------------------------------------
 
-    Frozen labels accumulate here instead of riding a 5-array host
-    readback at every repack: the host reads one scalar per repack and
-    materializes these once at the end. k/n are the frozen integer
-    numerator/denominator (division happens on host at materialize time,
-    bit-identical to the previous host-side emission)."""
-
-    k: Array     # int32 (C,) frozen true-counts (or tail-flush counts)
-    n: Array     # int32 (C,) frozen sample denominators (0 = never written)
-    flag: Array  # bool  (C,) converged (tail-flushed rows stay False)
-
-
-@jax.jit
-def _emit_to_out(state: _LoopState, outs: _OutState) -> _OutState:
-    """Scatter frozen labels of done rows into the output buffers.
-
-    Idempotent (frozen values never change after freezing), so calling it
-    at every repack and again at the end is safe."""
-    C = outs.k.shape[0]
-    emit = jnp.logical_and(state.done, state.uids >= 0)
-    tgt = jnp.where(emit, state.uids, C)  # C = out of bounds -> dropped
-    return _OutState(
-        k=outs.k.at[tgt].set(state.k_frozen, mode="drop"),
-        n=outs.n.at[tgt].set(state.n_frozen, mode="drop"),
-        flag=outs.flag.at[tgt].set(True, mode="drop"),
-    )
+_DRIVER_NAMES = (
+    "adaptive_collision_probabilities",
+    "AdaptiveRun",
+    "AdaptiveScheduler",
+    "_OutState",
+    "_emit_to_out",
+    "_flush_to_out",
+    "_pack_active",
+    "_ladder_buckets",
+    "_round_up_bucket",
+    "_warm_targets",
+    "_warm_fused_round_compiles",
+    "_save_checkpoint",
+    "_load_checkpoint",
+)
 
 
-@jax.jit
-def _flush_to_out(state: _LoopState, outs: _OutState, n_samples) -> _OutState:
-    """Tail flush (generate_dataset.cu:470-479): unconverged rows get
-    their current estimate at the final sample count; flag stays False."""
-    C = outs.k.shape[0]
-    fl = jnp.logical_and(jnp.logical_not(state.done), state.uids >= 0)
-    tgt = jnp.where(fl, state.uids, C)
-    n_bcast = jnp.broadcast_to(jnp.int32(n_samples), state.uids.shape)
-    return _OutState(
-        k=outs.k.at[tgt].set(state.n_true, mode="drop"),
-        n=outs.n.at[tgt].set(n_bcast, mode="drop"),
-        flag=outs.flag,
-    )
+def __getattr__(name):  # PEP 562 lazy delegation (avoids a circular import)
+    if name in _DRIVER_NAMES:
+        from collide2d_tpu.mc import driver
 
-
-@functools.partial(jax.jit, static_argnames=("bucket",))
-def _pack_active(state: _LoopState, *, bucket: int):
-    """Repack still-active rows into a ``bucket``-sized buffer ON DEVICE.
-
-    Stable argsort puts active rows first in original order — the same
-    bucket contents the previous host-side flatnonzero produced — so the
-    Pallas path's block-tied streams see an identical trajectory. Pad
-    slots carry uids=-1 and done=True. Also returns the exact active
-    count (the only scalar the host needs to read)."""
-    active = jnp.logical_and(jnp.logical_not(state.done), state.uids >= 0)
-    order = jnp.argsort(jnp.logical_not(active), stable=True)[:bucket]
-    slot_valid = jnp.take(active, order)
-    new_state = _LoopState(
-        uids=jnp.where(slot_valid, jnp.take(state.uids, order), -1),
-        active=type(state.active)(*(jnp.take(a, order, axis=0) for a in state.active)),
-        n_true=jnp.take(state.n_true, order),
-        done=jnp.logical_not(slot_valid),
-        k_frozen=jnp.take(state.k_frozen, order),
-        n_frozen=jnp.take(state.n_frozen, order),
-    )
-    return new_state, jnp.sum(active, dtype=jnp.int32)
-
-
-@functools.lru_cache(maxsize=None)
-def _ladder_buckets(
-    c0: int, min_bucket: int, ladder: str = "half"
-) -> tuple[int, ...]:
-    """Every bucket size the repack ladder can visit starting from a
-    ``c0``-row buffer: c0 itself plus `_round_up_bucket`'s image over all
-    possible active counts below it — DERIVED from the real ladder
-    function so the warm list can never drift from what the driver
-    actually compiles."""
-    vals = {c0}
-    n = 1
-    while n < c0:
-        b = _round_up_bucket(n, min_bucket, ladder)
-        if b < c0:
-            vals.add(b)
-        # jump to the next n that can map to a new bucket (the image is
-        # monotone in n, so the next change is just past this bucket)
-        n = b + 1
-    return tuple(sorted(vals, reverse=True))
-
-
-def _warm_fused_round_compiles(
-    key, configs, robot_wh, cfg, *, impl, shape_noise, c0, acc_bins, bin_acc,
-    poly_a_keep=None,
-):
-    """Fire-and-forget compile warmup for every bucket shape the repack
-    ladder can visit.
-
-    The adaptive driver's programs compile on first dispatch, serially —
-    on this image's remote tunnel that is 1.4-11 min of a cold
-    10^7-config run (pure tunnel-load latency: each program compiles in
-    0.5-2 s when idle), and the persistent on-disk cache cannot help
-    (executable LOADING through the tunnel costs as much as compiling;
-    see utils/compile_cache.py). But the compile service handles
-    CONCURRENT requests at near-perfect overlap (measured 4 programs in
-    the time of one), so warming the ladder's `_fused_round` variants on
-    daemon threads while the first rounds execute hides most of the
-    bill. Each warm call is an AOT ``.lower().compile()`` with the big
-    arrays abstract and every scalar/static EXACTLY as the driver
-    passes them, so the populated jit cache is hit verbatim; a warm
-    failure only means that shape compiles on demand as before.
-    """
-    import threading
-
-    # The distinct (step_samples, sub) static combos the schedule uses.
-    combos, n = set(), 0
-    while n < cfg.max_samples and len(combos) < 6:
-        nb, step = _plan_round(cfg, n, 1, impl)
-        n += nb
-        if impl == "pallas":
-            combos.add((0, _pick_sub_pallas(nb)))
-        else:
-            combos.add((step, 0))
-
-    def warm(bucket, step_samples, sub):
-        try:
-            sds = lambda a: jax.ShapeDtypeStruct(
-                (bucket,) + a.shape[1:], a.dtype
-            )
-            state_abs = _LoopState(
-                uids=jax.ShapeDtypeStruct((bucket,), jnp.int32),
-                active=type(configs)(*(sds(a) for a in configs)),
-                n_true=jax.ShapeDtypeStruct((bucket,), jnp.int32),
-                done=jax.ShapeDtypeStruct((bucket,), jnp.bool_),
-                k_frozen=jax.ShapeDtypeStruct((bucket,), jnp.int32),
-                n_frozen=jax.ShapeDtypeStruct((bucket,), jnp.int32),
-            )
-            _fused_round.lower(
-                key, state_abs, robot_wh,
-                jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                step_samples=step_samples, sub=sub,
-                use_vertices=cfg.use_vertices, impl=impl,
-                accuracy_bins=acc_bins, bin_accuracy=bin_acc,
-                mesh=None, shape_noise=shape_noise,
-                poly_a_keep=poly_a_keep,
-            ).compile()
-        except Exception:
-            pass  # that shape simply compiles on demand, as before
-
-    for bucket in _ladder_buckets(c0, cfg.min_active, cfg.ladder):
-        for step_samples, sub in combos:
-            threading.Thread(
-                target=warm, args=(bucket, step_samples, sub), daemon=True
-            ).start()
-
-
-def _round_up_bucket(n: int, min_bucket: int, ladder: str = "half") -> int:
-    """Smallest ladder size >= n.
-
-    ladder="half": {2^k, 3*2^(k-1)} — bounds bucket padding waste at 33%
-    (average ~17%) instead of the pure power-of-two ladder's 100% (avg
-    ~33%), at the cost of one extra compiled shape per octave.
-    ladder="quarter": {2^k, 5*2^(k-2), 3*2^(k-1), 7*2^(k-2)} — padding
-    <= 25% (avg ~11%) for two extra shapes per octave; worth it when the
-    compile bill is hidden (warm threads / cached) and rounds are large.
-    Every rung is a multiple of 8 at the sizes where it is used (b >= 16
-    half-steps, b >= 32 quarter-steps).
-    """
-    b = max(min_bucket, 1)
-    while b < n:
-        if ladder == "quarter" and b >= 32:
-            for m in (b + b // 4, b + b // 2, b + 3 * (b // 4)):
-                if m >= n:
-                    return m
-        elif b >= 16:
-            b2 = b + b // 2  # 3 * 2^(k-1)
-            if b2 >= n:
-                return b2
-        b *= 2
-    return b
-
-
-def adaptive_collision_probabilities(
-    key: Array,
-    configs: Configs,
-    robot_wh,
-    cfg: AdaptiveConfig = AdaptiveConfig(),
-    *,
-    progress=None,
-    checkpoint_path=None,
-    checkpoint_every: int = 0,
-    mesh=None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Label every configuration to its bin's CI accuracy target.
-
-    Host-side driver equivalent of the reference's while-loop
-    (generate_dataset.cu:425-468) with thrust compaction replaced by
-    halving buckets: after each round the still-active configurations are
-    repacked into a buffer of the smallest power-of-two bucket that holds
-    them, so each bucket shape compiles once and finished configurations
-    stop consuming FLOPs — the XLA-native analogue of shrinking the CUDA
-    grid to ``num_left``.
-
-    Returns (cp, n_samples_used, converged) as host numpy arrays in the
-    ORIGINAL configuration order (the reference restores order via a
-    device-side index column, compute_collision_probability.cu:337-344;
-    here the uid array serves that role).
-
-    Checkpoint/resume: with ``checkpoint_path`` + ``checkpoint_every`` >
-    0, the full loop state is written every N rounds and restored on the
-    next call with the same key/configs — finer-grained than the
-    reference's batch-level artifact resume (SURVEY.md §5), whose killed
-    runs lose up to one whole batch. The file is validated against the
-    PRNG key; a mismatched checkpoint is ignored.
-
-    Multi-chip: pass a `jax.sharding.Mesh` (see parallel.make_mesh) to
-    shard every state array over its ``config`` axis. On the threefry
-    path BOTH axes are value-level no-ops: config-DP is bitwise-equal
-    because streams are uid-keyed, and a ``sample`` axis > 1 round-robins
-    the sample STEPS across devices with the single-chip fold_in tags, so
-    the psum'd counts equal the unsharded sum bit for bit
-    (`_sample_sharded_counts`); the auto step choice is itself
-    shard-invariant (`_canonical_step`), so no step pinning is needed.
-    Under a mesh impl='auto' therefore resolves to jnp. Explicitly
-    passing impl='pallas' opts into the fused kernel (config-only mesh,
-    shard_map, per-shard seeds) at the cost of the bitwise guarantee;
-    pallas combined with a sample axis falls back to jnp with a warning
-    (the fused kernel owns the whole per-config budget).
-    """
-    C = configs.num
-    out_cp = np.zeros((C,), np.float32)
-    out_n = np.zeros((C,), np.int64)
-    out_done = np.zeros((C,), bool)
-
-    robot_wh = jnp.asarray(robot_wh, jnp.float32)
-    acc_bins = tuple(float(b) for b in cfg.accuracy_bins)
-    bin_acc = tuple(float(b) for b in cfg.bin_accuracy)
-    is_poly = isinstance(configs, PolygonConfigs)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        # Under a mesh, 'auto' resolves to the threefry jnp path: its
-        # uid-keyed streams make BOTH mesh axes value-level no-ops
-        # (bitwise-equal to unsharded — the documented DP contract).
-        # Explicit impl='pallas' opts into the faster fused kernel at the
-        # cost of that bitwise guarantee (per-shard block-tied streams).
-        impl = cfg.impl if cfg.impl != "auto" else "jnp"
-        n_sample = _mesh_axis(mesh, "sample")
-        if impl == "pallas" and n_sample > 1:
-            import warnings
-
-            warnings.warn(
-                "impl='pallas' does not compose with a sample-sharded mesh "
-                "(the fused kernel owns the whole per-config sample budget); "
-                "falling back to the threefry jnp path",
-                stacklevel=2,
-            )
-            impl = "jnp"
-        row_sharding = NamedSharding(mesh, PartitionSpec("config"))
-        n_shards = _mesh_axis(mesh, "config")
-        # Config-only jnp DP shards transparently under GSPMD; shard_map
-        # (and thus the mesh) is needed only for the sample axis or the
-        # Pallas kernel.
-        round_mesh = mesh if (impl == "pallas" or n_sample > 1) else None
-
-        def _shard(s: _LoopState) -> _LoopState:
-            return jax.tree.map(lambda a: jax.device_put(a, row_sharding), s)
-    else:
-        impl = resolve_impl(cfg.impl, configs.position)
-        n_sample = 1
-        n_shards = 1
-        round_mesh = None
-        _shard = lambda s: s
-
-    # With every w/h sigma zero (the reference default —
-    # generate_dataset.cu:285-290 zeroes them unless --shape_variance),
-    # the fused kernel skips 2 of its 5 Box-Muller draw pairs (it is
-    # VPU-issue-bound; measured speedup in ops/mc_pallas.py). One scalar
-    # readback at driver start.
-    shape_noise = True
-    poly_a_keep = None
-    if impl == "pallas" and not is_poly:
-        shape_noise = bool(
-            jax.device_get(jnp.any(configs.std_dev[:, 3:] != 0.0))
-        )
-    elif impl == "pallas" and is_poly:
-        # Static robot-axis dedupe for the fused polygon kernel (robot
-        # vertices are concrete here; inside the jit they are traced).
-        from collide2d_tpu.ops.mc_polygon_pallas import dedup_robot_axes
-
-        poly_a_keep = dedup_robot_axes(np.asarray(jax.device_get(robot_wh)))
-
-    # Device state: uids identify original rows through repacking (-1 =
-    # padding); labels freeze on device (see _fused_round).
-    if C % n_shards:
-        raise ValueError(f"config count {C} must divide over {n_shards} shards")
-    if cfg.prune_sigma > 0:
-        # Noise-aware broad phase: impossible-to-touch rows get cp=0 and
-        # never enter the loop (see AdaptiveConfig.prune_sigma).
-        from collide2d_tpu.ops.broad_phase import possible_collision_mask
-
-        keep_mask = np.asarray(
-            jax.device_get(
-                possible_collision_mask(configs, robot_wh, cfg.prune_sigma)
-            )
-        )
-        out_done[~keep_mask] = True  # cp 0, n_used 0 by initialization
-        keep0 = np.flatnonzero(keep_mask)
-        if keep0.size == 0:
-            return out_cp, out_n, out_done
-        bucket = _round_up_bucket(max(keep0.size, 1), cfg.min_active, cfg.ladder)
-        bucket = min(-(-bucket // n_shards) * n_shards, -(-C // n_shards) * n_shards)
-        pad0 = np.concatenate(
-            [keep0, np.full(bucket - keep0.size, keep0[0], dtype=keep0.dtype)]
-        ) if bucket > keep0.size else keep0[:bucket]
-        gather0 = jnp.asarray(pad0, jnp.int32)
-        pad_mask0 = jnp.arange(len(pad0)) >= keep0.size
-        state = _shard(
-            _LoopState(
-                uids=jnp.where(pad_mask0, -1, gather0),
-                active=type(configs)(*(jnp.take(a, gather0, axis=0) for a in configs)),
-                n_true=jnp.zeros((len(pad0),), jnp.int32),
-                done=jnp.asarray(pad_mask0),
-                k_frozen=jnp.zeros((len(pad0),), jnp.int32),
-                n_frozen=jnp.ones((len(pad0),), jnp.int32),
-            )
-        )
-        num_real = int(keep0.size)
-    else:
-        state = _shard(
-            _LoopState(
-                uids=jnp.arange(C, dtype=jnp.int32),
-                active=configs,
-                n_true=jnp.zeros((C,), jnp.int32),
-                done=jnp.zeros((C,), bool),
-                k_frozen=jnp.zeros((C,), jnp.int32),
-                n_frozen=jnp.ones((C,), jnp.int32),
-            )
-        )
-        num_real = C  # rows of the current buffer that are real (not padding)
-    n_samples = 0
-    chunk_offset = 0
-    rnd = 0
-    # Device-resident emission buffers (see _OutState): frozen labels
-    # scatter here at each repack; the host reads them ONCE at the end.
-    outs = _OutState(
-        k=jnp.zeros((C,), jnp.int32),
-        n=jnp.zeros((C,), jnp.int32),
-        flag=jnp.zeros((C,), bool),
-    )
-
-    key_data = np.asarray(jax.random.key_data(key)).ravel()
-    if checkpoint_path is not None:
-        ckpt = _load_checkpoint(
-            checkpoint_path, key_data, C, cfg_type=type(configs).__name__
-        )
-        if ckpt is not None:
-            outs = _OutState(
-                k=jnp.asarray(ckpt["out_k"], jnp.int32),
-                n=jnp.asarray(ckpt["out_nn"], jnp.int32),
-                flag=jnp.asarray(ckpt["out_flag"], bool),
-            )
-            state = _shard(_LoopState(
-                uids=jnp.asarray(ckpt["uids"], jnp.int32),
-                active=type(configs)(*(jnp.asarray(a) for a in ckpt["active"])),
-                n_true=jnp.asarray(ckpt["n_true"], jnp.int32),
-                done=jnp.asarray(ckpt["done"], bool),
-                k_frozen=jnp.asarray(ckpt["k_frozen"], jnp.int32),
-                n_frozen=jnp.asarray(ckpt["n_frozen"], jnp.int32),
-            ))
-            n_samples = int(ckpt["n_samples"])
-            chunk_offset = int(ckpt["chunk_offset"])
-            # Recompute exactly (the stored count may be the provisional
-            # overestimate the async repack pipeline runs on).
-            num_real = int(
-                ((ckpt["uids"] >= 0) & ~ckpt["done"].astype(bool)).sum()
-            )
-            rnd = int(ckpt["round"])
-
-    # Overlap the ladder's program compilations with the first rounds'
-    # execution. Gated to TPU-platform data (the remote-compile
-    # environment it targets): on CPU hosts the thread herd would burn
-    # real compile CPU next to the measured run for no latency win. Mesh
-    # runs skip it: the warm lowers unsharded avals, which would miss the
-    # sharded-arg cache keys anyway. Small runs skip it: their two or
-    # three shapes compile on demand faster than a thread herd pays off.
-    if (
-        mesh is None
-        and state.uids.shape[0] >= 16384
-        and resolve_impl("auto", configs.position) == "pallas"
-    ):
-        _warm_fused_round_compiles(
-            key, configs, robot_wh, cfg, impl=impl, shape_noise=shape_noise,
-            c0=state.uids.shape[0], acc_bins=acc_bins, bin_acc=bin_acc,
-            poly_a_keep=poly_a_keep,
-        )
-
-    # Dispatch enough rounds between host syncs to amortize the readback
-    # latency (~30 ms through the remote tunnel) against real compute.
-    SYNC_SAMPLES = 3 * 10**8  # ~40-60 ms of device work per sync
-
-    CONTINUE, REPACKED, STOP = 0, 1, 2
-
-    def _sync_bookkeeping():
-        if checkpoint_path is not None and checkpoint_every:
-            _save_checkpoint(
-                checkpoint_path, key_data, C,
-                cfg_type=type(configs).__name__,
-                out_k=np.asarray(jax.device_get(outs.k)),
-                out_nn=np.asarray(jax.device_get(outs.n)),
-                out_flag=np.asarray(jax.device_get(outs.flag)),
-                uids=np.asarray(jax.device_get(state.uids)),
-                n_true=np.asarray(jax.device_get(state.n_true)),
-                done=np.asarray(jax.device_get(state.done)),
-                k_frozen=np.asarray(jax.device_get(state.k_frozen)),
-                n_frozen=np.asarray(jax.device_get(state.n_frozen)),
-                active=[np.asarray(jax.device_get(a)) for a in state.active],
-                n_samples=n_samples, chunk_offset=chunk_offset,
-                num_real=num_real, round=rnd,
-            )
-
-    def _handle(num_done: int) -> int:
-        """Bookkeeping for one resolved done count.
-
-        ``num_done`` may be one sync group STALE (see the pipelined
-        readback below): labels freeze on device at the exact round the
-        criterion holds, so a stale count only delays repack/exit
-        decisions — never changes a label. Emission scatters the freshest
-        state into the device-resident output buffers; a stale count
-        UNDERCOUNTS done rows, so the bucket it sizes can only be too
-        roomy, never too small.
-        """
-        nonlocal state, num_real, outs, pending_active
-        if pending_active is not None:
-            # Exact active count from the last repack (its transfer
-            # overlapped the sync group after it); replaces the
-            # provisional stale-safe overestimate.
-            num_real = int(np.asarray(pending_active))
-            pending_active = None
-            if num_real == 0:
-                return STOP  # buffer is pure padding; everything emitted
-        if progress is not None:
-            progress(
-                num_left=max(num_real - num_done, 0),
-                n_samples=n_samples,
-                round=rnd,
-            )
-        at_cap = n_samples >= cfg.max_samples
-        if num_done == 0 and not at_cap:
-            _sync_bookkeeping()
-            return CONTINUE
-        if (
-            not at_cap
-            and num_done < num_real * cfg.repack_fraction
-            and num_real - num_done > cfg.min_active
-        ):
-            # Not worth repacking yet: converged rows keep sampling (their
-            # labels are frozen; the extra work is bounded by 2x until the
-            # half-way threshold trips).
-            _sync_bookkeeping()
-            return CONTINUE
-
-        # Emit + repack, all on device: frozen labels scatter into the
-        # output buffers and the active rows pack into a smaller bucket —
-        # the host reads ONE scalar (the exact active count) instead of
-        # five buffer-sized arrays.
-        outs = _emit_to_out(state, outs)
-        if at_cap:
-            outs = _flush_to_out(state, outs, jnp.int32(n_samples))
-            num_real = 0
-            return STOP
-        est_active = max(num_real - num_done, 0)
-        if est_active == 0:
-            num_real = 0
-            return STOP
-        bucket = _round_up_bucket(est_active, cfg.min_active, cfg.ladder)
-        bucket = min(
-            -(-bucket // n_shards) * n_shards, len(state.uids)
-        )  # shardable, never grows
-        state, num_active_dev = _pack_active(state, bucket=bucket)
-        state = _shard(state)
-        # Async: the exact count resolves at the NEXT sync; until then the
-        # stale-safe overestimate stands in (used only for bucket sizing,
-        # thresholds, and the loop guard — a too-big value can at worst
-        # run one extra group on an all-padding buffer).
-        try:
-            num_active_dev.copy_to_host_async()
-        except Exception:
-            pass
-        pending_active = num_active_dev
-        num_real = est_active
-        _sync_bookkeeping()
-        return REPACKED
-
-    # Pipelined readback: the done count of group k resolves while group
-    # k+1 is already computing, so the ~30 ms host round trip (through
-    # the remote tunnel) no longer stalls the device once per sync —
-    # profiling showed those stalls cost ~30% of end-to-end wall-clock.
-    # Only SMALL groups pipeline: for a big group the stall is a few
-    # percent while a one-group-late repack wastes a whole large round on
-    # a mostly-done buffer, so those resolve synchronously.
-    PIPELINE_WORK = 5 * SYNC_SAMPLES
-    inflight = None
-    pending_active = None  # async exact-active-count from the last repack
-    stopped = False
-    while num_real > 0 and n_samples < cfg.max_samples:
-        # Plan a sync group; every round still freezes labels on device,
-        # so grouping changes nothing about label semantics.
-        group: list[tuple[int, int]] = []
-        work = 0
-        sim_n = n_samples
-        while sim_n < cfg.max_samples:
-            nb, step = _plan_round(cfg, sim_n, n_sample, impl)
-            sim_n += nb
-            group.append((nb, step))
-            work += nb * len(state.uids)
-            if work >= SYNC_SAMPLES or (checkpoint_every and len(group) >= checkpoint_every):
-                break
-
-        num_done_dev = None
-        for nb, step in group:
-            n_samples += nb
-            if impl == "pallas":
-                # Static sub (always 64: _plan_round rounds nb to its
-                # granule), traced step count — one compile per bucket.
-                sub = _pick_sub_pallas(nb)
-                n_steps_v, step_static = nb // sub, 0
-            else:
-                sub = 0
-                n_steps_v, step_static = nb // step, step
-            state, num_done_dev = _fused_round(
-                key, state, robot_wh,
-                jnp.int32(chunk_offset), jnp.int32(n_samples),
-                jnp.int32(n_steps_v),
-                step_samples=step_static, sub=sub,
-                use_vertices=cfg.use_vertices, impl=impl,
-                accuracy_bins=acc_bins, bin_accuracy=bin_acc,
-                mesh=round_mesh, shape_noise=shape_noise,
-                poly_a_keep=poly_a_keep,
-            )
-            chunk_offset += nb // step
-            rnd += 1
-        try:
-            num_done_dev.copy_to_host_async()
-        except Exception:
-            pass  # transfer then happens at np.asarray time
-        repacked = False
-        if inflight is not None:
-            action = _handle(int(np.asarray(inflight)))
-            inflight = None
-            if action == STOP:
-                stopped = True
-                break
-            # After a repack the just-dispatched group's count refers to
-            # the pre-repack buffer — discard it.
-            repacked = action == REPACKED
-        if repacked:
-            continue
-        resolve_now = work >= PIPELINE_WORK
-        if not resolve_now and n_samples < cfg.max_samples:
-            # Schedule cliff: if the NEXT round is expensive relative to
-            # the ~30 ms readback stall, resolve this group's count NOW so
-            # a repack can land before it — pipelining here would dispatch
-            # the big round on the stale (possibly mostly-done) buffer.
-            # This is what lets a convergence checkpoint right before a
-            # large round (e.g. the 37k rule-of-three point ahead of a
-            # 100k round) actually shed its converged mass in time.
-            nb_next, _ = _plan_round(cfg, n_samples, n_sample, impl)
-            resolve_now = nb_next * len(state.uids) >= PIPELINE_WORK
-        if resolve_now:
-            # Resolve synchronously (stall is a few percent of this much
-            # compute) so any repack lands before the next expensive round.
-            action = _handle(int(np.asarray(num_done_dev)))
-            if action == STOP:
-                stopped = True
-                break
-        else:
-            inflight = num_done_dev
-
-    # Drain: the final group's count was never resolved (or a repack just
-    # cleared the pipeline) — run bookkeeping once more so converged rows
-    # emit and the at-cap tail flush runs.
-    if not stopped and num_real > 0:
-        if inflight is not None:
-            _handle(int(np.asarray(inflight)))
-        else:
-            # A repack consumed the last count; the state still holds
-            # frozen-but-unemitted labels (and possibly an at-cap tail).
-            _handle(num_real)
-
-    if checkpoint_path is not None:
-        import os
-
-        try:
-            os.remove(checkpoint_path)  # labeling finished cleanly
-        except OSError:
-            pass
-
-    # Materialize the device output buffers ONCE (division happens here,
-    # bit-identical to the former per-repack host emission: same int32
-    # numerators/denominators through the same float32 divide).
-    k_np, n_np, f_np = (np.asarray(x) for x in jax.device_get(outs))
-    written = n_np > 0
-    out_cp[written] = k_np[written].astype(np.float32) / n_np[written].astype(
-        np.float32
-    )
-    out_n[written] = n_np[written]
-    out_done |= f_np
-    return out_cp, out_n, out_done
-
-
-def _save_checkpoint(
-    path, key_data, n_configs, *, active, cfg_type: str, **state
-) -> None:
-    import os
-
-    tmp = f"{path}.tmp.npz"  # ends in .npz so np.savez won't rename it
-    np.savez(
-        tmp,
-        key_data=key_data,
-        n_configs=n_configs,
-        cfg_type=np.str_(cfg_type),
-        active_position=active[0],
-        active_pose_theta=active[1],
-        active_obstacle_wh=active[2],
-        active_std_dev=active[3],
-        **state,
-    )
-    os.replace(tmp, path)  # atomic publish
-
-
-def _load_checkpoint(path, key_data, n_configs, cfg_type: str = "Configs"):
-    import os
-
-    if not os.path.exists(path):
-        return None
-    try:
-        with np.load(path) as z:
-            if (
-                z["n_configs"] != n_configs
-                or z["key_data"].shape != key_data.shape
-                or not (z["key_data"] == key_data).all()
-                # A rectangle checkpoint must never resume into a polygon
-                # run (same key + C is plausible in a reused driver
-                # script); pre-cfg_type checkpoints are ignored via the
-                # KeyError path like any other stale format.
-                or str(z["cfg_type"]) != cfg_type
-            ):
-                return None  # stale checkpoint from a different run
-            return {
-                # Integer emission buffers (new format; an old-format
-                # checkpoint lacks these keys -> KeyError -> None, i.e.
-                # it is ignored like any other stale checkpoint).
-                "out_k": z["out_k"],
-                "out_nn": z["out_nn"],
-                "out_flag": z["out_flag"],
-                "uids": z["uids"],
-                "n_true": z["n_true"],
-                "done": z["done"],
-                "k_frozen": z["k_frozen"],
-                "n_frozen": z["n_frozen"],
-                "active": [
-                    z["active_position"],
-                    z["active_pose_theta"],
-                    z["active_obstacle_wh"],
-                    z["active_std_dev"],
-                ],
-                "n_samples": z["n_samples"],
-                "chunk_offset": z["chunk_offset"],
-                "num_real": z["num_real"],
-                "round": z["round"],
-            }
-    except (OSError, KeyError, ValueError):
-        return None
+        return getattr(driver, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

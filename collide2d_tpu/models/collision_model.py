@@ -39,18 +39,47 @@ class CollisionProbabilityModel:
         self.robot_wh = jnp.asarray(robot_wh, jnp.float32)
 
     # ---- deterministic narrow phase -------------------------------------
-    def collide(self, position: Array, pose_theta: Array, obstacle_wh: Array) -> Array:
+    def collide(
+        self, position: Array, pose_theta: Array, obstacle_wh: Array,
+        *, precision: str = "f32", impl: str = "auto",
+    ) -> Array:
         """Deterministic SAT label for robot-at-(position, theta) vs an
-        axis-aligned obstacle at the origin. int32 (C,)."""
+        axis-aligned obstacle at the origin. int32 (C,).
+
+        ``precision='bf16'`` rounds VERTEX COORDINATES to bfloat16 before
+        the test (the arithmetic itself stays float32): labels for pairs
+        within ~0.4% relative of touching can differ from the f32 path —
+        coarse labeling only, never bit-parity work. On TPU this halves
+        the SAT kernel's HBM traffic (measured +14% pairs/s and half the
+        footprint, ops.sat_pallas.pack_rects_bf16); elsewhere the same
+        rounded labels come from the XLA path, so results are
+        platform-independent. ``impl``: 'auto' = Pallas kernel on TPU,
+        XLA elsewhere; 'jnp' forces the XLA path.
+        """
         robot = rects_from_params(
             position, jnp.broadcast_to(self.robot_wh, position.shape), pose_theta
         )
         obstacle = rects_from_params(
             jnp.zeros_like(position), obstacle_wh, jnp.zeros_like(pose_theta)
         )
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                             f"{precision!r}")
+        from collide2d_tpu.mc.estimator import resolve_impl
+
+        if resolve_impl(impl, robot) == "pallas":
+            from collide2d_tpu.ops.sat_pallas import sat_rects_pallas
+
+            return sat_rects_pallas(robot, obstacle, precision=precision)
+        if precision == "bf16":
+            robot = robot.astype(jnp.bfloat16).astype(jnp.float32)
+            obstacle = obstacle.astype(jnp.bfloat16).astype(jnp.float32)
         return sat_rects(robot, obstacle)
 
-    def collide_polygons(self, p1, p2, mask1=None, mask2=None, *, broad_phase=False):
+    def collide_polygons(
+        self, p1, p2, mask1=None, mask2=None, *, broad_phase=False,
+        precision: str = "f32",
+    ):
         """Convex k-gon pairs (BASELINE.json config #4). int32 (C,).
 
         ``broad_phase``:
@@ -64,7 +93,22 @@ class CollisionProbabilityModel:
           - True: ANDs in the candidate mask — an independent
             necessary-condition cross-check, not a speedup (the narrow
             phase still runs on every pair under fixed shapes).
+
+        ``precision='bf16'`` (plain narrow phase only) rounds vertex
+        coordinates to bfloat16 before the float32 test — the coarse-
+        labeling contract of `CollisionProbabilityModel.collide`.
         """
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                             f"{precision!r}")
+        if precision == "bf16":
+            if broad_phase:
+                raise ValueError(
+                    "precision='bf16' composes only with the plain narrow "
+                    "phase (broad_phase=False)"
+                )
+            p1 = jnp.asarray(p1).astype(jnp.bfloat16).astype(jnp.float32)
+            p2 = jnp.asarray(p2).astype(jnp.bfloat16).astype(jnp.float32)
         if broad_phase == "prune":
             return collide_polygons_pruned(p1, p2, mask1, mask2)
         narrow = sat_polygons(p1, p2, mask1, mask2)

@@ -85,8 +85,13 @@ def _polygon_sat_body(v1: Array, v2: Array, k1: int, k2: int):
 
 def _make_kernel(k1: int, k2: int):
     def kernel(p1_ref, p2_ref, out_ref):
+        # Upcast on load (exactly like sat_pallas._sat_body): bf16 SoA
+        # input halves HBM traffic; the axis/interval arithmetic always
+        # runs in float32.
         out_ref[...] = _polygon_sat_body(
-            p1_ref[...], p2_ref[...], k1, k2
+            p1_ref[...].astype(jnp.float32),
+            p2_ref[...].astype(jnp.float32),
+            k1, k2,
         ).astype(jnp.float32)
 
     return kernel
@@ -128,15 +133,31 @@ def sat_polygons_pallas_t(
     return out.reshape(-1)
 
 
+def pack_polygons_bf16(p: Array) -> Array:
+    """(N, K, 2) float32 -> (2K, 8, N/8) bfloat16 SoA (see pack_polygons).
+
+    Opt-in half-bandwidth input for `sat_polygons_pallas_t`: the kernel
+    upcasts tiles to float32 on load, so only the COORDINATES are rounded
+    to bf16 (8 mantissa bits, ~0.4% relative). Labels can differ from the
+    f32 path for near-touching pairs within that rounding; use for coarse
+    labeling, never for bit-parity work — the same contract as
+    `sat_pallas.pack_rects_bf16`.
+    """
+    return pack_polygons(p).astype(jnp.bfloat16)
+
+
 def sat_polygons_pallas(
     p1: Array,
     p2: Array,
     *,
     block: int = LANE_BLOCK,
     interpret: bool = False,
+    precision: str = "f32",
 ) -> Array:
     """Drop-in for `ops.sat.sat_polygons` on repeat-padded (N, K, 2)
-    inputs (no masks needed — see module docstring): int32 (N,)."""
+    inputs (no masks needed — see module docstring): int32 (N,).
+    ``precision='bf16'`` rounds coordinates to bfloat16 before the kernel
+    (half the HBM traffic; see pack_polygons_bf16 for the contract)."""
     n, k1 = p1.shape[0], p1.shape[1]
     k2 = p2.shape[1]
     align = 8 * block
@@ -147,8 +168,9 @@ def sat_polygons_pallas(
         reps2 = jnp.broadcast_to(p2[-1:], (padded - n, k2, 2))
         p1 = jnp.concatenate([p1, reps1], axis=0)
         p2 = jnp.concatenate([p2, reps2], axis=0)
+    pack = pack_polygons_bf16 if precision == "bf16" else pack_polygons
     out = sat_polygons_pallas_t(
-        pack_polygons(p1), pack_polygons(p2), k1=k1, k2=k2,
+        pack(p1), pack(p2), k1=k1, k2=k2,
         block=block, interpret=interpret,
     )
     return out[:n].astype(jnp.int32)

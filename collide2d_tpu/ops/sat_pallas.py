@@ -191,13 +191,16 @@ def pack_rects_bf16(rects: Array) -> Array:
 
 
 def sat_rects_pallas(
-    r1: Array, r2: Array, *, block: int = LANE_BLOCK, interpret: bool = False
+    r1: Array, r2: Array, *, block: int = LANE_BLOCK, interpret: bool = False,
+    precision: str = "f32",
 ) -> Array:
     """Drop-in for `ops.sat.sat_rects` on (N, 4, 2) inputs: int32 (N,).
 
     Handles padding to the block alignment; the transpose to SoA costs one
     extra pass over the data — keep data SoA end-to-end when chasing
-    speed-of-light.
+    speed-of-light. ``precision='bf16'`` rounds coordinates to bfloat16
+    before the kernel (half the HBM traffic, ~0.4% coordinate rounding —
+    see pack_rects_bf16 for the contract).
     """
     n = r1.shape[0]
     align = 8 * block
@@ -206,7 +209,8 @@ def sat_rects_pallas(
         pad = ((0, padded - n), (0, 0), (0, 0))
         r1 = jnp.pad(r1, pad)
         r2 = jnp.pad(r2, pad)  # zero rects collide; sliced away below
-    r1t = pack_rects(r1)
-    r2t = pack_rects(r2)
+    pack = pack_rects_bf16 if precision == "bf16" else pack_rects
+    r1t = pack(r1)
+    r2t = pack(r2)
     out = sat_rects_pallas_t(r1t, r2t, block=block, interpret=interpret)
     return out[:n].astype(jnp.int32)

@@ -209,26 +209,35 @@ def bench_broad_phase_sat(
 
 
 def bench_sat_polygons_pallas(
-    pairs: int = 1 << 22, k: int = 8, iters: int = 50
+    pairs: int = 1 << 22, k: int = 8, iters: int = 50, precision: str = "f32"
 ) -> dict:
     """Convex k-gon Pallas SAT throughput (BASELINE config #4 narrow
-    phase). Measured on-chip: 1.97e9 pairs/s at k=8 (~1500 flops/pair —
-    compute-bound, ~6x the XLA sat_polygons path), 4.33e9 at k=4."""
+    phase). Measured on-chip: 1.97e9 pairs/s at k=8 f32 (512 B/pair =
+    ~1.0 TB/s — BANDWIDTH-bound at this k, contrary to the r2
+    compute-bound reading), 4.33e9 at k=4; ``precision='bf16'`` halves
+    the bytes and measures 2.83e9 pairs/s at k=8 (+43%, now
+    compute-bound at ~724 GB/s)."""
     from collide2d_tpu.ops.polygon_pallas import (
         pack_polygons,
+        pack_polygons_bf16,
         sat_polygons_pallas_t,
     )
 
+    pack = pack_polygons_bf16 if precision == "bf16" else pack_polygons
     p1 = _random_convex_polygons(pairs, k, 0, 10.0)
     p2 = _random_convex_polygons(pairs, k, 1, 10.0)
-    t1 = jax.block_until_ready(pack_polygons(p1))
-    t2 = jax.block_until_ready(pack_polygons(p2))
+    t1 = jax.block_until_ready(pack(p1))
+    t2 = jax.block_until_ready(pack(p2))
 
     @jax.jit
     def loop(t1, t2, n):
         def body(i, acc):
+            # the shift (+ cast back for bf16 inputs) defeats
+            # loop-invariant hoisting; identical extra pass in both
+            # precisions, so the comparison stays apples-to-apples
             shift = i.astype(jnp.float32) * jnp.float32(1e-7)
-            return acc + jnp.sum(sat_polygons_pallas_t(t1, t2 + shift, k1=k, k2=k))
+            t2s = (t2.astype(jnp.float32) + shift).astype(t2.dtype)
+            return acc + jnp.sum(sat_polygons_pallas_t(t1, t2s, k1=k, k2=k))
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -237,13 +246,82 @@ def bench_sat_polygons_pallas(
     )
     rate = pairs / dt
     return {
-        "metric": "sat_polygon_pairs_per_sec_pallas",
+        "metric": "sat_polygon_pairs_per_sec_pallas"
+        + ("_bf16" if precision == "bf16" else ""),
         "value": rate,
         "unit": "pairs/s",
         "vs_baseline": rate / SAT_TARGET,
         "k": k,
         "pairs": pairs,
         "seconds_per_iter": dt,
+    }
+
+
+def bench_sat_polygons_mxu(
+    pairs: int = 1 << 20, k: int = 8, iters: int = 20, dtype: str = "f32"
+) -> dict:
+    """SURVEY §7's MXU hypothesis for the compute-bound k-gon SAT,
+    prototyped and MEASURED (round-2 review #8): feed the projection step
+    to the MXU as per-pair (2K, 2) x (2, 2K) contractions via a batched
+    `lax.dot_general` (optionally bf16 inputs, the MXU's native dtype).
+
+    Why this is expected to LOSE, quantified by running it: the
+    contraction depth is 2 — the (x, y) coordinate axis — which is
+    2/128ths of the MXU's systolic dimension, so ~98% of every pass
+    through the array is padding; meanwhile the (N, 2K, 2K) projection
+    tensor (256 floats/pair at k=8) materializes through HBM between the
+    matmul and the min/max reduce, where the Pallas kernel keeps ~all
+    intermediates in registers. The measured number lands in every
+    round's bench capture next to `sat_polygon_pairs_per_sec_pallas` so
+    the refutation (or a compiler-improvement surprise) stays current.
+    Measured on-chip (2026-08-17): 2.13e7 pairs/s f32, 2.12e7 bf16 —
+    ~92x SLOWER than the Pallas kernel's 1.97e9. Refuted, decisively.
+    """
+    from collide2d_tpu.ops.geometry import edge_normals
+
+    p1 = _random_convex_polygons(pairs, k, 0, 10.0)
+    p2 = _random_convex_polygons(pairs, k, 1, 10.0)
+    dt_in = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+
+    def sat_dot(p1, p2):
+        axes = jnp.concatenate(
+            [edge_normals(p1), edge_normals(p2)], axis=1
+        ).astype(dt_in)  # (N, 2K, 2)
+        verts = jnp.concatenate([p1, p2], axis=1).astype(dt_in)  # (N, 2K, 2)
+        proj = jax.lax.dot_general(
+            axes, verts,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (N, 2K_axes, 2K_verts)
+        a, b = proj[..., :k], proj[..., k:]
+        sep = jnp.logical_or(
+            jnp.max(a, -1) < jnp.min(b, -1), jnp.max(b, -1) < jnp.min(a, -1)
+        )
+        return jnp.logical_not(jnp.any(sep, -1))
+
+    @jax.jit
+    def loop(p1, p2, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            return acc + jnp.sum(sat_dot(p1, p2 + shift), dtype=jnp.int32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    dt = _diff_time(
+        loop, (p1, p2, jnp.int32(1)), (p1, p2, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "sat_polygon_pairs_per_sec_mxu_dot"
+        + ("_bf16" if dtype == "bf16" else ""),
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "k": k,
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+        "note": "SURVEY §7 MXU-contraction prototype; compare against "
+                "sat_polygon_pairs_per_sec_pallas",
     }
 
 
@@ -629,16 +707,27 @@ def bench_mc_polygons_pallas(
     }
 
 
-def bench_e2e(configs: int = 65536, seed: int = 0) -> dict:
-    """End-to-end adaptive labeling throughput at REFERENCE-DEFAULT
-    accuracy bins and sample schedule (SURVEY.md §6 metric (c): configs
-    labeled per hour). Runs the full driver twice — the first pass warms
-    every bucket-shape compilation — and times the second."""
-    from collide2d_tpu.mc.estimator import (
-        AdaptiveConfig,
-        Configs,
-        adaptive_collision_probabilities,
-    )
+def bench_agreement(
+    configs: int = 4096, n_samples: int = 1 << 16, seed: int = 7
+) -> dict:
+    """On-hardware statistical acceptance of the fused Pallas MC path.
+
+    Labels ``configs`` reference-workload configurations at a FIXED
+    ``n_samples`` budget with both impl='pallas' (hardware PRNG +
+    Box-Muller + fused OBB SAT) and impl='jnp' (threefry), and z-scores
+    the per-config disagreement under the two-proportion null:
+    z_i = |p_pal - p_jnp| / sqrt(pbar (1-pbar) * 2/n). The two samplers
+    share no randomness, so agreement here is a live regression test of
+    the hardware PRNG seeding + uniform mapping (ops/mc_pallas.py:
+    _uniform01) — the one thing interpret-mode tests CANNOT pin (they
+    stub the PRNG; review r2 finding). Recorded in every round's bench
+    capture so a distribution regression surfaces in the driver
+    artifacts, not just in a one-off ztest.
+
+    ``ok`` = max z below 6 AND the |z|>3 tail within 3x its H0
+    expectation (P(|z|>3) = 0.27%).
+    """
+    from collide2d_tpu.mc.estimator import Configs, collision_probability
     from collide2d_tpu.mc.noise import sample_configurations
 
     key = jax.random.PRNGKey(seed)
@@ -662,24 +751,113 @@ def bench_e2e(configs: int = 65536, seed: int = 0) -> dict:
         obstacle_wh=pose[:, 0:2],
         std_dev=std_devs[var_idx],
     )
+    robot_wh = jnp.asarray([4.07, 1.74])
+    cp = {}
+    for impl in ("pallas", "jnp"):
+        cp[impl] = np.asarray(
+            jax.device_get(
+                collision_probability(
+                    k_mc, cfgs, robot_wh, n_samples, impl=impl
+                )
+            ),
+            np.float64,
+        )
+    diff = np.abs(cp["pallas"] - cp["jnp"])
+    pooled = (cp["pallas"] + cp["jnp"]) / 2.0
+    var = pooled * (1.0 - pooled) * (2.0 / n_samples)
+    z = np.where(var > 0, diff / np.sqrt(np.maximum(var, 1e-300)), 0.0)
+    frac3 = float((z > 3.0).mean())
+    max_z = float(z.max())
+    ok = bool(max_z < 6.0 and frac3 <= 3 * 0.0027)
+    return {
+        "metric": "pallas_vs_jnp_agreement",
+        "value": max_z,
+        "unit": "max_zscore",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "ok": ok,
+        "configs": configs,
+        "n_samples": n_samples,
+        "frac_z_gt3": frac3,
+        "mean_abs_diff": float(diff.mean()),
+        "max_abs_diff": float(diff.max()),
+    }
+
+
+def bench_e2e(configs: int = 65536, seed: int = 0, batches: int = 2) -> dict:
+    """End-to-end adaptive labeling throughput at REFERENCE-DEFAULT
+    accuracy bins and sample schedule (SURVEY.md §6 metric (c): configs
+    labeled per hour), measured the way production labels: ``batches``
+    batches of ``configs`` streamed through the CROSS-BATCH PIPELINED
+    driver (`driver.run_interleaved`, overlap 2 — batch i+1's big rounds
+    fill the chip while batch i's tail converges; bitwise-identical to
+    the serial loop). The first full pass warms every bucket-shape
+    compilation; the timed pass uses fresh keys through the same shapes.
+    """
+    from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
+    from collide2d_tpu.mc.estimator import AdaptiveConfig, Configs
+    from collide2d_tpu.mc.noise import sample_configurations
+
+    key = jax.random.PRNGKey(seed)
+    k_tab, k_cfg, k_mc = jax.random.split(key, 3)
+    rngs = jax.random.split(k_tab, 2)
+    poses = jax.random.uniform(
+        rngs[0], (4096, 3), jnp.float32,
+        jnp.asarray([0.1, 0.1, 0.0]), jnp.asarray([5.0, 5.0, 2 * np.pi]),
+    )
+    std_devs = jnp.sqrt(
+        jax.random.uniform(rngs[1], (4096, 5), jnp.float32, 0.0, 0.3)
+        .at[:, 3:].set(0.0)
+    )
+    robot_wh = jnp.asarray([4.07, 1.74])
     adaptive = AdaptiveConfig()  # reference defaults: bins, schedule, 4e6 cap
 
-    def run():
-        t0 = time.perf_counter()
-        cp, n_used, done = adaptive_collision_probabilities(
-            k_mc, cfgs, jnp.asarray([4.07, 1.74]), adaptive
+    def batch_cfgs(i: int) -> Configs:
+        positions, pose_idx, var_idx = sample_configurations(
+            jax.random.fold_in(k_cfg, i), configs, poses, std_devs,
+            r_offset=(4.07 + 1.74) / 4, spread=4.0,
         )
-        return time.perf_counter() - t0, cp, n_used, done
+        pose = poses[pose_idx]
+        return Configs(
+            position=positions,
+            pose_theta=pose[:, 2],
+            obstacle_wh=pose[:, 0:2],
+            std_dev=std_devs[var_idx],
+        )
 
-    run()  # warm every bucket-shape compilation
-    dt, cp, n_used, done = run()
-    rate = configs / dt
+    def run(key_salt: int):
+        results = {}
+
+        def make(i):
+            return lambda: (
+                i,
+                AdaptiveRun(
+                    jax.random.fold_in(k_mc, key_salt * 1000 + i),
+                    batch_cfgs(i), robot_wh, adaptive, warmup=False,
+                ),
+            )
+
+        t0 = time.perf_counter()
+        run_interleaved(
+            [make(i) for i in range(batches)], 2,
+            lambda i, r: results.__setitem__(i, r.materialize()),
+        )
+        return time.perf_counter() - t0, results
+
+    run(0)  # warm every bucket-shape compilation
+    dt, results = run(1)
+    total = configs * batches
+    rate = total / dt
+    done = np.concatenate([r[2] for r in results.values()])
+    n_used = np.concatenate([r[1] for r in results.values()])
+    cp = np.concatenate([r[0] for r in results.values()])
     return {
         "metric": "configs_labeled_per_sec",
         "value": rate,
         "unit": "configs/s",
         "vs_baseline": rate,  # no reference number exists (BASELINE.md)
-        "configs": configs,
+        "configs": total,
+        "batches": batches,
+        "overlap": 2,
         "seconds": dt,
         "configs_per_hour": rate * 3600,
         "converged_frac": float(done.mean()),

@@ -201,3 +201,74 @@ def test_persistent_compilation_cache_config(tmp_path, monkeypatch):
         assert enable_persistent_compilation_cache() == str(tmp_path / "env")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_warmup_covers_driver_signatures(monkeypatch):
+    """The compile warmup must lower the EXACT signatures the adaptive
+    driver later dispatches — a drift between the warm `.lower()` call
+    and the driver's real `_fused_round` invocation would silently
+    disable the multi-minute cold-start mitigation (review r2 finding):
+    the remote compile service caches by program, so a warm of the wrong
+    signature buys nothing. Record every (aval-tree, statics) signature
+    of a real driver run and assert the warm target list covers each
+    with an identical lowering signature."""
+    from collide2d_tpu.mc import estimator as est
+    from tests.conftest import random_configs
+
+    C = 512
+    configs = random_configs(np.random.default_rng(5), C)
+    cfg = est.AdaptiveConfig(impl="jnp", max_samples=40_000)
+    key = jax.random.PRNGKey(3)
+    robot_wh = jnp.asarray([4.07, 1.74], jnp.float32)
+    acc = tuple(float(b) for b in cfg.accuracy_bins)
+    bacc = tuple(float(b) for b in cfg.bin_accuracy)
+
+    def sig_of(args, kwargs):
+        leaves = jax.tree.leaves(args)
+        return (
+            tuple((jnp.shape(a), jnp.result_type(a).name) for a in leaves),
+            tuple(sorted((k, v) for k, v in kwargs.items())),
+        )
+
+    real = est._fused_round
+    seen = []
+
+    def recording(*args, **kwargs):
+        seen.append(sig_of(args, kwargs))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(est, "_fused_round", recording)
+    est.adaptive_collision_probabilities(key, configs, robot_wh, cfg)
+    monkeypatch.undo()
+    assert seen, "driver made no rounds?"
+
+    # The warm set: same abstract state construction as the warmup.
+    warm_sigs = set()
+    for bucket, step_samples, sub in est._warm_targets(cfg, "jnp", C):
+        sds = lambda a: jax.ShapeDtypeStruct((bucket,) + a.shape[1:], a.dtype)
+        state_abs = est._LoopState(
+            uids=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+            active=type(configs)(*(sds(a) for a in configs)),
+            n_true=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+            done=jax.ShapeDtypeStruct((bucket,), jnp.bool_),
+            k_frozen=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+            n_frozen=jax.ShapeDtypeStruct((bucket,), jnp.int32),
+        )
+        warm_sigs.add(sig_of(
+            (key, state_abs, robot_wh, jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)),
+            dict(step_samples=step_samples, sub=sub,
+                 use_vertices=cfg.use_vertices, impl="jnp",
+                 accuracy_bins=acc, bin_accuracy=bacc,
+                 mesh=None, shape_noise=True, poly_a_keep=None),
+        ))
+    missing = [s for s in seen if s not in warm_sigs]
+    assert not missing, f"driver signatures not covered by warmup: {missing[:2]}"
+
+    # And the warm itself must report clean compiles for every target.
+    stats = est._warm_fused_round_compiles(
+        key, configs, robot_wh, cfg, impl="jnp", shape_noise=True, c0=C,
+        acc_bins=acc, bin_acc=bacc, sync=True,
+    )
+    assert stats["failed"] == 0 and not stats["errors"]
+    assert stats["ok"] == len(est._warm_targets(cfg, "jnp", C)) > 0

@@ -16,6 +16,7 @@ def _parse(argv):
     cli._add_generate(sub)
     cli._add_relabel(sub)
     cli._add_ztest(sub)
+    cli._add_polylabel(sub)
     return parser.parse_args(argv)
 
 
@@ -65,6 +66,37 @@ def test_extension_flag_defaults():
     assert z2.sample_parallel == 8 and z2.impl == "jnp"
     with pytest.raises(SystemExit):  # invalid impl rejected at parse time
         _parse(["generate", "--impl", "cuda"])
+
+
+def test_adaptive_extension_flag_parity():
+    # Every AdaptiveConfig capability is reachable from EVERY mode that
+    # runs the adaptive driver (review r2 finding: relabel/ztest used to
+    # lack schedule/pruning/ladder/checkpointing; polylabel lacked
+    # sample_parallel + checkpointing).
+    for mode in ("generate", "relabel", "ztest"):
+        a = _parse([mode] + (
+            ["--data_in", "i.npz", "--data_out", "o.npz"]
+            if mode == "polylabel" else []
+        ))
+        assert a.schedule == "reference" and a.prune_sigma == 0.0
+        assert a.ladder == "quarter" and a.checkpoint_every == 0
+        b = _parse([mode, "--schedule", "tuned", "--prune_sigma", "6.0",
+                    "--ladder", "half", "--checkpoint_every", "4"])
+        assert b.schedule == "tuned" and b.prune_sigma == 6.0
+        assert b.ladder == "half" and b.checkpoint_every == 4
+        assert cli._schedule_arg(a) is None
+        assert cli._schedule_arg(b) == "tuned"
+    r = _parse(["relabel", "--resume"])
+    assert r.resume is True and _parse(["relabel"]).resume is False
+    p = _parse(["polylabel", "--data_in", "i.npz", "--data_out", "o.npz"])
+    assert p.schedule == "reference" and p.prune_sigma == 0.0
+    assert p.ladder == "quarter" and p.checkpoint_every == 0
+    assert p.sample_parallel == 0
+    p2 = _parse(["polylabel", "--data_in", "i", "--data_out", "o",
+                 "--sample_parallel", "4", "--checkpoint_every", "2",
+                 "--schedule", "tuned"])
+    assert p2.sample_parallel == 4 and p2.checkpoint_every == 2
+    assert p2.schedule == "tuned"
 
 
 def test_bool_flag_parsing():

@@ -287,3 +287,149 @@ def test_generate_data_parallel_bitwise(tmp_path, generated):
     a = np.load(tmp_path / "dp" / "0.npy")
     b = np.load(tmp_path / "sp" / "0.npy")
     np.testing.assert_array_equal(a, b)
+
+
+def _copy_tables(src, dst):
+    import shutil
+
+    dst.mkdir(parents=True, exist_ok=True)
+    for name in ("poses.npy", "variances.npy"):
+        shutil.copy(src / name, dst / name)
+    (dst / "meta").mkdir(exist_ok=True)
+    for name in ("accuracy_bins.npy", "bin_accuracy.npy"):
+        shutil.copy(src / "meta" / name, dst / "meta" / name)
+
+
+def test_relabel_resume_skips_and_appends_once(tmp_path, generated):
+    # --resume must (a) skip outputs an interrupted run already wrote and
+    # (b) pin the first run's append window via the .relabel_start marker
+    # so the rerun continues the SAME numbering instead of appending a
+    # second copy after its own partial output.
+    data_dir, _ = generated
+    # batch 1: the suite's ztest test overwrites 0.npy with a 1-D cps vector
+    batch = np.load(data_dir / "1.npy")
+    data_in = tmp_path / "rin"
+    data_in.mkdir()
+    np.save(data_in / "0.npy", batch[:64, [0, 1, 3, 4]].astype(np.float32))
+    np.save(data_in / "1.npy", batch[64:128, [0, 1, 3, 4]].astype(np.float32))
+
+    kw = dict(data_in=str(data_in), shuffle=False, seed=5, verbose=False,
+              adaptive=FAST, max_samples=FAST.max_samples, resume=True)
+    out_a = tmp_path / "out_a"
+    _copy_tables(data_dir, out_a)
+    relabel_dataset(RelabelConfig(data_out=str(out_a), **kw))
+    assert (out_a / "0.npy").exists() and (out_a / "1.npy").exists()
+    assert not (out_a / ".relabel_start").exists()  # clean finish
+
+    # Simulate a run killed after writing output batch 0: marker + 0.npy.
+    out_b = tmp_path / "out_b"
+    _copy_tables(data_dir, out_b)
+    (out_b / ".relabel_start").write_text("0")
+    import shutil
+
+    shutil.copy(out_a / "0.npy", out_b / "0.npy")
+    relabel_dataset(RelabelConfig(data_out=str(out_b), **kw))
+    # The rerun skipped 0 and wrote 1 in the ORIGINAL window — the union
+    # is byte-identical to the uninterrupted run (same fold_in(key, i)).
+    assert get_num_batches_in_dir(out_b) == 2
+    np.testing.assert_array_equal(
+        np.load(out_b / "1.npy"), np.load(out_a / "1.npy")
+    )
+    assert not (out_b / ".relabel_start").exists()
+
+
+def test_ztest_checkpoint_flag(tmp_path, generated):
+    # --checkpoint_every wires mid-run checkpoints into ztest; a clean
+    # finish removes the file (estimator-level resume semantics are
+    # covered by test_aux.test_checkpoint_resume_identical_result).
+    data_dir, _ = generated
+    batch = np.load(data_dir / "1.npy")[:64]
+    src = tmp_path / "zt"
+    _copy_tables(data_dir, src)
+    (src / "tmp").mkdir()
+    np.save(src / "tmp" / "0.npy", batch[:, [0, 1, 3, 4]].astype(np.float32))
+    cps = ztest(
+        ZTestConfig(
+            data_dir=str(src), cps_only=True, seed=2, verbose=False,
+            n_batch=1000, max_samples=4000, adaptive=FAST,
+            checkpoint_every=1,
+        )
+    )
+    assert cps.shape == (64,)
+    assert not (src / "ztest_checkpoint.npz").exists()
+
+
+def test_ztest_schedule_replaces_fixed_batch(tmp_path, generated, monkeypatch):
+    # An explicit --schedule must replace ztest's fixed 10k cadence
+    # (fixed_batch wins inside AdaptiveConfig.batch_for, so it is dropped
+    # when a schedule is requested); without one, the reference's fixed
+    # n_batch stands (ztest.cu:332).
+    import collide2d_tpu.data.pipeline as pl
+
+    data_dir, _ = generated
+    batch = np.load(data_dir / "1.npy")[:16]
+    src = tmp_path / "zts"
+    _copy_tables(data_dir, src)
+    (src / "tmp").mkdir()
+    np.save(src / "tmp" / "0.npy", batch[:, [0, 1, 3, 4]].astype(np.float32))
+
+    captured = {}
+
+    def fake_label_batch(key, positions, pose_idx, var_idx, poses, std_devs,
+                         robot_wh, adaptive, **kw):
+        captured["adaptive"] = adaptive
+        return schemas.pack_dataset_rows(
+            positions, np.zeros(len(positions), np.float32), var_idx, pose_idx
+        )
+
+    monkeypatch.setattr(pl, "_label_batch", fake_label_batch)
+    base = dict(data_dir=str(src), seed=1, verbose=False, cps_only=True)
+    ztest(ZTestConfig(**base))
+    assert captured["adaptive"].fixed_batch == 10_000
+    ztest(ZTestConfig(schedule="tuned", prune_sigma=6.0, ladder="half", **base))
+    a = captured["adaptive"]
+    assert a.fixed_batch is None and a.schedule == "tuned"
+    assert a.prune_sigma == 6.0 and a.ladder == "half"
+
+
+def test_generate_overlap_bitwise_identical(tmp_path):
+    # Cross-batch pipelining (overlap_batches=2, the default) must
+    # produce byte-identical batch files to the strictly serial loop:
+    # each batch keeps its own fold_in key and scheduler trajectory;
+    # interleaving only reorders device dispatch.
+    kw = dict(num_batches=3, batch_size=96, num_poses=8, num_variances=8,
+              seed=11, verbose=False, adaptive=FAST,
+              max_samples=FAST.max_samples)
+    a = tmp_path / "serial"
+    b = tmp_path / "overlap"
+    generate_dataset(GenerateConfig(
+        data_dir=str(a), overlap_batches=1, **kw))
+    generate_dataset(GenerateConfig(
+        data_dir=str(b), overlap_batches=2, **kw))
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.load(a / f"{i}.npy"), np.load(b / f"{i}.npy"),
+            err_msg=f"batch {i} differs between serial and overlapped runs",
+        )
+    np.testing.assert_array_equal(np.load(a / "poses.npy"),
+                                  np.load(b / "poses.npy"))
+
+
+def test_generate_overlap_resume_and_checkpoints(tmp_path):
+    # Pipelined mode + --resume + per-batch checkpoint files: a rerun
+    # skips written batches, and a clean finish leaves no checkpoint_*.
+    kw = dict(num_batches=3, batch_size=64, num_poses=8, num_variances=8,
+              seed=13, verbose=False, adaptive=FAST,
+              max_samples=FAST.max_samples, overlap_batches=2,
+              checkpoint_every=2, resume=True)
+    d = tmp_path / "d"
+    generate_dataset(GenerateConfig(data_dir=str(d), **kw))
+    assert get_num_batches_in_dir(d) == 3
+    assert not list(d.glob("checkpoint_*.npz"))
+    before = [np.load(d / f"{i}.npy") for i in range(3)]
+    # delete batch 1; the resumed run must regenerate it identically and
+    # leave 0/2 untouched
+    (d / "1.npy").unlink()
+    generate_dataset(GenerateConfig(data_dir=str(d), **kw))
+    for i in range(3):
+        np.testing.assert_array_equal(np.load(d / f"{i}.npy"), before[i])

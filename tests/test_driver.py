@@ -1,0 +1,330 @@
+"""AdaptiveScheduler state-machine branches, driven deterministically.
+
+Round-2 review: the pipelined driver loop was proven only end-to-end —
+bitwise A/B tests catch label corruption but not WASTE regressions (a
+cliff-resolution bug silently re-running a 100k round on a 95%-done
+buffer), and no test drove the stale/repack/cliff/drain branches
+individually. These tests inject a scripted fake device-ops object and
+pin each branch: dispatch/resolve interleaving (pipelining), stale-count
+repack sizing, REPACKED-count discard, schedule-cliff synchronous
+resolution, the three drain paths, and mid-run resume counters.
+"""
+
+import numpy as np
+import pytest
+
+from collide2d_tpu.mc.driver import AdaptiveScheduler
+from collide2d_tpu.mc.estimator import AdaptiveConfig
+
+
+class FakeOps:
+    """Scripted device: rounds are tagged handles; `done_script` maps the
+    round index (1-based, cumulative) to the done count that a resolve of
+    that round's handle returns. Logs every call for order assertions."""
+
+    def __init__(self, buffer_len, done_for=None, active_for=None):
+        self._len = buffer_len
+        self.done_for = done_for or (lambda rnd, n_samples: 0)
+        # exact active count a pack's async handle resolves to
+        self.active_for = active_for or (lambda bucket: ("active", bucket))
+        self.log = []
+        self.resolved = []          # handles actually resolved
+        self.dispatched = []        # handles created
+
+    def buffer_len(self):
+        return self._len
+
+    def run_round(self, nb, step, n_samples_after, chunk_offset):
+        handle = ("round", len(self.dispatched), nb, n_samples_after)
+        self.dispatched.append(handle)
+        self.log.append(("run_round", nb, n_samples_after))
+        return handle
+
+    def start_transfer(self, handle):
+        self.log.append(("start_transfer", handle[1]))
+
+    def resolve(self, handle):
+        self.resolved.append(handle)
+        val = self.done_for(handle[1], handle[3])
+        self.log.append(("resolve", handle[1], val))
+        return val
+
+    def resolve_active(self, handle):
+        self.log.append(("resolve_active", handle))
+        return handle[1]  # ("active", count)
+
+    def emit(self):
+        self.log.append(("emit",))
+
+    def flush(self, n_samples):
+        self.log.append(("flush", n_samples))
+
+    def pack(self, bucket):
+        self.log.append(("pack", bucket))
+        self._len = bucket
+        return self.active_for(bucket)
+
+    def progress(self, num_left, n_samples, rnd):
+        self.log.append(("progress", num_left, n_samples))
+
+    def bookkeeping(self, n_samples, chunk_offset, num_real, rnd):
+        self.log.append(("bookkeeping", n_samples))
+
+
+def _cfg(**kw):
+    kw.setdefault("fixed_batch", 1000)
+    kw.setdefault("max_samples", 10_000)
+    kw.setdefault("min_active", 64)
+    kw.setdefault("step_samples", 100)
+    return AdaptiveConfig(**kw)
+
+
+def _sched(cfg, ops, **kw):
+    kw.setdefault("num_real", ops.buffer_len())
+    kw.setdefault("impl", "jnp")
+    return AdaptiveScheduler(cfg, ops, **kw)
+
+
+def test_pipelined_resolve_is_one_group_stale():
+    # Small groups (work < pipeline_work): group k's count must resolve
+    # AFTER group k+1 dispatches — the readback overlaps compute.
+    ops = FakeOps(buffer_len=1000)
+    s = _sched(
+        _cfg(), ops,
+        sync_samples=1000 * 1000,        # one round per group
+        pipeline_work=100 * 1000 * 1000,  # never resolve synchronously
+    )
+    s.run()
+    events = [e for e in ops.log if e[0] in ("run_round", "resolve")]
+    # rounds at 1000..10000; resolve of round i lands after dispatch i+1
+    kinds = [e[0] for e in events]
+    assert kinds[:5] == [
+        "run_round", "run_round", "resolve", "run_round", "resolve"
+    ]
+    resolved_ids = [e[1] for e in ops.log if e[0] == "resolve"]
+    assert resolved_ids == sorted(resolved_ids)
+    # The LAST group's count is never read: its resolve would land at the
+    # cap, where the handler emits + flushes straight from the (fresh)
+    # device state — the readback is unnecessary.
+    assert ops.dispatched[-1] not in ops.resolved
+    assert ops.dispatched[-2] in ops.resolved
+    assert [e for e in ops.log if e[0] == "flush"] == [("flush", 10_000)]
+
+
+def test_big_groups_resolve_synchronously():
+    # work >= pipeline_work: the count resolves in the same iteration (no
+    # inflight carry), so a repack can land before the next group.
+    ops = FakeOps(buffer_len=1000)
+    s = _sched(
+        _cfg(), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=1000 * 1000,  # every group is "big"
+    )
+    s.run()
+    events = [e[0] for e in ops.log if e[0] in ("run_round", "resolve")]
+    assert events == ["run_round", "resolve"] * (len(events) // 2)
+
+
+def test_stale_count_can_only_oversize_bucket():
+    # The pipelined count is one group stale (UNDERCOUNTS done rows), so
+    # the bucket sized from it can only be >= the true active count.
+    true_active = {1: 1000, 2: 700, 3: 120, 4: 40, 5: 10, 6: 0}
+    done_at = {k: 1000 - v for k, v in true_active.items()}
+
+    ops = FakeOps(
+        buffer_len=1000,
+        done_for=lambda rnd, n: done_at.get(rnd + 1, 0),  # rnd is 0-based
+    )
+    s = _sched(
+        _cfg(repack_fraction=0.05), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,
+    )
+    s.run()
+    for e in ops.log:
+        if e[0] == "pack":
+            bucket = e[1]
+            # at pack time the freshest dispatched round is len(dispatched)
+            latest = max(
+                (i + 1 for i, h in enumerate(ops.dispatched)), default=0
+            )
+            assert bucket >= true_active.get(latest, 0)
+
+
+def test_repacked_discards_next_group_count():
+    # After a repack, the group dispatched just before handling refers to
+    # the pre-repack buffer: its count must never be resolved.
+    # Script: round 1 reports 90% done -> repack on handling it.
+    ops = FakeOps(
+        buffer_len=1000,
+        done_for=lambda rnd, n: 900 if rnd == 0 else 0,
+    )
+    s = _sched(
+        _cfg(max_samples=5000), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,
+    )
+    s.run()
+    packs = [i for i, e in enumerate(ops.log) if e[0] == "pack"]
+    assert packs, "scripted 90% done must trigger a repack"
+    # handle 1 (the group dispatched while handle 0's count was inflight)
+    # was discarded: never resolved.
+    resolved_ids = {h[1] for h in ops.resolved}
+    assert 0 in resolved_ids and 1 not in resolved_ids
+    # and the run still completes every remaining round + drain
+    assert s.finished
+
+
+def test_schedule_cliff_resolves_before_big_round():
+    # A cheap group right before an expensive round must resolve its
+    # count synchronously (pipelining would run the big round on a stale,
+    # mostly-done buffer).
+    cfg = AdaptiveConfig(
+        initial_batch=1000, initial_phase_samples=2000, later_batch=100_000,
+        max_samples=202_000, min_active=64, step_samples=100,
+    )
+    ops = FakeOps(buffer_len=1000, done_for=lambda rnd, n: 0)
+    s = _sched(
+        cfg, ops,
+        sync_samples=1000 * 1000,       # each 1000-round is its own group
+        pipeline_work=50 * 1000 * 1000,  # 1000-rounds are "small"...
+    )
+    # ...but the 100k round that follows the 2000-sample initial phase
+    # clears pipeline_work (100_000 * 1000 >= 5e7), forcing sync resolve.
+    s.run()
+    events = [e for e in ops.log if e[0] in ("run_round", "resolve")]
+    # The last cheap round (reaching 2000 samples) sits right before the
+    # 100k cliff: ITS OWN count (handle 1) must resolve before the next
+    # dispatch, not ride inflight into the big round.
+    idx = [i for i, e in enumerate(events)
+           if e[0] == "run_round" and e[2] == 2000]
+    assert idx, events
+    next_dispatch = next(
+        (i for i in range(idx[0] + 1, len(events))
+         if events[i][0] == "run_round"), len(events)
+    )
+    between = events[idx[0] + 1: next_dispatch]
+    assert ("resolve", 1, 0) in between, (
+        "the group before the 100k cliff must resolve synchronously, got "
+        f"{events[: next_dispatch + 1]}"
+    )
+
+
+def test_at_cap_stop_emits_and_flushes_once():
+    # Reaching the cap while a count is inflight: the resolve of the
+    # previous group lands at n_samples == max -> emit + tail flush from
+    # the fresh device state, exactly once, and the loop STOPs (the final
+    # group's own count is never needed).
+    ops = FakeOps(buffer_len=1000, done_for=lambda rnd, n: 0)
+    s = _sched(
+        _cfg(max_samples=3000), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,
+    )
+    s.run()
+    assert [e for e in ops.log if e[0] == "emit"] == [("emit",)]
+    assert [e for e in ops.log if e[0] == "flush"] == [("flush", 3000)]
+    assert s.finished and s.num_real == 0
+    # drain() after the STOP is a no-op (idempotent)
+    log_len = len(ops.log)
+    s.drain()
+    assert len(ops.log) == log_len
+
+
+def test_drain_after_pack_consumed_last_count():
+    # A repack right at the end consumes the pipeline; drain must still
+    # run bookkeeping once (emit + at-cap flush) via the num_real path.
+    ops = FakeOps(
+        buffer_len=1000,
+        # round 2's count (resolved while round 3 is inflight) repacks;
+        # round 3's count is discarded; nothing else resolves in-loop.
+        done_for=lambda rnd, n: 900 if rnd == 1 else 0,
+    )
+    s = _sched(
+        _cfg(max_samples=3000), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,
+    )
+    s.run()
+    assert 2 not in {h[1] for h in ops.resolved}  # discarded post-repack
+    flushes = [e for e in ops.log if e[0] == "flush"]
+    assert flushes == [("flush", 3000)]  # drain reached the at-cap flush
+
+
+def test_stop_when_active_pool_empties():
+    # pack's async exact count resolving to 0 must STOP the loop (the
+    # buffer is pure padding; everything already emitted) without a
+    # tail flush.
+    ops = FakeOps(
+        buffer_len=1000,
+        done_for=lambda rnd, n: 1000 if rnd == 0 else 0,
+        active_for=lambda bucket: ("active", 0),
+    )
+    s = _sched(
+        _cfg(), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,
+    )
+    s.run()
+    assert s.finished and s.num_real == 0
+    assert not [e for e in ops.log if e[0] == "flush"]
+    # far fewer rounds dispatched than the 10-round schedule
+    assert len(ops.dispatched) <= 3
+
+
+def test_resume_counters_continue_schedule():
+    # Mid-run resume: the first planned round must continue the schedule
+    # from the checkpointed n_samples, not restart it.
+    cfg = AdaptiveConfig(
+        initial_batch=1000, initial_phase_samples=20_000, later_batch=100_000,
+        max_samples=220_000, min_active=64, step_samples=100,
+    )
+    ops = FakeOps(buffer_len=512, done_for=lambda rnd, n: 0)
+    s = _sched(
+        cfg, ops,
+        n_samples=120_000, chunk_offset=1200, rnd=30,
+        sync_samples=10**12, pipeline_work=10**13,
+    )
+    s.run()
+    first = next(e for e in ops.log if e[0] == "run_round")
+    assert first[1] == 100_000 and first[2] == 220_000
+    assert s.rnd == 31  # exactly one more round to the cap
+
+
+def test_checkpoint_cadence_bounds_group_length():
+    # checkpoint_every caps rounds per sync group, and bookkeeping fires
+    # once per handled count.
+    ops = FakeOps(buffer_len=10, done_for=lambda rnd, n: 0)
+    s = _sched(
+        _cfg(max_samples=6000), ops,
+        checkpoint_every=2,
+        sync_samples=10**12,  # without the cap, one giant group
+        pipeline_work=10**13,
+    )
+    s.run()
+    # group boundaries = start_transfer calls: no group exceeds the cap
+    per_group = []
+    count = 0
+    for e in ops.log:
+        if e[0] == "run_round":
+            count += 1
+        elif e[0] == "start_transfer":
+            per_group.append(count)
+            count = 0
+    assert per_group and all(r <= 2 for r in per_group), per_group
+    # bookkeeping fires once per handled count (one per group, one group
+    # pipelined + the at-cap group handled via STOP without bookkeeping)
+    books = [e for e in ops.log if e[0] == "bookkeeping"]
+    assert len(books) >= len(per_group) - 2
+
+
+def test_progress_reports_stale_safe_num_left():
+    seen = []
+    ops = FakeOps(buffer_len=100, done_for=lambda rnd, n: 30)
+    ops.progress = lambda num_left, n_samples, rnd: seen.append(num_left)
+    s = _sched(
+        _cfg(max_samples=2000, repack_fraction=0.9), ops,
+        sync_samples=10**12, pipeline_work=10**13,
+    )
+    s.run()
+    assert seen and all(v == 70 for v in seen)

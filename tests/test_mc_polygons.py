@@ -454,3 +454,79 @@ def test_polygon_kernel_tile_vs_numpy_oracle(rng, monkeypatch):
                 )
                 want[c] += SAT.convex_collide_polygons(rob, obs)
     np.testing.assert_array_equal(counts, want)
+
+
+def test_polylabel_cli_sample_parallel_bitwise(tmp_path, rng, monkeypatch):
+    # --sample_parallel (new in r3: flag parity with ztest/relabel) must
+    # label bit-identically to the single-device run: sample STEPS
+    # round-robin over a (1, s) mesh with the single-chip fold_in tags
+    # (estimator._sample_sharded_counts). Pin the CLI's jax.devices()
+    # to the CPU harness (the axon plugin reports a remote TPU).
+    devs = cpu_devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    import collide2d_tpu.parallel as par
+    from collide2d_tpu.parallel.sharding import make_mesh as real_make_mesh
+
+    monkeypatch.setattr(
+        par, "make_mesh",
+        lambda devices=None, sample_axis=None: real_make_mesh(
+            devs[: (sample_axis or len(devs))], sample_axis=sample_axis
+        ),
+    )
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: devs)
+    from collide2d_tpu.cli import main
+
+    base = example_polygon_configs(32, k=6, seed=33)
+    inp = tmp_path / "polys.npz"
+    np.savez(
+        inp,
+        obstacle_verts=np.asarray(base.obstacle_verts),
+        position=np.asarray(base.position),
+        pose_theta=np.asarray(base.pose_theta),
+        std_dev=np.asarray(base.std_dev),
+        robot_verts=np.asarray(RECT_ROBOT_VERTS),
+    )
+    args = [
+        "polylabel", "--data_in", str(inp),
+        "--max_samples", "2048",
+        "--accuracy_bins", "0.0", "0.1", "1.0",
+        "--bin_accuracy", "0.02", "0.05",
+        "--impl", "jnp", "--seed", "3",
+    ]
+    assert main(args + ["--data_out", str(tmp_path / "a.npz")]) == 0
+    assert main(
+        args + ["--data_out", str(tmp_path / "b.npz"),
+                "--sample_parallel", "4"]
+    ) == 0
+    a = np.load(tmp_path / "a.npz")
+    b = np.load(tmp_path / "b.npz")
+    np.testing.assert_array_equal(a["cp"], b["cp"])
+    np.testing.assert_array_equal(a["n_samples"], b["n_samples"])
+
+
+def test_polylabel_cli_checkpoint_flag(tmp_path, rng):
+    # --checkpoint_every wires mid-run checkpoints into polylabel; clean
+    # finish removes <data_out>.checkpoint.npz.
+    from collide2d_tpu.cli import main
+
+    base = example_polygon_configs(32, k=6, seed=34)
+    inp = tmp_path / "polys.npz"
+    np.savez(
+        inp,
+        obstacle_verts=np.asarray(base.obstacle_verts),
+        position=np.asarray(base.position),
+        pose_theta=np.asarray(base.pose_theta),
+        std_dev=np.asarray(base.std_dev),
+        robot_verts=np.asarray(RECT_ROBOT_VERTS),
+    )
+    outp = tmp_path / "labels.npz"
+    assert main([
+        "polylabel", "--data_in", str(inp), "--data_out", str(outp),
+        "--max_samples", "2048",
+        "--accuracy_bins", "0.0", "0.1", "1.0",
+        "--bin_accuracy", "0.02", "0.05",
+        "--impl", "jnp", "--seed", "4", "--checkpoint_every", "1",
+    ]) == 0
+    assert outp.exists()
+    assert not (tmp_path / "labels.npz.checkpoint.npz").exists()

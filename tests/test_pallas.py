@@ -147,6 +147,44 @@ def test_polygon_kernel_vs_jnp_and_oracle(rng):
     np.testing.assert_array_equal(got_pal, want)
 
 
+def test_polygon_bf16_input_path(rng):
+    # bf16 polygon SAT (round-3: flag parity with the rect kernel's bf16
+    # path): labels equal the f32 kernel on bf16-representable inputs,
+    # and the precision='bf16' wrapper equals the XLA path on explicitly
+    # rounded coordinates (upcast-on-load is exact).
+    from collide2d_tpu.ops.polygon_pallas import (
+        pack_polygons_bf16,
+        sat_polygons_pallas,
+        sat_polygons_pallas_t,
+    )
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    n, k = 128, 6
+    P1 = np.stack([_regular_polygon(rng, k) for _ in range(n)])
+    P2 = np.stack([_regular_polygon(rng, k) for _ in range(n)])
+    P1q = np.asarray(jnp.asarray(P1, jnp.bfloat16).astype(jnp.float32))
+    P2q = np.asarray(jnp.asarray(P2, jnp.bfloat16).astype(jnp.float32))
+    want = np.array(sat_polygons(jnp.asarray(P1q), jnp.asarray(P2q)))
+    got_t = np.array(
+        sat_polygons_pallas_t(
+            pack_polygons_bf16(jnp.asarray(P1q)),
+            pack_polygons_bf16(jnp.asarray(P2q)),
+            k1=k, k2=k, block=16, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_t, want)
+    got_w = np.array(
+        sat_polygons_pallas(
+            jnp.asarray(P1), jnp.asarray(P2), block=16, interpret=True,
+            precision="bf16",
+        )
+    )
+    np.testing.assert_array_equal(got_w, want)
+    # lossy vs the unrounded path: only near-touching pairs may flip
+    full = np.array(sat_polygons(jnp.asarray(P1), jnp.asarray(P2)))
+    assert (full != got_w).mean() < 0.02
+
+
 def test_polygon_kernel_mixed_k(rng):
     from collide2d_tpu.ops.polygon_pallas import sat_polygons_pallas
     from collide2d_tpu.ops.sat import sat_polygons

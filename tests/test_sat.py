@@ -190,3 +190,51 @@ def test_polygon_mask_preserves_closing_edge_axis():
         )[0]
     )
     assert got_g == 0
+
+
+def test_model_bf16_precision_surface(rng):
+    # CollisionProbabilityModel.collide(precision='bf16') — the coarse-
+    # labeling surface (round-3): labels equal the f32 SAT on explicitly
+    # bf16-rounded vertices, on every platform (the TPU Pallas kernel
+    # upcasts after the same rounding, so the contract is one set of
+    # labels everywhere).
+    import jax.numpy as jnp
+
+    from collide2d_tpu.models.collision_model import CollisionProbabilityModel
+    from collide2d_tpu.ops.geometry import rects_from_params
+    from collide2d_tpu.ops.sat import sat_rects
+
+    n = 256
+    model = CollisionProbabilityModel()
+    position = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32))
+    wh = jnp.asarray(rng.uniform(0.1, 5, (n, 2)).astype(np.float32))
+
+    robot = rects_from_params(
+        position, jnp.broadcast_to(model.robot_wh, position.shape), theta
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    obstacle = rects_from_params(
+        jnp.zeros_like(position), wh, jnp.zeros_like(theta)
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.array(sat_rects(robot, obstacle))
+    got = np.array(model.collide(position, theta, wh, precision="bf16",
+                                 impl="jnp"))
+    np.testing.assert_array_equal(got, want)
+    # f32 default is unchanged and near-identical to coarse labels
+    full = np.array(model.collide(position, theta, wh))
+    assert (full != got).mean() < 0.02
+    with pytest.raises(ValueError):
+        model.collide(position, theta, wh, precision="fp8")
+    # polygon surface carries the same contract
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    tri = jnp.asarray(rng.uniform(-3, 3, (n, 3, 2)).astype(np.float32))
+    hexa = jnp.asarray(rng.uniform(-3, 3, (n, 6, 2)).astype(np.float32))
+    wantp = np.array(sat_polygons(
+        tri.astype(jnp.bfloat16).astype(jnp.float32),
+        hexa.astype(jnp.bfloat16).astype(jnp.float32),
+    ))
+    gotp = np.array(model.collide_polygons(tri, hexa, precision="bf16"))
+    np.testing.assert_array_equal(gotp, wantp)
+    with pytest.raises(ValueError):
+        model.collide_polygons(tri, hexa, precision="bf16", broad_phase=True)
