@@ -103,6 +103,8 @@ def main() -> int:
     poly_mxu_bf16.__name__ = "bench_sat_polygons_mxu_bf16"
     e2e = functools.partial(bench_e2e, configs=65536)
     e2e.__name__ = "bench_e2e"
+    e2e_tuned = functools.partial(bench_e2e, configs=65536, schedule="tuned")
+    e2e_tuned.__name__ = "bench_e2e_tuned"
     for fn in (
         bench_sat,
         bench_mc,
@@ -122,6 +124,7 @@ def main() -> int:
         # timeout-proof contract (headline already printed, secondaries on
         # stderr) keeps a mid-run kill harmless.
         e2e,
+        e2e_tuned,
     ):
         try:
             log(fn())

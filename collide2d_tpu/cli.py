@@ -50,10 +50,12 @@ def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
                         "(0 = off/reference parity; 6.0 recommended: label "
                         "error ~1e-8, far below every accuracy bin)")
     p.add_argument("--ladder", default="quarter",
-                   choices=["half", "quarter"],
+                   choices=["half", "quarter", "eighth"],
                    help="repack bucket ladder granularity (quarter: less "
                         "padding waste, measured +5-7%% end to end; half: "
-                        "fewer compiled shapes)")
+                        "fewer compiled shapes; eighth: finest rungs, "
+                        "<=12.5%% padding — only pays with a warmed "
+                        "compile cache)")
 
 
 def _schedule_arg(args: argparse.Namespace):

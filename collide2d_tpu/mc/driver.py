@@ -162,12 +162,21 @@ def _round_up_bucket(n: int, min_bucket: int, ladder: str = "half") -> int:
     ladder="quarter": {2^k, 5*2^(k-2), 3*2^(k-1), 7*2^(k-2)} — padding
     <= 25% (avg ~11%) for two extra shapes per octave; worth it when the
     compile bill is hidden (warm threads / cached) and rounds are large.
+    ladder="eighth": all 2^k + i*2^(k-3) rungs — padding <= 12.5% (avg
+    ~5.6%) for four more shapes per octave; only pays where the compile
+    bill is fully warmed/cached AND the workload spends most of its time
+    in large repacked rounds.
     Every rung is a multiple of 8 at the sizes where it is used (b >= 16
-    half-steps, b >= 32 quarter-steps).
+    half-steps, b >= 32 quarter-steps, b >= 64 eighth-steps).
     """
     b = max(min_bucket, 1)
     while b < n:
-        if ladder == "quarter" and b >= 32:
+        if ladder == "eighth" and b >= 64:
+            for i in range(1, 8):
+                m = b + i * (b // 8)
+                if m >= n:
+                    return m
+        elif ladder in ("quarter", "eighth") and b >= 32:
             for m in (b + b // 4, b + b // 2, b + 3 * (b // 4)):
                 if m >= n:
                     return m
@@ -248,7 +257,8 @@ def _warm_fused_round_compiles(
             )
             est._fused_round.lower(
                 key, state_abs, robot_wh,
-                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0),
                 step_samples=step_samples, sub=sub,
                 use_vertices=cfg.use_vertices, impl=impl,
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
@@ -298,8 +308,10 @@ class AdaptiveScheduler:
     implements; tests inject fakes):
 
     - ``buffer_len() -> int`` — rows in the current device buffer
-    - ``run_round(nb, step, n_samples_after, chunk_offset) -> handle`` —
-      dispatch one round; returns an opaque done-count handle
+    - ``run_rounds(nb, step, n_rounds, n_samples_first, chunk_offset)
+      -> handle`` — dispatch ``n_rounds`` same-plan rounds as ONE fused
+      program; returns an opaque done-count handle (state after the
+      last round)
     - ``start_transfer(handle)`` — begin the async device->host copy
     - ``resolve(handle) -> int`` — block on the done count
     - ``emit()`` — scatter frozen labels into the output buffers
@@ -461,13 +473,25 @@ class AdaptiveScheduler:
             return False
         group, work = self.plan_group()
         handle = None
-        for nb, step in group:
-            self.n_samples += nb
-            handle = self.ops.run_round(
-                nb, step, self.n_samples, self.chunk_offset
+        # Coalesce maximal same-plan runs into ONE fused multi-round
+        # dispatch each: round tags and convergence checkpoints advance
+        # inside the program exactly as per-round dispatches would
+        # (bitwise-identical labels), but the per-round host dispatch
+        # cost — measured ~7-8 ms through this image's tunnel, dominating
+        # the small-bucket convergence tail — is paid once per run.
+        idx = 0
+        while idx < len(group):
+            nb, step = group[idx]
+            count = 1
+            while idx + count < len(group) and group[idx + count] == (nb, step):
+                count += 1
+            handle = self.ops.run_rounds(
+                nb, step, count, self.n_samples + nb, self.chunk_offset
             )
-            self.chunk_offset += nb // step
-            self.rnd += 1
+            self.n_samples += nb * count
+            self.chunk_offset += (nb // step) * count
+            self.rnd += count
+            idx += count
         self.ops.start_transfer(handle)
         if self._inflight is not None:
             # Pipelined readback: the done count of group k resolves while
@@ -574,7 +598,7 @@ class _JaxOps:
     def buffer_len(self) -> int:
         return len(self.state.uids)
 
-    def run_round(self, nb, step, n_samples_after, chunk_offset):
+    def run_rounds(self, nb, step, n_rounds, n_samples_first, chunk_offset):
         if self.impl == "pallas":
             # Static sub (always 64: _plan_round rounds nb to its
             # granule), traced step count — one compile per bucket.
@@ -585,8 +609,9 @@ class _JaxOps:
             n_steps_v, step_static = nb // step, step
         self.state, handle = est._fused_round(
             self.key, self.state, self.robot_wh,
-            jnp.int32(chunk_offset), jnp.int32(n_samples_after),
-            jnp.int32(n_steps_v),
+            jnp.int32(chunk_offset), jnp.int32(n_samples_first),
+            jnp.int32(n_steps_v), jnp.int32(n_rounds), jnp.int32(nb),
+            jnp.int32(nb // step),
             step_samples=step_static, sub=sub,
             use_vertices=self.cfg.use_vertices, impl=self.impl,
             accuracy_bins=self.acc_bins, bin_accuracy=self.bin_acc,

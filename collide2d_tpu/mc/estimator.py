@@ -709,9 +709,9 @@ class AdaptiveConfig:
     prune_sigma: float = 0.0
 
     def __post_init__(self):
-        if self.ladder not in ("half", "quarter"):
-            raise ValueError(f"ladder must be 'half' or 'quarter', got "
-                             f"{self.ladder!r}")
+        if self.ladder not in ("half", "quarter", "eighth"):
+            raise ValueError(f"ladder must be 'half', 'quarter' or "
+                             f"'eighth', got {self.ladder!r}")
         # A length mismatch would otherwise be silent: jnp's clamping
         # gather in stats.is_converged reuses the last accuracy target for
         # out-of-range bins, yielding wrong convergence thresholds.
@@ -799,6 +799,9 @@ def _fused_round(
     chunk_offset: Array,
     n_samples_after: Array,
     n_steps: Array,
+    n_rounds: Array = 1,
+    nb: Array = 0,
+    chunk_step: Array = 0,
     *,
     step_samples: int,
     sub: int,
@@ -810,73 +813,91 @@ def _fused_round(
     shape_noise: bool = True,
     poly_a_keep: tuple | None = None,
 ) -> tuple[_LoopState, Array]:
-    """One round + on-device convergence + label freezing, in ONE program.
+    """``n_rounds`` adaptive rounds + on-device convergence + label
+    freezing, in ONE program.
 
     Labels freeze at the FIRST round the stop criterion holds — exactly
     the reference's semantics, where a converged configuration is
     compacted out the same round (generate_dataset.cu:455-464) — so the
     host may dispatch many rounds back-to-back and read only a single
-    done-count scalar when it chooses to synchronize. This is what turns
-    the reference's once-per-round host sync into an amortized one.
+    done-count scalar when it chooses to synchronize. Since round 3 the
+    rounds themselves fuse: a same-plan RUN of rounds is one dispatch
+    with an internal fori over rounds — round r draws with tag
+    ``chunk_offset + r * chunk_step`` and tests convergence at
+    ``n_samples_after + r * nb``, EXACTLY the tags/checkpoints of
+    per-round dispatches, so labels are bitwise-identical while the
+    per-round host dispatch overhead (measured ~7-8 ms/round through
+    this image's tunnel, ~0.3 s of a 1.7 s batch) collapses to one.
 
-    ``n_steps`` is TRACED; the round's sample count is n_steps * sub
-    (pallas, ``step_samples`` must be 0) or n_steps * step_samples (jnp,
-    ``sub`` must be 0) — so ONE compilation per buffer shape serves every
-    round size in the schedule (remote compiles cost minutes each).
+    ``n_steps``/``n_rounds``/``nb``/``chunk_step`` are all TRACED; each
+    round's sample count is n_steps * sub (pallas, ``step_samples`` must
+    be 0) or n_steps * step_samples (jnp, ``sub`` must be 0) — so ONE
+    compilation per buffer shape serves every round size in the schedule
+    (remote compiles cost minutes each).
     """
-    if impl == "pallas":
-        if mesh is not None:
-            counts = _pallas_sharded_counts(
-                key, state.active, robot_wh, chunk_offset, n_steps,
-                sub=sub, mesh=mesh, shape_noise=shape_noise,
-                poly_a_keep=poly_a_keep,
-            )
-        elif isinstance(state.active, PolygonConfigs):
-            from collide2d_tpu.ops.mc_polygon_pallas import (
-                mc_round_polygons_pallas,
-            )
 
-            counts = mc_round_polygons_pallas(
-                key, state.active, robot_wh, chunk_offset,
-                n_steps=n_steps, sub=sub, a_keep=poly_a_keep,
-            )
-        else:
+    def counts_for(tag):
+        if impl == "pallas":
+            if mesh is not None:
+                return _pallas_sharded_counts(
+                    key, state.active, robot_wh, tag, n_steps,
+                    sub=sub, mesh=mesh, shape_noise=shape_noise,
+                    poly_a_keep=poly_a_keep,
+                )
+            if isinstance(state.active, PolygonConfigs):
+                from collide2d_tpu.ops.mc_polygon_pallas import (
+                    mc_round_polygons_pallas,
+                )
+
+                return mc_round_polygons_pallas(
+                    key, state.active, robot_wh, tag,
+                    n_steps=n_steps, sub=sub, a_keep=poly_a_keep,
+                )
             from collide2d_tpu.ops.mc_pallas import mc_round_pallas
 
-            counts = mc_round_pallas(
-                key, state.active, robot_wh, chunk_offset,
+            return mc_round_pallas(
+                key, state.active, robot_wh, tag,
                 n_steps=n_steps, sub=sub, shape_noise=shape_noise,
             )
-    elif mesh is not None and _mesh_axis(mesh, "sample") > 1:
-        counts = _sample_sharded_counts(
-            key, state.uids, state.active, robot_wh, chunk_offset,
-            n_steps,
-            step_samples=step_samples, use_vertices=use_vertices, mesh=mesh,
-        )
-    else:
+        if mesh is not None and _mesh_axis(mesh, "sample") > 1:
+            return _sample_sharded_counts(
+                key, state.uids, state.active, robot_wh, tag, n_steps,
+                step_samples=step_samples, use_vertices=use_vertices,
+                mesh=mesh,
+            )
         # Config-only DP needs no shard_map: uid-keyed streams shard
         # transparently under GSPMD (bitwise-equal, test_sharding.py).
-        counts = _mc_round_jnp(
-            key, state.uids, state.active, robot_wh, chunk_offset,
-            n_steps,
+        return _mc_round_jnp(
+            key, state.uids, state.active, robot_wh, tag, n_steps,
             step_samples=step_samples, use_vertices=use_vertices,
         )
-    n_true = state.n_true + counts
-    conv = stats.is_converged(
-        n_samples_after, n_true,
-        jnp.asarray(accuracy_bins), jnp.asarray(bin_accuracy),
+
+    acc_b = jnp.asarray(accuracy_bins)
+    bin_b = jnp.asarray(bin_accuracy)
+
+    def one_round(r, carry):
+        n_true, done, k_frozen, n_frozen = carry
+        n_true = n_true + counts_for(chunk_offset + r * chunk_step)
+        n_after = n_samples_after + r * nb
+        conv = stats.is_converged(n_after, n_true, acc_b, bin_b)
+        newly = jnp.logical_and(conv, jnp.logical_not(done))
+        return (
+            n_true,
+            jnp.logical_or(done, conv),
+            jnp.where(newly, n_true, k_frozen),
+            jnp.where(newly, jnp.int32(n_after), n_frozen),
+        )
+
+    n_true, done, k_frozen, n_frozen = jax.lax.fori_loop(
+        0, jnp.asarray(n_rounds, jnp.int32), one_round,
+        (state.n_true, state.done, state.k_frozen, state.n_frozen),
     )
-    newly = jnp.logical_and(conv, jnp.logical_not(state.done))
     new_state = _LoopState(
-        uids=state.uids,
-        active=state.active,
-        n_true=n_true,
-        done=jnp.logical_or(state.done, conv),
-        k_frozen=jnp.where(newly, n_true, state.k_frozen),
-        n_frozen=jnp.where(newly, n_samples_after, state.n_frozen),
+        uids=state.uids, active=state.active,
+        n_true=n_true, done=done, k_frozen=k_frozen, n_frozen=n_frozen,
     )
     real = state.uids >= 0
-    num_done = jnp.sum(jnp.logical_and(new_state.done, real).astype(jnp.int32))
+    num_done = jnp.sum(jnp.logical_and(done, real).astype(jnp.int32))
     return new_state, num_done
 
 

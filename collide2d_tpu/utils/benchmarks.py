@@ -783,7 +783,10 @@ def bench_agreement(
     }
 
 
-def bench_e2e(configs: int = 65536, seed: int = 0, batches: int = 2) -> dict:
+def bench_e2e(
+    configs: int = 65536, seed: int = 0, batches: int = 2, schedule=None,
+    ladder: str = "quarter",
+) -> dict:
     """End-to-end adaptive labeling throughput at REFERENCE-DEFAULT
     accuracy bins and sample schedule (SURVEY.md §6 metric (c): configs
     labeled per hour), measured the way production labels: ``batches``
@@ -809,7 +812,9 @@ def bench_e2e(configs: int = 65536, seed: int = 0, batches: int = 2) -> dict:
         .at[:, 3:].set(0.0)
     )
     robot_wh = jnp.asarray([4.07, 1.74])
-    adaptive = AdaptiveConfig()  # reference defaults: bins, schedule, 4e6 cap
+    # reference defaults: bins, schedule, 4e6 cap; schedule="tuned" adds
+    # the rule-of-three checkpoint (same CI guarantees)
+    adaptive = AdaptiveConfig(schedule=schedule, ladder=ladder)
 
     def batch_cfgs(i: int) -> Configs:
         positions, pose_idx, var_idx = sample_configurations(
@@ -824,14 +829,14 @@ def bench_e2e(configs: int = 65536, seed: int = 0, batches: int = 2) -> dict:
             std_dev=std_devs[var_idx],
         )
 
-    def run(key_salt: int):
+    def run():
         results = {}
 
         def make(i):
             return lambda: (
                 i,
                 AdaptiveRun(
-                    jax.random.fold_in(k_mc, key_salt * 1000 + i),
+                    jax.random.fold_in(k_mc, i),
                     batch_cfgs(i), robot_wh, adaptive, warmup=False,
                 ),
             )
@@ -843,15 +848,20 @@ def bench_e2e(configs: int = 65536, seed: int = 0, batches: int = 2) -> dict:
         )
         return time.perf_counter() - t0, results
 
-    run(0)  # warm every bucket-shape compilation
-    dt, results = run(1)
+    # Warm pass with the SAME keys as the timed pass: the bucket-ladder
+    # trajectory is key-dependent, so only an identical run guarantees
+    # every compiled shape is warm (a fresh-key warm pass leaves cold
+    # rungs that bill remote compiles into the timed pass).
+    run()
+    dt, results = run()
     total = configs * batches
     rate = total / dt
     done = np.concatenate([r[2] for r in results.values()])
     n_used = np.concatenate([r[1] for r in results.values()])
     cp = np.concatenate([r[0] for r in results.values()])
     return {
-        "metric": "configs_labeled_per_sec",
+        "metric": "configs_labeled_per_sec"
+        + ("_tuned" if schedule == "tuned" else ""),
         "value": rate,
         "unit": "configs/s",
         "vs_baseline": rate,  # no reference number exists (BASELINE.md)

@@ -34,10 +34,13 @@ class FakeOps:
     def buffer_len(self):
         return self._len
 
-    def run_round(self, nb, step, n_samples_after, chunk_offset):
-        handle = ("round", len(self.dispatched), nb, n_samples_after)
+    def run_rounds(self, nb, step, n_rounds, n_samples_first, chunk_offset):
+        # one FUSED dispatch covering n_rounds same-plan rounds; the
+        # handle's count resolves to the state after the LAST round
+        n_last = n_samples_first + (n_rounds - 1) * nb
+        handle = ("round", len(self.dispatched), nb, n_last, n_rounds)
         self.dispatched.append(handle)
-        self.log.append(("run_round", nb, n_samples_after))
+        self.log.append(("run_round", nb, n_last, n_rounds))
         return handle
 
     def start_transfer(self, handle):
@@ -303,11 +306,12 @@ def test_checkpoint_cadence_bounds_group_length():
     )
     s.run()
     # group boundaries = start_transfer calls: no group exceeds the cap
+    # (a fused dispatch counts as its n_rounds)
     per_group = []
     count = 0
     for e in ops.log:
         if e[0] == "run_round":
-            count += 1
+            count += e[3]
         elif e[0] == "start_transfer":
             per_group.append(count)
             count = 0

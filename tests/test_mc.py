@@ -356,3 +356,70 @@ def test_plan_round_shard_invariance_and_fallback():
     with pytest.warns(UserWarning, match="NOT be bitwise"):
         nb16, step16 = _plan_round(AdaptiveConfig(), 0, 16, "jnp")
     assert nb16 % (step16 * 16) == 0
+
+
+def test_round_up_bucket_eighth_ladder():
+    from collide2d_tpu.mc.estimator import _ladder_buckets, _round_up_bucket
+
+    # eighth rungs at b >= 64: multiples of 8, padding <= 12.5%
+    assert _round_up_bucket(65, 64, "eighth") == 72
+    assert _round_up_bucket(100, 64, "eighth") == 104
+    assert _round_up_bucket(128, 64, "eighth") == 128
+    assert _round_up_bucket(129, 64, "eighth") == 144
+    for n in range(64, 5000, 7):
+        b = _round_up_bucket(n, 64, "eighth")
+        assert b >= n and b % 8 == 0 and (b - n) / n <= 0.125
+    # the warm list derives from the same function
+    buckets = _ladder_buckets(1024, 64, "eighth")
+    assert 1024 in buckets and all(b % 8 == 0 for b in buckets)
+
+
+def test_fused_multi_round_equals_sequential_rounds(rng):
+    # The round-fusion dispatch (one program looping n_rounds) must
+    # reproduce per-round dispatches BIT FOR BIT: same tags
+    # (chunk_offset + r*chunk_step), same convergence checkpoints
+    # (n_first + r*nb), same freezing arithmetic.
+    import jax
+    import jax.numpy as jnp
+
+    from collide2d_tpu.mc import estimator as est
+    from tests.conftest import random_configs
+
+    C, nb, step = 96, 1000, 100
+    cfgs = random_configs(np.random.default_rng(3), C)
+    key = jax.random.PRNGKey(9)
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    state0 = est._LoopState(
+        uids=jnp.arange(C, dtype=jnp.int32),
+        active=cfgs,
+        n_true=jnp.zeros((C,), jnp.int32),
+        done=jnp.zeros((C,), bool),
+        k_frozen=jnp.zeros((C,), jnp.int32),
+        n_frozen=jnp.ones((C,), jnp.int32),
+    )
+    kw = dict(
+        step_samples=step, sub=0, use_vertices=False, impl="jnp",
+        accuracy_bins=(0.0, 0.01, 0.1, 1.0),
+        bin_accuracy=(0.02, 0.02, 0.05),
+        mesh=None, shape_noise=True, poly_a_keep=None,
+    )
+    n_steps = nb // step
+    # sequential: three single-round dispatches
+    s_seq = state0
+    for r in range(3):
+        s_seq, done_seq = est._fused_round(
+            key, s_seq, robot,
+            jnp.int32(r * n_steps), jnp.int32((r + 1) * nb),
+            jnp.int32(n_steps), jnp.int32(1), jnp.int32(0), jnp.int32(0),
+            **kw,
+        )
+    # fused: one three-round dispatch
+    s_fused, done_fused = est._fused_round(
+        key, state0, robot,
+        jnp.int32(0), jnp.int32(nb),
+        jnp.int32(n_steps), jnp.int32(3), jnp.int32(nb), jnp.int32(n_steps),
+        **kw,
+    )
+    assert int(done_seq) == int(done_fused) > 0
+    for a, b in zip(jax.tree.leaves(s_seq), jax.tree.leaves(s_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
