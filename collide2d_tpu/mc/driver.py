@@ -972,6 +972,36 @@ class AdaptiveRun:
         s = self.scheduler
         return s.finished or s.num_real <= max(1, int(self.C * frac))
 
+    def pipeline_ready(self) -> bool:
+        """True once this run's initial phase has been DISPATCHED — the
+        earliest point a pipelined driver should admit the next batch.
+
+        tail_ready() (pool below 25%) only flips after the first bulk
+        round's count RESOLVES — by then the host has just sat through a
+        synchronous cliff resolve (the first 100k round is ~0.6 s of
+        device work) and then builds the next run's configs with an
+        empty device queue. Admitting on dispatch instead means the big
+        bulk rounds sit in the queue keeping the chip busy while the
+        host samples/transfers the next batch. Purely a scheduling hint:
+        admission timing never touches any run's keys, buffers, or round
+        plan, so per-batch outputs stay bitwise identical (the
+        test_dataset overlap A/B covers this driver path)."""
+        s = self.scheduler
+        return s.finished or s.n_samples >= max(1, s.cfg.initial_phase_samples)
+
+    def prefetch_outputs(self) -> None:
+        """Drain and start the device->host copy of the output buffers
+        WITHOUT blocking, so a pipelined driver can overlap the ~30 ms
+        tunnel readback with the next run's sync groups; the following
+        materialize() then completes quickly."""
+        self.scheduler.drain()
+        if self._early_outs is None:
+            for a in self.ops.outs:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:  # plain numpy under fakes/tests
+                    pass
+
     def materialize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Drain if needed, read the device output buffers ONCE, delete a
         clean-finish checkpoint, and assemble the final host arrays
@@ -1013,32 +1043,68 @@ def run_interleaved(makers, overlap: int, on_done) -> None:
     config sampling happens lazily); ``overlap``: max runs in flight;
     ``on_done(tag, run)``: called as runs complete, in submission order.
 
-    A new run is admitted only once the NEWEST in-flight run has entered
-    its convergence tail (`AdaptiveRun.tail_ready`): the tail's small
-    rounds then interleave with the new run's big, device-efficient ones,
-    so the chip never idles across batch boundaries — the cross-batch
-    pipelining the reference's strictly serial loop lacks
-    (generate_dataset.cu:418-505). Results are BITWISE identical to
+    A new run is admitted once the NEWEST in-flight run has DISPATCHED
+    its initial phase (`AdaptiveRun.pipeline_ready`): its bulk rounds
+    then hold the device busy while the host builds the next run, and
+    the new run's big rounds go on to interleave with the older run's
+    small convergence-tail rounds — the cross-batch pipelining the
+    reference's strictly serial loop lacks (generate_dataset.cu:418-505).
+    Three pieces of host work are additionally taken off the critical
+    path (each measured 0.05-0.15 s/batch of device idle on the tunnel):
+    the NEXT maker runs on a prefetch thread as soon as the previous
+    admission happens; a finished run's output readback starts
+    asynchronously (`prefetch_outputs`); and its ``on_done`` (pack/
+    shuffle/write submit) is deferred by one iteration so the copy
+    overlaps younger runs' sync groups. Results are BITWISE identical to
     running the same runs serially: each run's keys, buffers, and round
     plan are untouched; interleaving only reorders device dispatch.
     """
+    import threading
+
     pending = list(makers)
     runs: list[tuple] = []
-    while runs or pending:
+    finished: list[tuple] = []
+    prefetch: dict = {"thread": None, "box": None}
+
+    def start_prefetch():
+        if pending and prefetch["thread"] is None:
+            maker, box = pending[0], {}
+
+            def work():
+                box["made"] = maker()
+
+            t = threading.Thread(target=work, daemon=True)
+            t.start()
+            prefetch.update(thread=t, box=box)
+
+    while runs or pending or finished:
         if pending and (
             not runs
-            or (len(runs) < max(1, overlap) and runs[-1][1].tail_ready())
+            or (len(runs) < max(1, overlap) and runs[-1][1].pipeline_ready())
         ):
-            runs.append(pending.pop(0)())
+            if prefetch["thread"] is None:
+                maker = pending.pop(0)
+                runs.append(maker())
+            else:
+                pending.pop(0)
+                prefetch["thread"].join()
+                runs.append(prefetch["box"]["made"])
+                prefetch.update(thread=None, box=None)
+            start_prefetch()
         # Step the OLDEST run first (runs complete in order), then give
         # every younger run one sync group so its rounds queue behind the
         # tail's on the device.
-        alive = runs[0][1].scheduler.step()
+        alive = runs[0][1].scheduler.step() if runs else False
         for _, r in runs[1:]:
             r.scheduler.step()
-        if not alive:
+        if finished:
+            # The async output copy kicked off last iteration has had a
+            # full round of sync groups to complete — hand over now.
+            on_done(*finished.pop(0))
+        if runs and not alive:
             tag, r = runs.pop(0)
-            on_done(tag, r)
+            r.prefetch_outputs()
+            finished.append((tag, r))
 
 
 def _save_checkpoint(

@@ -332,3 +332,102 @@ def test_progress_reports_stale_safe_num_left():
     )
     s.run()
     assert seen and all(v == 70 for v in seen)
+
+
+# ---------------------------------------------------------------------------
+# run_interleaved (fake runs; no JAX)
+# ---------------------------------------------------------------------------
+
+
+class FakeRun:
+    """Quacks like AdaptiveRun for run_interleaved: a scripted number of
+    sync groups, pipeline_ready after `ready_after` of them."""
+
+    def __init__(self, tag, groups, ready_after, log):
+        self.tag = tag
+        self._left = groups
+        self._ready_after = ready_after
+        self._groups = groups
+        self._log = log
+        self.prefetched = False
+        run = self
+
+        class _Sched:
+            def step(self):
+                run._log.append(("step", run.tag))
+                run._left -= 1
+                return run._left > 0
+
+        self.scheduler = _Sched()
+
+    def pipeline_ready(self):
+        return (self._groups - self._left) >= self._ready_after
+
+    def prefetch_outputs(self):
+        self.prefetched = True
+        self._log.append(("prefetch", self.tag))
+
+
+def test_interleaved_admission_on_pipeline_ready():
+    from collide2d_tpu.mc.driver import run_interleaved
+
+    log, done = [], []
+    runs = {}
+
+    def make(i):
+        def m():
+            log.append(("make", i))
+            runs[i] = FakeRun(i, groups=6, ready_after=2, log=log)
+            return i, runs[i]
+        return m
+
+    run_interleaved([make(0), make(1), make(2)], 2,
+                    lambda tag, r: done.append(tag))
+    # completion order preserved, everyone ran to completion
+    assert done == [0, 1, 2]
+    assert all(r._left == 0 for r in runs.values())
+    assert all(r.prefetched for r in runs.values())
+    # batch 1 was ADMITTED (first stepped) once batch 0 had dispatched
+    # ready_after=2 groups — NOT after batch 0 finished. (Its make() runs
+    # earlier on the prefetch thread; that is the point of the prefetch.)
+    i_step1 = log.index(("step", 1))
+    steps0_before = sum(1 for e in log[:i_step1] if e == ("step", 0))
+    assert 2 <= steps0_before < 6, log
+    # overlap cap 2: batch 2's first step comes after batch 0 finished
+    i_first_step2 = log.index(("step", 2))
+    assert sum(1 for e in log[:i_first_step2] if e == ("step", 0)) == 6
+
+
+def test_interleaved_on_done_deferred_past_next_group():
+    from collide2d_tpu.mc.driver import run_interleaved
+
+    log, done = [], []
+
+    def make(i):
+        def m():
+            return i, FakeRun(i, groups=4, ready_after=1, log=log)
+        return m
+
+    def on_done(tag, r):
+        done.append(tag)
+        log.append(("done", tag))
+
+    run_interleaved([make(0), make(1)], 2, on_done)
+    assert done == [0, 1]
+    # the async output copy gets one iteration of younger-run groups
+    # between prefetch (copy start) and on_done (copy consume)
+    i_pref = log.index(("prefetch", 0))
+    i_done = log.index(("done", 0))
+    assert any(e == ("step", 1) for e in log[i_pref:i_done]), log
+
+
+def test_interleaved_single_run_no_overlap():
+    from collide2d_tpu.mc.driver import run_interleaved
+
+    log, done = [], []
+
+    def m():
+        return "only", FakeRun("only", groups=3, ready_after=1, log=log)
+
+    run_interleaved([m], 1, lambda tag, r: done.append(tag))
+    assert done == ["only"]
