@@ -49,13 +49,14 @@ def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
                         "this many noise std-devs as cp=0 without sampling "
                         "(0 = off/reference parity; 6.0 recommended: label "
                         "error ~1e-8, far below every accuracy bin)")
-    p.add_argument("--ladder", default="quarter",
+    p.add_argument("--ladder", default="eighth",
                    choices=["half", "quarter", "eighth"],
-                   help="repack bucket ladder granularity (quarter: less "
-                        "padding waste, measured +5-7%% end to end; half: "
-                        "fewer compiled shapes; eighth: finest rungs, "
-                        "<=12.5%% padding — only pays with a warmed "
-                        "compile cache)")
+                   help="repack bucket ladder granularity (eighth: finest "
+                        "rungs, <=12.5%% padding AND the tightest bound on "
+                        "how long converged rows ride before a repack — "
+                        "measured +3-5%% end to end over quarter; "
+                        "quarter/half: progressively fewer compiled shapes "
+                        "for cold-cache hosts)")
 
 
 def _schedule_arg(args: argparse.Namespace):
@@ -111,7 +112,7 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "checkpoint.npz (requires a fixed --seed)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
-    p.add_argument("--overlap_batches", type=int, default=2,
+    p.add_argument("--overlap_batches", type=int, default=3,
                    help="cross-batch pipelining depth: batch i+1's rounds "
                         "interleave with batch i's convergence tail so the "
                         "chip never idles at batch boundaries; results are "

@@ -106,20 +106,21 @@ class GenerateConfig:
     # 'auto' (pallas on TPU, jnp elsewhere; jnp under a mesh for bitwise
     # DP) | 'jnp' | 'pallas' — see AdaptiveConfig.impl.
     impl: str = "auto"
-    # Repack bucket ladder: "quarter" (default; finer rungs, less
-    # padding waste) | "half" (fewer compiled shapes) —
-    # AdaptiveConfig.ladder.
-    ladder: str = "quarter"
+    # Repack bucket ladder: "eighth" (default; finest rungs — least
+    # padding and the tightest converged-row-riding bound) | "quarter" |
+    # "half" (fewer compiled shapes) — AdaptiveConfig.ladder.
+    ladder: str = "eighth"
     # Cross-batch pipelining: up to this many batches labeled in flight
     # at once. When batch i's active pool shrinks into its tail, batch
     # i+1's configurations are sampled and its (big, efficient) rounds
     # interleave with the tail's — the device never idles across the
     # batch boundary. Results are BITWISE identical to the serial loop
     # (each batch keeps its own fold_in key and an untouched scheduler
-    # trajectory; interleaving only reorders dispatch). 1 = the
-    # reference's strictly serial batch loop (generate_dataset.cu:
-    # 418-505).
-    overlap_batches: int = 2
+    # trajectory; interleaving only reorders dispatch). 3 (measured
+    # best: a third in-flight batch hides the stalls the second cannot,
+    # +1-2% over 2) | 1 = the reference's strictly serial batch loop
+    # (generate_dataset.cu:418-505).
+    overlap_batches: int = 3
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -157,7 +158,7 @@ class RelabelConfig:
     # schedule, no pruning, and batch-level resume only):
     schedule: object = None  # None = reference schedule | "tuned" | tuple
     prune_sigma: float = 0.0  # see GenerateConfig.prune_sigma
-    ladder: str = "quarter"  # see GenerateConfig.ladder
+    ladder: str = "eighth"  # see GenerateConfig.ladder
     checkpoint_every: int = 0  # rounds between mid-batch checkpoints
     resume: bool = False  # skip already-written output batches + resume
     #   mid-batch from checkpoint.npz (requires a fixed --seed; output
@@ -201,7 +202,7 @@ class ZTestConfig:
     # AdaptiveConfig capability parity with generate (review r2 finding):
     schedule: object = None  # None = reference (fixed n_batch) | "tuned" | tuple
     prune_sigma: float = 0.0  # see GenerateConfig.prune_sigma
-    ladder: str = "quarter"  # see GenerateConfig.ladder
+    ladder: str = "eighth"  # see GenerateConfig.ladder
     # Mid-run checkpoints every N rounds to data_dir/ztest_checkpoint.npz;
     # a rerun with the same --seed auto-resumes from it (key-validated).
     checkpoint_every: int = 0
@@ -308,7 +309,7 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
         kwargs["schedule"] = cfg.schedule
     if getattr(cfg, "prune_sigma", 0.0):
         kwargs["prune_sigma"] = cfg.prune_sigma
-    kwargs["ladder"] = getattr(cfg, "ladder", "quarter")
+    kwargs["ladder"] = getattr(cfg, "ladder", "eighth")
     if getattr(cfg, "impl", "auto") != "auto":
         kwargs["impl"] = cfg.impl
     if fixed_batch is not None:

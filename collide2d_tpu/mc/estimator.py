@@ -688,18 +688,15 @@ class AdaptiveConfig:
     use_vertices: bool = False
     impl: str = "auto"  # 'jnp' | 'pallas' | 'auto' (see mc_round)
     schedule: Sequence[int] | str | None = None  # cumulative checkpoints | "tuned"
-    # Emit+repack when this fraction of the buffer is done. Retuned to
-    # 0.05 after repacks became nearly free (device-side emission +
-    # on-device pack + async exact count): measured 2.47e4 vs 2.23e4
-    # configs/s at the old 0.25 on the reference schedule. Going lower
-    # (0.02) over-repacks — every repack discards one pipelined count.
-    repack_fraction: float = 0.05
-    # Repack bucket ladder: "quarter" (default) = {2^k, 1.25x, 1.5x,
-    # 1.75x rungs — measured +7%/+5% configs/s over "half" on the
-    # reference/tuned schedules at 65k configs; two extra compiled
-    # shapes per octave, hidden by the warmup threads); "half" =
+    # Repack bucket ladder: "eighth" (default) = all 2^k + i*2^(k-3)
+    # rungs — finest spacing (padding <= 12.5%, avg ~5.6%); since the
+    # scheduler repacks exactly when the bucket would shrink a rung, the
+    # spacing also bounds how long converged rows ride, so the fine
+    # ladder pays twice (measured +3-5% configs/s over "quarter" at 65k
+    # configs; the extra compiled shapes are hidden by the warmup
+    # threads). "quarter" = {2^k, 1.25x, 1.5x, 1.75x}; "half" =
     # {2^k, 3*2^(k-1)} for the minimal compile bill.
-    ladder: str = "quarter"
+    ladder: str = "eighth"
     # Noise-aware broad phase (0 = off, reference parity): configurations
     # that cannot touch within this many std-devs are emitted as cp=0
     # WITHOUT sampling (ops.broad_phase.possible_collision_mask; label

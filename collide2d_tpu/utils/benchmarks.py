@@ -784,17 +784,22 @@ def bench_agreement(
 
 
 def bench_e2e(
-    configs: int = 65536, seed: int = 0, batches: int = 2, schedule=None,
-    ladder: str = "quarter",
+    configs: int = 65536, seed: int = 0, batches: int = 6, schedule=None,
+    ladder: str = "eighth", overlap: int = 3,
 ) -> dict:
     """End-to-end adaptive labeling throughput at REFERENCE-DEFAULT
     accuracy bins and sample schedule (SURVEY.md §6 metric (c): configs
     labeled per hour), measured the way production labels: ``batches``
     batches of ``configs`` streamed through the CROSS-BATCH PIPELINED
-    driver (`driver.run_interleaved`, overlap 2 — batch i+1's big rounds
+    driver (`driver.run_interleaved`, overlap 3 — batch i+1's big rounds
     fill the chip while batch i's tail converges; bitwise-identical to
-    the serial loop). The first full pass warms every bucket-shape
-    compilation; the timed pass uses fresh keys through the same shapes.
+    the serial loop). 6 batches approximate the steady state of a
+    production run (100+ batches): with 2, half the tails run naked at
+    the pipeline edges and the metric undersells the driver by ~8%. The
+    first full pass warms every bucket-shape compilation (with the
+    concurrent warmup threads — the tunnel compile service overlaps
+    them); the timed pass uses fresh keys through the same shapes with
+    warmup off, so no thread noise rides the measurement.
     """
     from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
     from collide2d_tpu.mc.estimator import AdaptiveConfig, Configs
@@ -829,7 +834,7 @@ def bench_e2e(
             std_dev=std_devs[var_idx],
         )
 
-    def run():
+    def run(warm_threads: bool = False):
         results = {}
 
         def make(i):
@@ -837,13 +842,17 @@ def bench_e2e(
                 i,
                 AdaptiveRun(
                     jax.random.fold_in(k_mc, i),
-                    batch_cfgs(i), robot_wh, adaptive, warmup=False,
+                    batch_cfgs(i), robot_wh, adaptive,
+                    # None = the driver's auto gate (threads on TPU at
+                    # bench scale, off on CPU hosts where they would burn
+                    # compile CPU next to the run)
+                    warmup=None if (warm_threads and i == 0) else False,
                 ),
             )
 
         t0 = time.perf_counter()
         run_interleaved(
-            [make(i) for i in range(batches)], 2,
+            [make(i) for i in range(batches)], overlap,
             lambda i, r: results.__setitem__(i, r.materialize()),
         )
         return time.perf_counter() - t0, results
@@ -852,7 +861,7 @@ def bench_e2e(
     # trajectory is key-dependent, so only an identical run guarantees
     # every compiled shape is warm (a fresh-key warm pass leaves cold
     # rungs that bill remote compiles into the timed pass).
-    run()
+    run(warm_threads=True)
     dt, results = run()
     total = configs * batches
     rate = total / dt
@@ -867,7 +876,7 @@ def bench_e2e(
         "vs_baseline": rate,  # no reference number exists (BASELINE.md)
         "configs": total,
         "batches": batches,
-        "overlap": 2,
+        "overlap": overlap,
         "seconds": dt,
         "configs_per_hour": rate * 3600,
         "converged_frac": float(done.mean()),

@@ -79,7 +79,7 @@ def test_adaptive_extension_flag_parity():
             if mode == "polylabel" else []
         ))
         assert a.schedule == "reference" and a.prune_sigma == 0.0
-        assert a.ladder == "quarter" and a.checkpoint_every == 0
+        assert a.ladder == "eighth" and a.checkpoint_every == 0
         b = _parse([mode, "--schedule", "tuned", "--prune_sigma", "6.0",
                     "--ladder", "half", "--checkpoint_every", "4"])
         assert b.schedule == "tuned" and b.prune_sigma == 6.0
@@ -90,7 +90,7 @@ def test_adaptive_extension_flag_parity():
     assert r.resume is True and _parse(["relabel"]).resume is False
     p = _parse(["polylabel", "--data_in", "i.npz", "--data_out", "o.npz"])
     assert p.schedule == "reference" and p.prune_sigma == 0.0
-    assert p.ladder == "quarter" and p.checkpoint_every == 0
+    assert p.ladder == "eighth" and p.checkpoint_every == 0
     assert p.sample_parallel == 0
     p2 = _parse(["polylabel", "--data_in", "i", "--data_out", "o",
                  "--sample_parallel", "4", "--checkpoint_every", "2",

@@ -139,7 +139,7 @@ def test_stale_count_can_only_oversize_bucket():
         done_for=lambda rnd, n: done_at.get(rnd + 1, 0),  # rnd is 0-based
     )
     s = _sched(
-        _cfg(repack_fraction=0.05), ops,
+        _cfg(), ops,
         sync_samples=1000 * 1000,
         pipeline_work=100 * 1000 * 1000,
     )
@@ -324,14 +324,42 @@ def test_checkpoint_cadence_bounds_group_length():
 
 def test_progress_reports_stale_safe_num_left():
     seen = []
+    # min_active=128 > buffer: the bucket can never shrink, so no repack
+    # fires and every progress line reports the same stale-safe estimate.
     ops = FakeOps(buffer_len=100, done_for=lambda rnd, n: 30)
     ops.progress = lambda num_left, n_samples, rnd: seen.append(num_left)
     s = _sched(
-        _cfg(max_samples=2000, repack_fraction=0.9), ops,
+        _cfg(max_samples=2000, min_active=128), ops,
         sync_samples=10**12, pipeline_work=10**13,
     )
     s.run()
     assert seen and all(v == 70 for v in seen)
+
+
+def test_repack_fires_exactly_when_bucket_shrinks():
+    # The repack policy: emit+repack at the FIRST handled count whose
+    # remaining-active ladder bucket is smaller than the current buffer —
+    # not earlier (a same-size repack saves no slots) and not later
+    # (riding converged rows past a rung boundary wastes whole groups).
+    done_at = {0: 50, 1: 200, 2: 824}
+    ops = FakeOps(
+        buffer_len=1024,
+        done_for=lambda rnd, n: done_at.get(rnd, 0),
+        active_for=lambda bucket: ("active", 824),
+    )
+    s = _sched(
+        _cfg(), ops,
+        sync_samples=1000 * 1024,
+        pipeline_work=1,  # every group resolves synchronously
+    )
+    s.run()
+    packs = [e for e in ops.log if e[0] == "pack"]
+    # 50 done (est 974 -> eighth rung 1024 == buffer): no repack yet;
+    # 200 done (est 824 -> rung 832 < 1024): repack fires, exactly once.
+    assert packs == [("pack", 832)], ops.log
+    # the exact active count (824) then empties the pool via done=824
+    assert s.finished and s.num_real == 0
+    assert not [e for e in ops.log if e[0] == "flush"]
 
 
 # ---------------------------------------------------------------------------
