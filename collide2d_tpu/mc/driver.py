@@ -241,8 +241,15 @@ def _warm_fused_round_compiles(
 
     stats = {"ok": 0, "failed": 0, "errors": []}
     lock = threading.Lock()
+    # Bound the in-flight warms: the eighth ladder has ~65 targets, and
+    # an unbounded herd would contend with the driver's own first
+    # on-demand compiles at the tunnel's compile service (which overlaps
+    # concurrent requests well, but not 65 at once). Targets are ordered
+    # largest-bucket first — the order the trajectory needs them.
+    gate = threading.Semaphore(8)
 
     def warm(bucket, step_samples, sub):
+        gate.acquire()
         try:
             sds = lambda a: jax.ShapeDtypeStruct(
                 (bucket,) + a.shape[1:], a.dtype
@@ -282,6 +289,8 @@ def _warm_fused_round_compiles(
                     "(cold-start mitigation degraded)",
                     file=sys.stderr, flush=True,
                 )
+        finally:
+            gate.release()
 
     for bucket, step_samples, sub in _warm_targets(cfg, impl, c0):
         if sync:

@@ -459,3 +459,61 @@ def test_interleaved_single_run_no_overlap():
 
     run_interleaved([m], 1, lambda tag, r: done.append(tag))
     assert done == ["only"]
+
+
+# ---------------------------------------------------------------------------
+# Compile-warmup thread gate
+# ---------------------------------------------------------------------------
+
+
+def test_warmup_gate_bounds_herd_and_completes(monkeypatch):
+    # The eighth ladder warms ~65 shapes; the semaphore must bound how
+    # many compile at once (so the herd cannot starve the driver's own
+    # on-demand compiles at the tunnel) while still completing EVERY
+    # target — a gate that acquires without releasing would warm exactly
+    # 8 shapes and silently bring the multi-minute cold-start bill back.
+    import threading
+    import time
+    from typing import NamedTuple
+
+    from collide2d_tpu.mc import driver
+    from collide2d_tpu.mc import estimator as est
+
+    N = 24
+    state = {"cur": 0, "peak": 0}
+    lock = threading.Lock()
+
+    class FakeLowered:
+        def compile(self):
+            with lock:
+                state["cur"] += 1
+                state["peak"] = max(state["peak"], state["cur"])
+            time.sleep(0.01)  # long enough that an unbounded herd piles up
+            with lock:
+                state["cur"] -= 1
+
+    class FakeFused:
+        def lower(self, *a, **k):
+            return FakeLowered()
+
+    class Cfgs(NamedTuple):
+        x: np.ndarray
+        y: np.ndarray
+
+    monkeypatch.setattr(est, "_fused_round", FakeFused())
+    monkeypatch.setattr(
+        driver, "_warm_targets",
+        lambda cfg, impl, c0: [(64 * (i + 1), 100, 0) for i in range(N)],
+    )
+    stats = driver._warm_fused_round_compiles(
+        None,
+        Cfgs(np.zeros((4, 2), np.float32), np.zeros((4,), np.float32)),
+        np.asarray([4.07, 1.74], np.float32),
+        _cfg(), impl="jnp", shape_noise=True, c0=1024,
+        acc_bins=(0.0, 1.0), bin_acc=(1e-3,),
+    )
+    deadline = time.time() + 20
+    while stats["ok"] + stats["failed"] < N and time.time() < deadline:
+        time.sleep(0.01)
+    assert stats["ok"] == N and stats["failed"] == 0, stats
+    assert 1 <= state["peak"] <= 8, state
