@@ -51,11 +51,16 @@ def save_npy(path: str | Path, array: np.ndarray) -> None:
     Write-to-temp + rename so an interrupted run never leaves a truncated
     artifact that `get_num_batches_in_dir` / --resume would count as
     complete (same publish pattern as the native async writer and the
-    estimator's checkpoint.npz).
+    estimator's checkpoint.npz). The temp name carries the PID: in a
+    multi-process generate every process publishes the SAME shared
+    tables (poses/variances/meta, identical bytes from the shared seed),
+    and a shared temp name let one process's rename steal the other's
+    file out from under its own os.replace (FileNotFoundError race seen
+    in tests/test_multihost.py).
     """
     path = Path(path)
     mkdirs(path.parent)
-    tmp = path.with_name(path.name + ".tmp")
+    tmp = path.with_name(f"{path.name}.tmp.{os.getpid()}")
     with open(tmp, "wb") as f:
         np.save(f, np.ascontiguousarray(array))
     os.replace(tmp, path)
