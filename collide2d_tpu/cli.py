@@ -186,7 +186,8 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
                    help="shard the configuration axis across all local chips")
     p.add_argument("--sample_parallel", type=int, default=d.sample_parallel,
                    help="shard each configuration's sample budget across "
-                        "this many devices (bitwise-identical labels)")
+                        "this many devices (jnp path: bitwise-identical "
+                        "labels; --impl pallas: step-split, i.i.d. streams)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
@@ -252,8 +253,10 @@ def _add_ztest(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--sample_parallel", type=int, default=d.sample_parallel,
                    help="shard each configuration's sample budget across "
-                        "this many devices (psum'd counts are bitwise equal "
-                        "to single-device labels); must divide n_batch")
+                        "this many devices (jnp path: psum'd counts are "
+                        "bitwise equal to single-device labels; --impl "
+                        "pallas: step-split, i.i.d. streams); must divide "
+                        "n_batch")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")
@@ -434,8 +437,10 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
                         "to a single-chip run)")
     p.add_argument("--sample_parallel", type=int, default=0,
                    help="shard each configuration's sample budget across "
-                        "this many devices (jnp path; labels bitwise-equal "
-                        "to a single-chip run); ignored with --data_parallel")
+                        "this many devices (jnp path: labels bitwise-equal "
+                        "to a single-chip run; with --impl pallas the fused "
+                        "kernel's step budget splits across the shards, "
+                        "i.i.d. streams); ignored with --data_parallel")
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="rounds between mid-run checkpoints to "
                         "<data_out>.checkpoint.npz (0 = off; a rerun with "

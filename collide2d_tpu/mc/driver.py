@@ -739,10 +739,10 @@ def adaptive_collision_probabilities(
     shard-invariant (`estimator._canonical_step`), so no step pinning is
     needed. Under a mesh impl='auto' therefore resolves to jnp.
     Explicitly passing impl='pallas' opts into the fused kernel
-    (config-only mesh, shard_map, per-shard seeds) at the cost of the
-    bitwise guarantee; pallas combined with a sample axis falls back to
-    jnp with a warning (the fused kernel owns the whole per-config
-    budget).
+    (shard_map, per-shard seeds) at the cost of the bitwise guarantee;
+    a sample axis > 1 then splits each round's step budget across the
+    sample shards with psum'd counts (`estimator._pallas_sharded_counts`
+    — exact totals at any step count, i.i.d. streams per shard).
     """
     run = AdaptiveRun(
         key, configs, robot_wh, cfg,
@@ -796,16 +796,6 @@ class AdaptiveRun:
             # streams).
             impl = cfg.impl if cfg.impl != "auto" else "jnp"
             n_sample = _mesh_axis(mesh, "sample")
-            if impl == "pallas" and n_sample > 1:
-                import warnings
-
-                warnings.warn(
-                    "impl='pallas' does not compose with a sample-sharded "
-                    "mesh (the fused kernel owns the whole per-config "
-                    "sample budget); falling back to the threefry jnp path",
-                    stacklevel=2,
-                )
-                impl = "jnp"
             row_sharding = NamedSharding(mesh, PartitionSpec("config"))
             n_shards = _mesh_axis(mesh, "config")
             # Config-only jnp DP shards transparently under GSPMD;

@@ -508,12 +508,18 @@ def _pallas_sharded_counts(
     poly_a_keep: tuple | None = None,
     interpret: bool = False,
 ) -> Array:
-    """The fused Pallas MC kernel under a config-sharded mesh.
+    """The fused Pallas MC kernel under a (config, sample) mesh.
 
     `shard_map` runs one kernel instance per device on its local config
     shard; each shard folds its axis index into the round key so block
-    streams never repeat across shards. Requires the mesh's ``sample``
-    axis to be 1 (the kernel owns the whole per-config sample budget).
+    streams never repeat across shards. A ``sample`` axis > 1 splits the
+    STEP budget: sample shard ``s`` runs ``n_steps // S`` steps (+1 for
+    the first ``n_steps % S`` shards, so the psum'd total is EXACTLY
+    ``n_steps * sub`` samples per config at any ``n_steps``) with the
+    sample index folded into its key. Kernel streams are block-position-
+    tied (never bitwise-comparable across layouts — see ops/mc_pallas.py
+    header), so unlike `_sample_sharded_counts` this offers the i.i.d.
+    statistical contract only, which is all the pallas path ever has.
     ``n_steps`` is TRACED (samples per config = n_steps * sub) so one
     compilation serves every round size. ``interpret`` runs the kernel in
     interpreter mode (CPU-mesh smoke tests of the shard_map wiring; pair
@@ -534,6 +540,8 @@ def _pallas_sharded_counts(
 
         kw = {"shape_noise": shape_noise}
 
+    n_sample = _mesh_axis(mesh, "sample")
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -547,10 +555,19 @@ def _pallas_sharded_counts(
     def body(key, cfgs, robot_wh, chunk_offset, n_steps):
         cidx = jax.lax.axis_index("config")
         k = jax.random.fold_in(key, cidx)
-        return _round_fn(
+        if n_sample > 1:
+            sidx = jax.lax.axis_index("sample")
+            k = jax.random.fold_in(k, sidx)
+            n_steps = n_steps // n_sample + (
+                sidx < jnp.remainder(n_steps, n_sample)
+            ).astype(jnp.int32)
+        counts = _round_fn(
             k, cfgs, robot_wh, chunk_offset,
             n_steps=n_steps, sub=sub, interpret=interpret, **kw,
         )
+        if n_sample > 1:
+            counts = jax.lax.psum(counts, "sample")
+        return counts
 
     return body(key, configs, robot_wh, chunk_offset, jnp.asarray(n_steps, jnp.int32))
 

@@ -139,30 +139,121 @@ def test_adaptive_2d_mesh_bitwise_matches_unsharded(rng, devices):
         np.testing.assert_array_equal(a, b)
 
 
-def test_adaptive_pallas_with_sample_mesh_warns_falls_back(rng, devices):
-    # impl='pallas' + sample axis > 1: logged fallback to jnp, results
-    # equal the jnp path (VERDICT r1 item 6: no silent downgrade).
-    from collide2d_tpu.mc.estimator import (
-        AdaptiveConfig,
-        adaptive_collision_probabilities,
-    )
+def test_adaptive_pallas_with_sample_mesh_accepted(rng, devices):
+    # impl='pallas' + sample axis > 1 is a supported combination (round-3
+    # sample-split, estimator._pallas_sharded_counts): the driver must
+    # keep the fused kernel — no fallback warning, impl stays 'pallas',
+    # and the round mesh is the full 2-D mesh so the shard_map wrapper
+    # sees the sample axis. The kernel itself needs a TPU, so this pins
+    # the DRIVER resolution only (the step-split math is pinned in
+    # test_pallas_sample_axis_step_split_* below).
+    import warnings
+
+    from collide2d_tpu.mc.driver import AdaptiveRun
+    from collide2d_tpu.mc.estimator import AdaptiveConfig
 
     cfgs = _configs(rng, 16)
     mesh = make_mesh(devices, sample_axis=8)
-    kwargs = dict(
-        max_samples=2048, fixed_batch=512, step_samples=64,
-        bin_accuracy=(0.002, 0.002, 0.005), min_active=8,
-    )
-    key = jax.random.PRNGKey(17)
-    with pytest.warns(UserWarning, match="pallas"):
-        got = adaptive_collision_probabilities(
-            key, cfgs, ROBOT, AdaptiveConfig(impl="pallas", **kwargs), mesh=mesh
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        run = AdaptiveRun(
+            jax.random.PRNGKey(17), cfgs, ROBOT,
+            AdaptiveConfig(
+                impl="pallas", max_samples=2048, fixed_batch=512,
+                bin_accuracy=(0.002, 0.002, 0.005), min_active=8,
+            ),
+            mesh=mesh, warmup=False,
         )
-    base = adaptive_collision_probabilities(
-        key, cfgs, ROBOT, AdaptiveConfig(impl="jnp", **kwargs), mesh=mesh
+    assert run.scheduler.impl == "pallas"
+    assert run.ops.round_mesh is mesh
+
+
+def _shape_only_uniform_stub():
+    """A seed-blind AND call-index-blind uniform source: values depend
+    only on the requested shape, so every step of every shard (and every
+    separately jitted trace, cached or fresh) draws identical noise.
+    Counts are then exactly linear in the executed step count — the
+    property the step-split tests below lean on."""
+    import jax
+    import jax.numpy as jnp
+
+    def stub(shape):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        h = (i * jnp.int32(shape[1]) + j) * jnp.int32(-1640531535) + jnp.int32(
+            40503
+        )
+        u24 = jax.lax.shift_right_logical(h, 8) & jnp.int32(0xFFFFFF)
+        return (u24.astype(jnp.float32) + 1.0) * jnp.float32(1.0 / (1 << 24))
+
+    return stub
+
+
+def test_pallas_sample_axis_step_split_exact(rng, devices, monkeypatch):
+    # Sample-axis pallas: shard s runs n_steps//S steps (+1 for the first
+    # n_steps%S shards); the psum'd counts must equal the unsharded
+    # kernel at the SAME total step count. Under the shape-only stub,
+    # counts are linear in executed steps, so equality at n_steps=12 over
+    # S=8 shards (locals 2,2,2,2,1,1,1,1) pins the split, the remainder
+    # distribution, and the psum wiring exactly — over-replication
+    # (8x12) or a dropped remainder (8x1) would both fail.
+    import collide2d_tpu.ops.mc_pallas as mcp
+    from collide2d_tpu.mc.estimator import _pallas_sharded_counts
+    from collide2d_tpu.ops.mc_pallas import mc_round_pallas
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", _shape_only_uniform_stub())
+    C = mcp.LANE_CONFIGS
+    cfgs = _configs(rng, C)
+    key = jax.random.PRNGKey(5)
+    base = np.asarray(
+        mc_round_pallas(
+            key, cfgs, ROBOT, jnp.int32(0),
+            n_steps=jnp.int32(12), sub=16, interpret=True,
+        )
     )
-    for a, b in zip(got, base):
-        np.testing.assert_array_equal(a, b)
+    mesh = make_mesh(devices, sample_axis=8)
+    got = np.asarray(
+        _pallas_sharded_counts(
+            key, cfgs, ROBOT, jnp.int32(0), jnp.int32(12),
+            sub=16, mesh=mesh, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+    assert base.max() > 0  # some configurations collide under the stub
+
+
+def test_pallas_sample_axis_step_split_polygons(rng, devices, monkeypatch):
+    # Same exact-step-split pin for the fused POLYGON kernel dispatch
+    # (PolygonConfigs shards route to ops.mc_polygon_pallas, which shares
+    # the uniform source hook with ops.mc_pallas).
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    from collide2d_tpu.mc.estimator import _pallas_sharded_counts
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", _shape_only_uniform_stub())
+    C = mpp.LANE_CONFIGS
+    cfgs = example_polygon_configs(C, k=6, seed=9)
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(5)
+    base = np.asarray(
+        mpp.mc_round_polygons_pallas(
+            key, cfgs, robot, jnp.int32(0),
+            n_steps=jnp.int32(11), sub=16, interpret=True,
+        )
+    )
+    mesh = make_mesh(devices, sample_axis=8)
+    got = np.asarray(
+        _pallas_sharded_counts(
+            key, cfgs, robot, jnp.int32(0), jnp.int32(11),
+            sub=16, mesh=mesh, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+    assert base.max() > 0
 
 
 def test_pallas_sharded_counts_smoke_interpret(rng, devices, monkeypatch):
