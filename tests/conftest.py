@@ -25,6 +25,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize's axon register() forces jax_platforms="axon,cpu" at the
+# CONFIG level (env JAX_PLATFORMS=cpu is a no-op against it), so the
+# first jax.devices() call initializes the remote axon backend — a
+# tunnel round-trip that blocks the whole CPU suite for minutes (or
+# forever) whenever the tunnel is loaded. Re-pin the config AFTER the
+# import so backends() never constructs the axon client: the suite must
+# run green with the tunnel wedged.
+jax.config.update("jax_platforms", "cpu")
+
 _CPU_DEVICES = jax.devices("cpu")
 jax.config.update("jax_default_device", _CPU_DEVICES[0])
 

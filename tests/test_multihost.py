@@ -36,6 +36,7 @@ _WORKER = r"""
 import os, sys
 os.environ["JAX_NUM_CPU_DEVICES"] = "1"
 import jax
+jax.config.update("jax_platforms", "cpu")  # never touch the axon tunnel
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 from collide2d_tpu.parallel.distributed import process_batch_range
 from collide2d_tpu.data.pipeline import GenerateConfig, generate_dataset
@@ -114,6 +115,7 @@ os.environ["JAX_NUM_CPU_DEVICES"] = "1"
 from collide2d_tpu.parallel.distributed import initialize_multihost
 initialize_multihost("localhost:12477", 2, int(sys.argv[1]))
 import jax
+jax.config.update("jax_platforms", "cpu")  # never touch the axon tunnel
 jax.devices()
 """
     procs = [
