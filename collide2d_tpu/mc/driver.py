@@ -621,11 +621,22 @@ class _JaxOps:
         self._shard = shard
         self._progress = progress
         self._checkpoint_write = checkpoint_write
+        # Host-side accounting: device sample-slots dispatched so far
+        # (Σ n_batch x rounds x buffer rows, padding and post-freeze rows
+        # included). Slot efficiency = Σ frozen denominators / this —
+        # the share of dispatched work that labels actually used; the
+        # complement is padding + ride waste (bench_e2e reports both).
+        self.dispatched_slots = 0
+        self.slots_by_bucket: dict[int, int] = {}
 
     def buffer_len(self) -> int:
         return len(self.state.uids)
 
     def run_rounds(self, nb, step, n_rounds, n_samples_first, chunk_offset):
+        buf = self.buffer_len()
+        slots = int(nb) * int(n_rounds) * buf
+        self.dispatched_slots += slots
+        self.slots_by_bucket[buf] = self.slots_by_bucket.get(buf, 0) + slots
         if self.impl == "pallas":
             # Static sub (always 64: _plan_round rounds nb to its
             # granule), traced step count — one compile per bucket.

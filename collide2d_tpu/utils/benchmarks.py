@@ -836,6 +836,7 @@ def bench_e2e(
 
     def run(warm_threads: bool = False):
         results = {}
+        slots = {}
 
         def make(i):
             return lambda: (
@@ -850,24 +851,26 @@ def bench_e2e(
                 ),
             )
 
+        def done_cb(i, r):
+            results[i] = r.materialize()
+            slots[i] = getattr(r.ops, "dispatched_slots", 0)
+
         t0 = time.perf_counter()
-        run_interleaved(
-            [make(i) for i in range(batches)], overlap,
-            lambda i, r: results.__setitem__(i, r.materialize()),
-        )
-        return time.perf_counter() - t0, results
+        run_interleaved([make(i) for i in range(batches)], overlap, done_cb)
+        return time.perf_counter() - t0, results, sum(slots.values())
 
     # Warm pass with the SAME keys as the timed pass: the bucket-ladder
     # trajectory is key-dependent, so only an identical run guarantees
     # every compiled shape is warm (a fresh-key warm pass leaves cold
     # rungs that bill remote compiles into the timed pass).
     run(warm_threads=True)
-    dt, results = run()
+    dt, results, slots = run()
     total = configs * batches
     rate = total / dt
     done = np.concatenate([r[2] for r in results.values()])
     n_used = np.concatenate([r[1] for r in results.values()])
     cp = np.concatenate([r[0] for r in results.values()])
+    used = float(np.asarray(n_used, np.float64).sum())
     return {
         "metric": "configs_labeled_per_sec"
         + ("_tuned" if schedule == "tuned" else ""),
@@ -882,6 +885,13 @@ def bench_e2e(
         "converged_frac": float(done.mean()),
         "mean_samples_per_config": float(np.asarray(n_used).mean()),
         "mean_cp": float(np.asarray(cp).mean()),
+        # Where the wall-clock goes: dispatched slot rate ~ the kernel's
+        # streaming rate means the chip never idles (the gap to the e2e
+        # effective rate is then padding + ride waste = 1 -
+        # slot_efficiency); a dispatched rate well BELOW the kernel rate
+        # means host/dispatch/readback stalls.
+        "dispatched_slots_per_sec": slots / dt,
+        "slot_efficiency": (used / slots) if slots else 0.0,
     }
 
 

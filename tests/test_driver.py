@@ -517,3 +517,30 @@ def test_warmup_gate_bounds_herd_and_completes(monkeypatch):
         time.sleep(0.01)
     assert stats["ok"] == N and stats["failed"] == 0, stats
     assert 1 <= state["peak"] <= 8, state
+
+
+def test_dispatched_slot_accounting_real_ops(rng):
+    # _JaxOps.dispatched_slots counts every device sample-slot the run
+    # dispatched (n_batch x rounds x buffer rows). Invariants: it is at
+    # least the sum of frozen per-config denominators (every used sample
+    # was dispatched; padding/ride waste only adds), and at most the
+    # no-repack upper bound n_samples x initial buffer.
+    import jax
+
+    from collide2d_tpu.mc.driver import AdaptiveRun
+    from tests.conftest import random_configs
+
+    cfgs = random_configs(rng, 64)
+    run = AdaptiveRun(
+        jax.random.PRNGKey(3), cfgs, np.asarray([4.07, 1.74], np.float32),
+        AdaptiveConfig(
+            max_samples=4096, fixed_batch=512,
+            bin_accuracy=(0.002, 0.002, 0.005), min_active=8, impl="jnp",
+        ),
+        warmup=False,
+    )
+    run.scheduler.run()
+    cp, n_used, done = run.materialize()
+    slots = run.ops.dispatched_slots
+    assert slots >= int(np.asarray(n_used, np.int64).sum()) > 0
+    assert slots <= run.scheduler.n_samples * 64
