@@ -28,6 +28,50 @@ import sys
 
 
 def main() -> int:
+    import os
+    import threading
+    import time
+
+    # Watchdog: the axon tunnel can wedge hard enough that PJRT backend
+    # init (or a mid-run dispatch) blocks FOREVER, which would hang the
+    # whole round capture. Bound backend init at 15 min; after that,
+    # require progress (one completed bench section) every 30 min. On a
+    # stall, exit via os._exit — the headline prints early precisely so
+    # a mid-secondaries kill still leaves a valid capture.
+    init_timeout = float(os.environ.get("COLLIDE2D_BENCH_INIT_TIMEOUT", 900))
+    stall_timeout = float(os.environ.get("COLLIDE2D_BENCH_STALL_TIMEOUT", 1800))
+    last_progress = [time.monotonic()]
+    init_done = threading.Event()
+
+    def _watchdog() -> None:
+        if not init_done.wait(timeout=init_timeout):
+            print(
+                f"# FATAL: TPU backend init did not complete in "
+                f"{init_timeout:.0f}s (axon tunnel wedged?) - aborting bench",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(17)
+        while True:
+            time.sleep(min(60.0, stall_timeout / 4))
+            if time.monotonic() - last_progress[0] > stall_timeout:
+                print(
+                    f"# FATAL: no bench progress for {stall_timeout:.0f}s "
+                    "(tunnel stall?) - aborting; headline (if printed) "
+                    "remains valid",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                os._exit(18)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+
+    jax.devices()  # force backend init under the watchdog's deadline
+    init_done.set()
+    last_progress[0] = time.monotonic()
+
     from collide2d_tpu.utils.benchmarks import (
         bench_mc,
         bench_mc_pallas,
@@ -56,6 +100,7 @@ def main() -> int:
             log(res)
         except Exception as e:
             print(f"# {probe.__name__} failed: {e}", file=sys.stderr, flush=True)
+        last_progress[0] = time.monotonic()
 
     # Headline: Pallas SAT throughput, sanity-checked against the measured
     # streaming bandwidth (the kernel reads 128 bytes/pair, so value *
@@ -85,6 +130,7 @@ def main() -> int:
             headline["bandwidth_check"] = "ok"
     line = json.dumps(headline)
     print(line, flush=True)  # early capture, in case secondaries time out
+    last_progress[0] = time.monotonic()
 
     # Secondary metrics (stderr, '#'-prefixed). Failures never break the
     # headline.
@@ -130,6 +176,7 @@ def main() -> int:
             log(fn())
         except Exception as e:
             print(f"# {fn.__name__} failed: {e}", file=sys.stderr, flush=True)
+        last_progress[0] = time.monotonic()
 
     sys.stderr.flush()
     print(line, flush=True)  # the contract: headline is the FINAL line
