@@ -1,0 +1,120 @@
+"""schedule_sim: the offline waste simulator must REPRODUCE the live
+driver, not approximate it — same scheduler class, same plan, same
+repack trajectory. The equivalence test feeds a real jnp run's own
+n_used column back through ProfileOps and requires identical dispatched
+slots and an identical per-bucket slot histogram."""
+
+import numpy as np
+import pytest
+
+from collide2d_tpu.mc.estimator import AdaptiveConfig
+from collide2d_tpu.mc.schedule_sim import (
+    ProfileOps,
+    round_boundaries,
+    simulate_convergence,
+    simulate_schedule,
+)
+
+
+def test_round_boundaries_reference_schedule():
+    cfg = AdaptiveConfig()
+    b = round_boundaries(cfg, impl="jnp")
+    # reference: 1000/round to 20k, then 100k rounds to the 4e6 cap
+    # (generate_dataset.cu:427-430)
+    assert list(b[:20]) == [1000 * (i + 1) for i in range(20)]
+    assert b[20] == 120_000
+    assert b[-1] >= cfg.max_samples
+    assert np.all(np.diff(b) > 0)
+
+
+def test_simulate_convergence_degenerate_and_mid_p():
+    cfg = AdaptiveConfig()
+    n = simulate_convergence(
+        np.asarray([0.0, 0.5, 1.0]), cfg, seed=1, impl="jnp"
+    )
+    # Degenerate trajectories are deterministic (rule-of-three slack
+    # ln(40)/n). cp=0 sits in bin 0 (target 1e-4): needs n >= 36889, so
+    # the reference schedule catches it at the 120k round end. cp=1 sits
+    # in the LOOSE top bin (target 1e-2): ln(40)/n <= 0.01 already at
+    # n=369, i.e. the very first 1000-sample checkpoint.
+    assert n[0] == 120_000 and n[2] == 1_000
+    # cp=0.5 (bin 2, target 1e-2) needs n ~ 9.6k: converges in the
+    # 1000-sample phase, strictly earlier than the degenerate rows.
+    assert 8_000 <= n[1] <= 20_000
+    # the tuned schedule's extra checkpoint catches the degenerate rows
+    # right after the rule-of-three point instead of at 120k
+    tuned = AdaptiveConfig(schedule="tuned")
+    nt = simulate_convergence(np.asarray([0.0]), tuned, seed=1, impl="jnp")
+    assert 36_889 <= nt[0] < 120_000
+
+
+def test_waste_split_accounts_every_slot():
+    # 4 rows, fixed 100-sample rounds, cap 400. Freeze points: row0 at
+    # 100 (rides after), row1 at 200, rows 2-3 never (freeze at cap).
+    cfg = AdaptiveConfig(
+        fixed_batch=100, max_samples=400, min_active=2,
+        step_samples=100, ladder="half",
+    )
+    ops = ProfileOps(np.asarray([100, 200, 400, 400]))
+    from collide2d_tpu.mc.driver import AdaptiveScheduler
+
+    AdaptiveScheduler(
+        cfg, ops, num_real=4, impl="jnp",
+        sync_samples=100 * 4, pipeline_work=10**9,
+    ).run()
+    assert ops.used + ops.ride + ops.padding == ops.dispatched_slots
+    assert ops.dispatched_slots > 0
+    # row0 used exactly 100 slots, row1 exactly 200, rows 2-3 all 400
+    assert ops.used == 100 + 200 + 400 + 400
+
+
+@pytest.mark.parametrize("schedule", [None, "tuned"])
+def test_simulator_reproduces_live_jnp_driver(rng, schedule):
+    import jax
+
+    from collide2d_tpu.mc.driver import AdaptiveRun
+    from tests.conftest import random_configs
+
+    cfgs = random_configs(rng, 96)
+    ad = AdaptiveConfig(
+        max_samples=16384, initial_batch=256, initial_phase_samples=2048,
+        later_batch=4096, bin_accuracy=(0.005, 0.005, 0.02),
+        min_active=8, impl="jnp", schedule=schedule,
+    )
+    run = AdaptiveRun(
+        jax.random.PRNGKey(11), cfgs,
+        np.asarray([4.07, 1.74], np.float32), ad, warmup=False,
+    )
+    run.scheduler.run()
+    cp, n_used, done = run.materialize()
+    n_used = np.asarray(n_used, np.int64)
+
+    sim = simulate_schedule(n_used, ad, impl="jnp")
+    # identical dispatch trajectory: same total slots AND same per-bucket
+    # histogram (buffer sizes after every repack match the live run)
+    assert sim["slots"] == run.ops.dispatched_slots
+    assert sim["slots_by_bucket"] == run.ops.slots_by_bucket
+    # the used split is exactly the sum of frozen denominators
+    assert sim["used"] == int(n_used.sum())
+    assert sim["used"] + sim["ride"] + sim["padding"] == sim["slots"]
+    assert 0.0 < sim["efficiency"] <= 1.0
+
+
+def test_time_model_counts_dispatches_and_rate():
+    cfg = AdaptiveConfig(
+        fixed_batch=100, max_samples=200, min_active=4,
+        step_samples=100, ladder="half",
+    )
+    ops = ProfileOps(
+        np.asarray([200, 200, 200, 200]),
+        t_dispatch=0.5, rate=lambda buf: 100.0 * buf,
+    )
+    from collide2d_tpu.mc.driver import AdaptiveScheduler
+
+    AdaptiveScheduler(
+        cfg, ops, num_real=4, impl="jnp",
+        sync_samples=100 * 4, pipeline_work=10**9,
+    ).run()
+    # each dispatched slot-batch: t_dispatch + slots/(100*buf)
+    # = 0.5 + (100*rounds*buf)/(100*buf) = 0.5 + rounds
+    assert ops.time == pytest.approx(0.5 * ops.n_dispatches + 200 / 100)
