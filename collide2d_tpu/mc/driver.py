@@ -355,6 +355,7 @@ class AdaptiveScheduler:
         checkpoint_every: int = 0,
         sync_samples: int = SYNC_SAMPLES,
         pipeline_work: int = PIPELINE_WORK,
+        eager_resolve: bool = False,
     ) -> None:
         self.cfg = cfg
         self.ops = ops
@@ -368,6 +369,23 @@ class AdaptiveScheduler:
         self.checkpoint_every = checkpoint_every
         self.sync_samples = sync_samples
         self.pipeline_work = pipeline_work
+        # Eager mode: handle the in-flight count at the TOP of step(),
+        # BEFORE planning the next group, so a repack always lands before
+        # the group it could have shrunk — no group ever runs on a buffer
+        # the scheduler already knows is mostly done, and no resolved
+        # count is ever discarded. The resolve may block on the group's
+        # completion + the ~30 ms tunnel round trip, which is dead time
+        # for a SOLO run (that is exactly what the pipelined default
+        # avoids) but is covered work when sibling interleaved runs keep
+        # the device queue full — so `run_interleaved` turns this on and
+        # the serial drivers leave it off. Deterministic by construction
+        # (no readiness probing): the scheduler trajectory, and therefore
+        # the Pallas path's block-tied sample streams, stay reproducible
+        # for a given (seed, overlap) setting. Measured in the offline
+        # replay (mc/schedule_sim.py) on the bench workload: slot
+        # efficiency 0.84 -> 0.95 (reference schedule) / 0.76 -> 0.93
+        # (tuned) at 65k configs.
+        self.eager_resolve = eager_resolve
         self._inflight = None   # pipelined done-count handle (one group stale)
         self._pending_active = None  # async exact-active-count from last pack
         self._stopped = False
@@ -498,6 +516,17 @@ class AdaptiveScheduler:
         """
         if self.finished:
             return False
+        if self.eager_resolve and self._inflight is not None:
+            # Eager path: consume the previous group's count before
+            # planning, so any repack shrinks THIS group's buffer (the
+            # pipelined default repacks one group late; see __init__).
+            action = self._handle(self.ops.resolve(self._inflight))
+            self._inflight = None
+            if action == STOP:
+                self._stopped = True
+                return False
+            if self.finished:
+                return False
         group, work = self.plan_group()
         handle = None
         # Coalesce maximal same-plan runs into ONE fused multi-round
@@ -534,6 +563,15 @@ class AdaptiveScheduler:
                 # The just-dispatched group's count refers to the
                 # pre-repack buffer — discard it.
                 return not self.finished
+        if self.eager_resolve:
+            # The count is consumed at the next step's top, before any
+            # further dispatch — the same decision point a synchronous
+            # resolve here would give, but the block happens after the
+            # caller has stepped its sibling runs (their queued groups
+            # cover the wait). The cliff special-case is subsumed: EVERY
+            # group's repack lands before the next group.
+            self._inflight = handle
+            return not self.finished
         resolve_now = work >= self.pipeline_work
         if not resolve_now and self.n_samples < self.cfg.max_samples:
             # Schedule cliff: if the NEXT round is expensive relative to
@@ -1063,7 +1101,8 @@ class AdaptiveRun:
         return out_cp, out_n, out_done
 
 
-def run_interleaved(makers, overlap: int, on_done) -> None:
+def run_interleaved(makers, overlap: int, on_done, *,
+                    eager_resolve: bool = True) -> None:
     """Drive several `AdaptiveRun`s with their sync groups interleaved.
 
     ``makers``: ordered zero-arg callables, each creating a fresh
@@ -1077,15 +1116,26 @@ def run_interleaved(makers, overlap: int, on_done) -> None:
     the new run's big rounds go on to interleave with the older run's
     small convergence-tail rounds — the cross-batch pipelining the
     reference's strictly serial loop lacks (generate_dataset.cu:418-505).
+    Each admitted run's scheduler switches to EAGER count resolution
+    (``AdaptiveScheduler.eager_resolve``): its repacks land one group
+    earlier than the serial pipelined default, and the resolve stalls
+    that would idle a solo run are covered by the sibling runs' queued
+    groups (``eager_resolve=False`` restores round-2 behavior).
     Three pieces of host work are additionally taken off the critical
     path (each measured 0.05-0.15 s/batch of device idle on the tunnel):
     the NEXT maker runs on a prefetch thread as soon as the previous
     admission happens; a finished run's output readback starts
     asynchronously (`prefetch_outputs`); and its ``on_done`` (pack/
     shuffle/write submit) is deferred by one iteration so the copy
-    overlaps younger runs' sync groups. Results are BITWISE identical to
-    running the same runs serially: each run's keys, buffers, and round
-    plan are untouched; interleaving only reorders device dispatch.
+    overlaps younger runs' sync groups. Label parity vs the serial loop:
+    the threefry path is BITWISE identical — its streams are keyed by
+    (batch key, uid, step tag), so neither the interleaving nor the
+    eager repack timing can move a single draw; the Pallas path's
+    block-tied streams see the eager mode's earlier repacks, so it keeps
+    its usual statistical-only contract (labels remain deterministic and
+    reproducible for a given seed + overlap + eager setting; pass
+    ``eager_resolve=False`` for dispatch-order-only interleaving, which
+    is bitwise for BOTH paths vs serial).
     """
     import threading
 
@@ -1118,6 +1168,7 @@ def run_interleaved(makers, overlap: int, on_done) -> None:
                 prefetch["thread"].join()
                 runs.append(prefetch["box"]["made"])
                 prefetch.update(thread=None, box=None)
+            runs[-1][1].scheduler.eager_resolve = bool(eager_resolve)
             start_prefetch()
         # Step the OLDEST run first (runs complete in order), then give
         # every younger run one sync group so its rounds queue behind the

@@ -218,6 +218,7 @@ def simulate_schedule(
     rate=None,
     sync_samples: int | None = None,
     pipeline_work: int | None = None,
+    eager_resolve: bool = False,
 ) -> dict:
     """Replay the production scheduler over a freeze-point profile.
 
@@ -232,7 +233,8 @@ def simulate_schedule(
     if pipeline_work is not None:
         kw["pipeline_work"] = pipeline_work
     sched = AdaptiveScheduler(
-        cfg, ops, num_real=ops.rows.size, impl=impl, **kw
+        cfg, ops, num_real=ops.rows.size, impl=impl,
+        eager_resolve=eager_resolve, **kw
     )
     sched.run()
     return {

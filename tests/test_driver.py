@@ -178,6 +178,80 @@ def test_repacked_discards_next_group_count():
     assert s.finished
 
 
+def test_eager_resolve_handles_count_before_next_dispatch():
+    # Eager mode (run_interleaved's default): the in-flight count is
+    # consumed at the TOP of the next step, so after the first group
+    # every resolve precedes the next dispatch — even for groups the
+    # pipelined default would have carried one group stale.
+    ops = FakeOps(buffer_len=1000)
+    s = _sched(
+        _cfg(), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,  # pipelined mode would never sync
+        eager_resolve=True,
+    )
+    s.run()
+    events = [e[0] for e in ops.log if e[0] in ("run_round", "resolve")]
+    assert events == ["run_round", "resolve"] * (len(events) // 2)
+    resolved_ids = [h[1] for h in ops.resolved]
+    assert resolved_ids == sorted(resolved_ids)
+
+
+def test_eager_repack_lands_before_next_group_and_discards_nothing():
+    # Same 90%-done script as test_repacked_discards_next_group_count:
+    # eager mode repacks BEFORE dispatching the next group, so the group
+    # runs on the packed buffer and no resolved count is ever discarded.
+    ops = FakeOps(
+        buffer_len=1000,
+        done_for=lambda rnd, n: 900 if rnd == 0 else 0,
+    )
+    s = _sched(
+        _cfg(max_samples=5000), ops,
+        sync_samples=1000 * 1000,
+        pipeline_work=100 * 1000 * 1000,
+        eager_resolve=True,
+    )
+    s.run()
+    pack_i = next(i for i, e in enumerate(ops.log) if e[0] == "pack")
+    bucket = ops.log[pack_i][1]
+    assert bucket < 1000
+    # every dispatch after the pack ran on the packed buffer: FakeOps
+    # mutates _len at pack, and plan_group reads it per group — verify via
+    # the dispatch log positions.
+    dispatches_after = [
+        e for e in ops.log[pack_i + 1:] if e[0] == "run_round"
+    ]
+    assert dispatches_after, "remaining rounds must still run"
+    # no discarded counts: EVERY dispatched handle resolves (the final
+    # one at drain time) — pipelined mode discards the group dispatched
+    # while the repacking count was in flight.
+    resolved_ids = {h[1] for h in ops.resolved}
+    assert resolved_ids == {h[1] for h in ops.dispatched}
+
+
+def test_eager_beats_pipelined_slot_efficiency_on_profile():
+    # Offline replay of the production scheduler on a synthetic freeze
+    # profile: eager resolution must strictly reduce ride+padding slots.
+    from collide2d_tpu.mc.schedule_sim import simulate_schedule
+
+    rng = np.random.default_rng(0)
+    # bimodal profile: 60% freeze early, the rest spread to the cap
+    n_frozen = np.where(
+        rng.random(4096) < 0.6,
+        2000,
+        rng.choice([4000, 6000, 8000, 10_000], size=4096),
+    )
+    cfg = _cfg()
+    kw = dict(  # one round per sync group, pipelining unrestricted
+        sync_samples=4096 * 1000, pipeline_work=100 * 4096 * 1000
+    )
+    lazy = simulate_schedule(n_frozen, cfg, **kw)
+    eager = simulate_schedule(n_frozen, cfg, eager_resolve=True, **kw)
+    assert eager["efficiency"] > lazy["efficiency"]
+    assert eager["used"] == lazy["used"]  # labels use identical samples
+    assert eager["slots"] < lazy["slots"]
+
+
 def test_schedule_cliff_resolves_before_big_round():
     # A cheap group right before an expensive round must resolve its
     # count synchronously (pipelining would run the big round on a stale,
