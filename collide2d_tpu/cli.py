@@ -50,13 +50,16 @@ def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
                         "(0 = off/reference parity; 6.0 recommended: label "
                         "error ~1e-8, far below every accuracy bin)")
     p.add_argument("--ladder", default="eighth",
-                   choices=["half", "quarter", "eighth"],
-                   help="repack bucket ladder granularity (eighth: finest "
-                        "rungs, <=12.5%% padding AND the tightest bound on "
-                        "how long converged rows ride before a repack — "
-                        "measured +3-5%% end to end over quarter; "
-                        "quarter/half: progressively fewer compiled shapes "
-                        "for cold-cache hosts)")
+                   choices=["half", "quarter", "eighth", "sixteenth"],
+                   help="repack bucket ladder granularity (eighth, the "
+                        "default: <=12.5%% padding AND the tightest "
+                        "practical bound on how long converged rows ride "
+                        "before a repack — measured +3-5%% end to end over "
+                        "quarter; quarter/half: progressively fewer "
+                        "compiled shapes for cold-cache hosts; sixteenth: "
+                        "simulated +1-2%% device slots over eighth for 2x "
+                        "the compile-warm bill — only for long runs on "
+                        "persistent-cache hosts)")
 
 
 def _schedule_arg(args: argparse.Namespace):

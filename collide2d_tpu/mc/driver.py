@@ -166,12 +166,22 @@ def _round_up_bucket(n: int, min_bucket: int, ladder: str = "half") -> int:
     ~5.6%) for four more shapes per octave; only pays where the compile
     bill is fully warmed/cached AND the workload spends most of its time
     in large repacked rounds.
+    ladder="sixteenth": all 2^k + i*2^(k-4) rungs below eighth spacing —
+    padding <= 6.25% (avg ~3%) for eight more shapes per octave; under
+    EAGER count resolution the rung spacing bounds ride waste too, so
+    the finer ladder pays twice, at 2x the warm/compile bill.
     Every rung is a multiple of 8 at the sizes where it is used (b >= 16
-    half-steps, b >= 32 quarter-steps, b >= 64 eighth-steps).
+    half-steps, b >= 32 quarter-steps, b >= 64 eighth-steps, b >= 128
+    sixteenth-steps).
     """
     b = max(min_bucket, 1)
     while b < n:
-        if ladder == "eighth" and b >= 64:
+        if ladder == "sixteenth" and b >= 128:
+            for i in range(1, 16):
+                m = b + i * (b // 16)
+                if m >= n:
+                    return m
+        elif ladder in ("eighth", "sixteenth") and b >= 64:
             for i in range(1, 8):
                 m = b + i * (b // 8)
                 if m >= n:

@@ -723,9 +723,9 @@ class AdaptiveConfig:
     prune_sigma: float = 0.0
 
     def __post_init__(self):
-        if self.ladder not in ("half", "quarter", "eighth"):
-            raise ValueError(f"ladder must be 'half', 'quarter' or "
-                             f"'eighth', got {self.ladder!r}")
+        if self.ladder not in ("half", "quarter", "eighth", "sixteenth"):
+            raise ValueError(f"ladder must be 'half', 'quarter', 'eighth' "
+                             f"or 'sixteenth', got {self.ladder!r}")
         # A length mismatch would otherwise be silent: jnp's clamping
         # gather in stats.is_converged reuses the last accuracy target for
         # out-of-range bins, yielding wrong convergence thresholds.

@@ -331,6 +331,13 @@ def test_round_up_bucket_ladder():
         b = _round_up_bucket(n, 64)
         assert b >= n and b % 8 == 0
         assert b <= 2 * n or b == 64  # never worse than the old 2x bound
+    # sixteenth ladder: rungs at 2^k + i*2^(k-4) above 128 — padding
+    # bounded at 6.25%, every rung still a multiple of 8
+    assert _round_up_bucket(129, 64, "sixteenth") == 136
+    assert _round_up_bucket(2049, 64, "sixteenth") == 2176
+    for n in range(129, 5000, 37):
+        b = _round_up_bucket(n, 64, "sixteenth")
+        assert n <= b <= n + max(n // 16 + 16, 16) and b % 8 == 0
 
 
 def test_plan_round_shard_invariance_and_fallback():
