@@ -118,9 +118,12 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--overlap_batches", type=int, default=3,
                    help="cross-batch pipelining depth: batch i+1's rounds "
                         "interleave with batch i's convergence tail so the "
-                        "chip never idles at batch boundaries; results are "
-                        "bitwise-identical to the serial loop (1 = "
-                        "reference-style strictly serial batches)")
+                        "chip never idles at batch boundaries; outputs are "
+                        "bitwise-identical across ALL depths (1 = batches "
+                        "run one at a time through the same eager-resolve "
+                        "scheduler, so its outputs stay comparable — it is "
+                        "NOT the pipelined-readback solo driver that "
+                        "relabel/ztest use)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")

@@ -30,6 +30,7 @@ TPU-first differences from the reference (all documented divergences):
 from __future__ import annotations
 
 import functools
+import json
 import math
 import time
 from dataclasses import dataclass
@@ -499,12 +500,30 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
     # its already-written outputs, not append a second copy after them
     # (get_num_batches_in_dir would otherwise count them as preexisting).
     start_batch_count = get_num_batches_in_dir(data_out)
-    marker = data_out / ".relabel_start"
-    if cfg.resume and marker.exists():
-        start_batch_count = int(marker.read_text())
-    elif cfg.resume:
-        marker.write_text(str(start_batch_count))
     num_batches = get_num_batches_in_dir(data_in)
+    # The marker carries the run's identity: a marker left by a killed
+    # resume run against a DIFFERENT input/seed must not pin this run's
+    # append window (it would skip every output batch as "already
+    # written" — silent data loss). Stale/foreign markers are ignored
+    # and overwritten; ANY clean finish removes the marker.
+    marker = data_out / ".relabel_start"
+    identity = {"data_in": str(Path(cfg.data_in).resolve()),
+                "seed": int(cfg.seed), "num_batches": int(num_batches)}
+    if cfg.resume:
+        pinned = None
+        if marker.exists():
+            try:
+                saved = json.loads(marker.read_text())
+                if (isinstance(saved, dict)
+                        and {k: saved.get(k) for k in identity} == identity):
+                    pinned = int(saved["start"])
+            except (ValueError, KeyError, OSError):
+                pinned = None  # pre-identity or corrupt marker: stale
+        if pinned is None:
+            marker.write_text(json.dumps({"start": start_batch_count,
+                                          **identity}))
+        else:
+            start_batch_count = pinned
 
     _log(cfg, "Reading data...")
     poses = schemas.validate_poses(load_npy(data_out / "poses.npy"))
@@ -556,7 +575,7 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
         errors = writer.flush()
         if errors:
             raise IOError(f"{errors} batch file(s) failed to write")
-    if cfg.resume and marker.exists():
+    if marker.exists():
         marker.unlink()  # clean finish: next relabel appends afresh
     _log(cfg, "Finished computation")
 

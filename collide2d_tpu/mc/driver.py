@@ -186,7 +186,7 @@ def _round_up_bucket(n: int, min_bucket: int, ladder: str = "half") -> int:
                 m = b + i * (b // 8)
                 if m >= n:
                     return m
-        elif ladder in ("quarter", "eighth") and b >= 32:
+        elif ladder in ("quarter", "eighth", "sixteenth") and b >= 32:
             for m in (b + b // 4, b + b // 2, b + 3 * (b // 4)):
                 if m >= n:
                     return m
@@ -1040,23 +1040,16 @@ class AdaptiveRun:
             checkpoint_every=checkpoint_every,
         )
 
-    def tail_ready(self, frac: float = 0.25) -> bool:
-        """True once this run's active pool has shrunk below ``frac`` of
-        its original configuration count (stale-safe estimate) — the
-        point where a pipelined driver should start the NEXT batch so its
-        big rounds interleave with this run's small tail rounds."""
-        s = self.scheduler
-        return s.finished or s.num_real <= max(1, int(self.C * frac))
-
     def pipeline_ready(self) -> bool:
         """True once this run's initial phase has been DISPATCHED — the
         earliest point a pipelined driver should admit the next batch.
 
-        tail_ready() (pool below 25%) only flips after the first bulk
-        round's count RESOLVES — by then the host has just sat through a
-        synchronous cliff resolve (the first 100k round is ~0.6 s of
-        device work) and then builds the next run's configs with an
-        empty device queue. Admitting on dispatch instead means the big
+        The round-2 policy (admit when the pool shrinks below 25%) only
+        flipped after the first bulk round's count RESOLVED — by then
+        the host had just sat through a synchronous cliff resolve (the
+        first 100k round is ~0.6 s of device work) and then built the
+        next run's configs with an empty device queue. Admitting on
+        dispatch instead means the big
         bulk rounds sit in the queue keeping the chip busy while the
         host samples/transfers the next batch. Purely a scheduling hint:
         admission timing never touches any run's keys, buffers, or round
@@ -1159,7 +1152,10 @@ def run_interleaved(makers, overlap: int, on_done, *,
             maker, box = pending[0], {}
 
             def work():
-                box["made"] = maker()
+                try:
+                    box["made"] = maker()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    box["error"] = e
 
             t = threading.Thread(target=work, daemon=True)
             t.start()
@@ -1176,8 +1172,11 @@ def run_interleaved(makers, overlap: int, on_done, *,
             else:
                 pending.pop(0)
                 prefetch["thread"].join()
-                runs.append(prefetch["box"]["made"])
+                box = prefetch["box"]
                 prefetch.update(thread=None, box=None)
+                if "error" in box:  # maker failed on the prefetch thread:
+                    raise box["error"]  # surface the REAL traceback here
+                runs.append(box["made"])
             runs[-1][1].scheduler.eager_resolve = bool(eager_resolve)
             start_prefetch()
         # Step the OLDEST run first (runs complete in order), then give

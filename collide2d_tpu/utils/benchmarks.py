@@ -798,8 +798,10 @@ def bench_e2e(
     the pipeline edges and the metric undersells the driver by ~8%. The
     first full pass warms every bucket-shape compilation (with the
     concurrent warmup threads — the tunnel compile service overlaps
-    them); the timed pass uses fresh keys through the same shapes with
-    warmup off, so no thread noise rides the measurement.
+    them); the timed pass then REPEATS the identical keys with warmup
+    off — only an identical run guarantees every compiled shape is
+    warm (fresh keys could converge through a rung the warm pass never
+    visited, putting a remote compile inside the measurement).
     """
     from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
     from collide2d_tpu.mc.estimator import AdaptiveConfig, Configs

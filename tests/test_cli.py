@@ -74,10 +74,7 @@ def test_adaptive_extension_flag_parity():
     # lack schedule/pruning/ladder/checkpointing; polylabel lacked
     # sample_parallel + checkpointing).
     for mode in ("generate", "relabel", "ztest"):
-        a = _parse([mode] + (
-            ["--data_in", "i.npz", "--data_out", "o.npz"]
-            if mode == "polylabel" else []
-        ))
+        a = _parse([mode])  # polylabel is covered separately below
         assert a.schedule == "reference" and a.prune_sigma == 0.0
         assert a.ladder == "eighth" and a.checkpoint_every == 0
         b = _parse([mode, "--schedule", "tuned", "--prune_sigma", "6.0",

@@ -322,11 +322,16 @@ def test_relabel_resume_skips_and_appends_once(tmp_path, generated):
     assert not (out_a / ".relabel_start").exists()  # clean finish
 
     # Simulate a run killed after writing output batch 0: marker + 0.npy.
-    out_b = tmp_path / "out_b"
-    _copy_tables(data_dir, out_b)
-    (out_b / ".relabel_start").write_text("0")
+    # The marker carries the run identity (a stale marker from a
+    # DIFFERENT run must never pin the window — see the stale test below).
+    import json
     import shutil
 
+    out_b = tmp_path / "out_b"
+    _copy_tables(data_dir, out_b)
+    (out_b / ".relabel_start").write_text(json.dumps(
+        {"start": 0, "data_in": str(data_in.resolve()), "seed": 5,
+         "num_batches": 2}))
     shutil.copy(out_a / "0.npy", out_b / "0.npy")
     relabel_dataset(RelabelConfig(data_out=str(out_b), **kw))
     # The rerun skipped 0 and wrote 1 in the ORIGINAL window — the union
@@ -336,6 +341,21 @@ def test_relabel_resume_skips_and_appends_once(tmp_path, generated):
         np.load(out_b / "1.npy"), np.load(out_a / "1.npy")
     )
     assert not (out_b / ".relabel_start").exists()
+
+    # A STALE marker — different identity (old data_in/seed) or the
+    # pre-identity plain-int format — must be ignored, not silently skip
+    # every output batch of the new run (review r3 finding).
+    for stale in ("0", json.dumps({"start": 0, "data_in": "/elsewhere",
+                                   "seed": 99, "num_batches": 7})):
+        out_c = tmp_path / f"out_c_{hash(stale) & 0xffff:x}"
+        _copy_tables(data_dir, out_c)
+        (out_c / ".relabel_start").write_text(stale)
+        relabel_dataset(RelabelConfig(data_out=str(out_c), **kw))
+        assert get_num_batches_in_dir(out_c) == 2  # actually wrote output
+        np.testing.assert_array_equal(
+            np.load(out_c / "1.npy"), np.load(out_a / "1.npy")
+        )
+        assert not (out_c / ".relabel_start").exists()
 
 
 def test_ztest_checkpoint_flag(tmp_path, generated):

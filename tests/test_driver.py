@@ -535,6 +535,24 @@ def test_interleaved_single_run_no_overlap():
     assert done == ["only"]
 
 
+def test_interleaved_prefetch_maker_error_propagates():
+    # A maker that fails on the prefetch thread must surface its REAL
+    # exception on the main thread, not an opaque KeyError from the
+    # prefetch box (review r3 finding).
+    from collide2d_tpu.mc.driver import run_interleaved
+
+    log = []
+
+    def ok():
+        return 0, FakeRun(0, groups=3, ready_after=1, log=log)
+
+    def boom():
+        raise ValueError("malformed poses table")
+
+    with pytest.raises(ValueError, match="malformed poses table"):
+        run_interleaved([ok, boom], 2, lambda tag, r: None)
+
+
 # ---------------------------------------------------------------------------
 # Compile-warmup thread gate
 # ---------------------------------------------------------------------------

@@ -338,6 +338,15 @@ def test_round_up_bucket_ladder():
     for n in range(129, 5000, 37):
         b = _round_up_bucket(n, 64, "sixteenth")
         assert n <= b <= n + max(n // 16 + 16, 16) and b % 8 == 0
+    # Each finer ladder is everywhere <= the coarser ones — including
+    # below its own fine-rung threshold, where it must fall back to the
+    # next-coarser spacing (review r3: sixteenth skipped the quarter
+    # branch for 32 <= b < 64 and degraded to HALF rungs there).
+    assert _round_up_bucket(33, 1, "sixteenth") == 40  # quarter rung
+    for n in range(1, 700, 7):
+        sizes = [_round_up_bucket(n, 1, lad)
+                 for lad in ("sixteenth", "eighth", "quarter", "half")]
+        assert sizes == sorted(sizes), (n, sizes)
 
 
 def test_plan_round_shard_invariance_and_fallback():
