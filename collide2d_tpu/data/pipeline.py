@@ -340,12 +340,22 @@ def _label_batch(
     """
     pose_idx = np.asarray(pose_idx, np.int64)
     var_idx = np.asarray(var_idx, np.int64)
-    pose = poses[pose_idx]
+    # Gather the table rows ON DEVICE (bit-identical float32 rows; a
+    # gather computes nothing): at the production 64^4 table sizes the
+    # host fancy-index alternative costs ~1.5 s per 100k batch of
+    # GIL-holding work, and relabel/ztest run their batches serially so
+    # they pay it in full. Callers pass device-resident tables
+    # (jnp.asarray once per run) to avoid re-uploading 536 MB per batch.
+    poses_j = poses if isinstance(poses, jax.Array) else jnp.asarray(
+        poses, jnp.float32)
+    std_devs_j = std_devs if isinstance(std_devs, jax.Array) else (
+        jnp.asarray(std_devs, jnp.float32))
+    pose_cols = jnp.take(poses_j, jnp.asarray(pose_idx, jnp.int32), axis=0)
     configs = Configs(
         position=jnp.asarray(positions, jnp.float32),
-        pose_theta=jnp.asarray(pose[:, 2], jnp.float32),
-        obstacle_wh=jnp.asarray(pose[:, 0:2], jnp.float32),
-        std_dev=jnp.asarray(std_devs[var_idx], jnp.float32),
+        pose_theta=pose_cols[:, 2],
+        obstacle_wh=pose_cols[:, 0:2],
+        std_dev=jnp.take(std_devs_j, jnp.asarray(var_idx, jnp.int32), axis=0),
     )
     cp, _, _ = adaptive_collision_probabilities(
         key, configs, robot_wh, adaptive,
@@ -558,6 +568,7 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
         ladder=cfg.ladder,
     )
     key = _master_key(cfg.seed)
+    poses_j = std_devs_j = None  # uploaded lazily (resume may skip all)
 
     _log(cfg, "Begin computation...")
     begin = time.monotonic()
@@ -567,11 +578,14 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
             if cfg.resume and target.exists():
                 _log(cfg, f"resume: skipping existing {target.name}")
                 continue
+            if poses_j is None:  # device-resident tables, uploaded once
+                poses_j = jnp.asarray(poses, jnp.float32)
+                std_devs_j = jnp.asarray(std_devs, jnp.float32)
             rows_in = load_npy(batch_path(data_in, batch_index))
             positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
             rows = _label_batch(
                 jax.random.fold_in(key, batch_index),
-                positions, pose_idx, var_idx, poses, std_devs,
+                positions, pose_idx, var_idx, poses_j, std_devs_j,
                 cfg.robot_wh, adaptive, mesh=_mesh_for(cfg),
                 checkpoint_path=(
                     data_out / "checkpoint.npz" if cfg.checkpoint_every
