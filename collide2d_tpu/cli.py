@@ -206,9 +206,15 @@ def _add_relabel(sub: argparse._SubParsersAction) -> None:
                    help="rounds between mid-batch checkpoints (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="skip already-written output batches and resume "
-                        "mid-batch from checkpoint.npz (requires a fixed "
-                        "--seed; the first run's output-numbering window "
-                        "is pinned so a rerun never appends a second copy)")
+                        "mid-batch from per-batch checkpoint files "
+                        "(requires a fixed --seed; the first run's "
+                        "output-numbering window is pinned so a rerun "
+                        "never appends a second copy)")
+    p.add_argument("--overlap_batches", type=int, default=3,
+                   help="cross-batch pipelining depth (see generate "
+                        "--overlap_batches): batch i+1's rounds fill the "
+                        "chip while batch i's tail converges; threefry "
+                        "labels are bitwise-identical across all depths")
     p.set_defaults(func=_run_relabel)
 
 
@@ -232,6 +238,7 @@ def _run_relabel(args: argparse.Namespace) -> int:
             ladder=args.ladder,
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
+            overlap_batches=args.overlap_batches,
         )
     )
     return 0

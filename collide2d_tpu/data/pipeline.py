@@ -162,9 +162,15 @@ class RelabelConfig:
     ladder: str = "eighth"  # see GenerateConfig.ladder
     checkpoint_every: int = 0  # rounds between mid-batch checkpoints
     resume: bool = False  # skip already-written output batches + resume
-    #   mid-batch from checkpoint.npz (requires a fixed --seed; output
-    #   numbering is pinned by a .relabel_start marker so a resumed run
-    #   continues the SAME append window instead of appending again)
+    #   mid-batch from checkpoint_{i}.npz (requires a fixed --seed;
+    #   output numbering is pinned by a .relabel_start marker so a
+    #   resumed run continues the SAME append window instead of
+    #   appending again)
+    # Cross-batch pipelining depth (same contract as
+    # GenerateConfig.overlap_batches): batch i+1's big rounds interleave
+    # with batch i's convergence tail. Threefry labels are bitwise-
+    # independent of the depth (per-batch fold_in keys).
+    overlap_batches: int = 3
 
     @property
     def robot_wh(self) -> tuple[float, float]:
@@ -318,6 +324,28 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
     return AdaptiveConfig(**kwargs)
 
 
+def _batch_configs(positions, pose_idx, var_idx, poses, std_devs) -> Configs:
+    """Device-resident Configs assembly shared by relabel/ztest.
+
+    Gathers the table rows ON DEVICE (bit-identical float32 rows; a
+    gather computes nothing): at the production 64^4 table sizes the
+    host fancy-index alternative costs ~1.5 s per 100k batch of
+    GIL-holding work. Callers pass device-resident tables (jnp.asarray
+    once per run) to avoid re-uploading 536 MB per batch.
+    """
+    poses_j = poses if isinstance(poses, jax.Array) else jnp.asarray(
+        poses, jnp.float32)
+    std_devs_j = std_devs if isinstance(std_devs, jax.Array) else (
+        jnp.asarray(std_devs, jnp.float32))
+    pose_cols = jnp.take(poses_j, jnp.asarray(pose_idx, jnp.int32), axis=0)
+    return Configs(
+        position=jnp.asarray(positions, jnp.float32),
+        pose_theta=pose_cols[:, 2],
+        obstacle_wh=pose_cols[:, 0:2],
+        std_dev=jnp.take(std_devs_j, jnp.asarray(var_idx, jnp.int32), axis=0),
+    )
+
+
 def _label_batch(
     key: jax.Array,
     positions: np.ndarray,
@@ -332,7 +360,8 @@ def _label_batch(
     mesh=None,
     progress=None,
 ) -> np.ndarray:
-    """Label one batch of configurations; the shared core of all modes.
+    """Label one batch of configurations (ztest's single-file core;
+    relabel streams its batches through `run_interleaved` instead).
 
     Output rows come back in INPUT order (the uid bookkeeping inside
     `adaptive_collision_probabilities` plays the role of the reference's
@@ -340,23 +369,7 @@ def _label_batch(
     """
     pose_idx = np.asarray(pose_idx, np.int64)
     var_idx = np.asarray(var_idx, np.int64)
-    # Gather the table rows ON DEVICE (bit-identical float32 rows; a
-    # gather computes nothing): at the production 64^4 table sizes the
-    # host fancy-index alternative costs ~1.5 s per 100k batch of
-    # GIL-holding work, and relabel/ztest run their batches serially so
-    # they pay it in full. Callers pass device-resident tables
-    # (jnp.asarray once per run) to avoid re-uploading 536 MB per batch.
-    poses_j = poses if isinstance(poses, jax.Array) else jnp.asarray(
-        poses, jnp.float32)
-    std_devs_j = std_devs if isinstance(std_devs, jax.Array) else (
-        jnp.asarray(std_devs, jnp.float32))
-    pose_cols = jnp.take(poses_j, jnp.asarray(pose_idx, jnp.int32), axis=0)
-    configs = Configs(
-        position=jnp.asarray(positions, jnp.float32),
-        pose_theta=pose_cols[:, 2],
-        obstacle_wh=pose_cols[:, 0:2],
-        std_dev=jnp.take(std_devs_j, jnp.asarray(var_idx, jnp.int32), axis=0),
-    )
+    configs = _batch_configs(positions, pose_idx, var_idx, poses, std_devs)
     cp, _, _ = adaptive_collision_probabilities(
         key, configs, robot_wh, adaptive,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
@@ -568,37 +581,80 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
         ladder=cfg.ladder,
     )
     key = _master_key(cfg.seed)
-    poses_j = std_devs_j = None  # uploaded lazily (resume may skip all)
+    mesh = _mesh_for(cfg)
+    overlap = max(1, int(getattr(cfg, "overlap_batches", 1) or 1))
+    from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
+
+    pending = []
+    for batch_index in range(num_batches):
+        target = batch_path(data_out, start_batch_count + batch_index)
+        if cfg.resume and target.exists():
+            _log(cfg, f"resume: skipping existing {target.name}")
+            continue
+        pending.append(batch_index)
+    state = {"done": num_batches - len(pending), "first": True,
+             "poses_j": None, "std_devs_j": None}
+
+    def _start(batch_index: int):
+        # Cross-batch pipelining, same shape as generate_dataset: batch
+        # i+1's big rounds fill the chip while batch i's convergence
+        # tail drains (the reference relabels batches strictly serially,
+        # compute_collision_probability.cu:259-360). The input-file read
+        # + device gathers below run on run_interleaved's prefetch
+        # thread, off the device's critical path. Labels are keyed by
+        # fold_in(key, batch_index) exactly like the serial path, so on
+        # the threefry path they are bitwise-independent of the overlap
+        # depth.
+        if state["poses_j"] is None:  # device-resident tables, uploaded once
+            state["poses_j"] = jnp.asarray(poses, jnp.float32)
+            state["std_devs_j"] = jnp.asarray(std_devs, jnp.float32)
+        abs_index = start_batch_count + batch_index
+        rows_in = load_npy(batch_path(data_in, batch_index))
+        positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
+        pose_idx = np.asarray(pose_idx, np.int64)
+        var_idx = np.asarray(var_idx, np.int64)
+        configs = _batch_configs(
+            positions, pose_idx, var_idx, state["poses_j"], state["std_devs_j"]
+        )
+        run = AdaptiveRun(
+            jax.random.fold_in(key, batch_index), configs, cfg.robot_wh,
+            adaptive,
+            checkpoint_path=(
+                # One checkpoint file PER in-flight batch, like generate
+                # (numeric batch stems unaffected; balance skips
+                # checkpoint*).
+                data_out / f"checkpoint_{abs_index}.npz"
+                if cfg.checkpoint_every else None
+            ),
+            checkpoint_every=cfg.checkpoint_every,
+            mesh=mesh,
+            progress=_progress_logger(cfg, len(positions)),
+            # Warm the compile ladder once per process, not per batch.
+            warmup=None if state["first"] else False,
+        )
+        state["first"] = False
+        tag = dict(target=batch_path(data_out, abs_index),
+                   positions=positions, pose_idx=pose_idx, var_idx=var_idx)
+        return tag, run
 
     _log(cfg, "Begin computation...")
     begin = time.monotonic()
     with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
-        for batch_index in range(num_batches):
-            target = batch_path(data_out, start_batch_count + batch_index)
-            if cfg.resume and target.exists():
-                _log(cfg, f"resume: skipping existing {target.name}")
-                continue
-            if poses_j is None:  # device-resident tables, uploaded once
-                poses_j = jnp.asarray(poses, jnp.float32)
-                std_devs_j = jnp.asarray(std_devs, jnp.float32)
-            rows_in = load_npy(batch_path(data_in, batch_index))
-            positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
-            rows = _label_batch(
-                jax.random.fold_in(key, batch_index),
-                positions, pose_idx, var_idx, poses_j, std_devs_j,
-                cfg.robot_wh, adaptive, mesh=_mesh_for(cfg),
-                checkpoint_path=(
-                    data_out / "checkpoint.npz" if cfg.checkpoint_every
-                    else None
-                ),
-                checkpoint_every=cfg.checkpoint_every,
-                progress=_progress_logger(cfg, len(positions)),
+        def _finish(tag, run):
+            cp, _, _ = run.materialize()
+            rows = schemas.pack_dataset_rows(
+                tag["positions"], cp, tag["var_idx"], tag["pose_idx"]
             )
             rows = _shuffle_rows(rows, cfg.shuffle)
-            writer.submit(target, rows)
+            writer.submit(tag["target"], rows)
+            state["done"] += 1
             mins = (time.monotonic() - begin) / 60.0
-            _log(cfg, f"batches generated: {batch_index + 1}/{num_batches}, "
+            _log(cfg, f"batches generated: {state['done']}/{num_batches}, "
                       f"Time: {mins:.1f} [min]")
+
+        run_interleaved(
+            [functools.partial(_start, i) for i in pending], overlap, _finish
+        )
         errors = writer.flush()
         if errors:
             raise IOError(f"{errors} batch file(s) failed to write")

@@ -46,6 +46,7 @@ def test_relabel_and_ztest_defaults():
     r = _parse(["relabel"])
     assert r.data_in == "./data_in/" and r.data_out == "./data_out/"
     assert r.shuffle is True  # compute_collision_probability.cu:41
+    assert r.overlap_batches == 3  # pipelined by default, like generate
     z = _parse(["ztest"])
     assert z.data_dir == "./data/" and z.max_samples == 4_000_000
     assert z.cps_only is False and z.n_batch == 10_000  # ztest.cu:332

@@ -358,6 +358,34 @@ def test_relabel_resume_skips_and_appends_once(tmp_path, generated):
         assert not (out_c / ".relabel_start").exists()
 
 
+def test_relabel_overlap_bitwise_and_checkpoint_cleanup(tmp_path, generated):
+    # Pipelined relabel (cross-batch interleaving, like generate): on the
+    # threefry path the labels are keyed by fold_in(key, batch_index), so
+    # every overlap depth produces byte-identical batch files; a clean
+    # finish leaves no per-batch checkpoint_*.npz behind.
+    data_dir, _ = generated
+    batch = np.load(data_dir / "1.npy")
+    data_in = tmp_path / "oin"
+    data_in.mkdir()
+    for i in range(3):
+        np.save(data_in / f"{i}.npy",
+                batch[i * 40:(i + 1) * 40, [0, 1, 3, 4]].astype(np.float32))
+
+    kw = dict(data_in=str(data_in), shuffle=False, seed=7, verbose=False,
+              adaptive=FAST, max_samples=FAST.max_samples,
+              checkpoint_every=2)
+    outs = {}
+    for overlap in (1, 3):
+        out = tmp_path / f"ov{overlap}"
+        _copy_tables(data_dir, out)
+        relabel_dataset(RelabelConfig(data_out=str(out),
+                                      overlap_batches=overlap, **kw))
+        assert not list(out.glob("checkpoint_*.npz"))
+        outs[overlap] = [np.load(out / f"{i}.npy") for i in range(3)]
+    for a, b in zip(outs[1], outs[3]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_ztest_checkpoint_flag(tmp_path, generated):
     # --checkpoint_every wires mid-run checkpoints into ztest; a clean
     # finish removes the file (estimator-level resume semantics are
