@@ -123,7 +123,8 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                         "run one at a time through the same eager-resolve "
                         "scheduler, so its outputs stay comparable — it is "
                         "NOT the pipelined-readback solo driver that "
-                        "relabel/ztest use)")
+                        "ztest/polylabel use; relabel pipelines the same "
+                        "way via its own --overlap_batches)")
     p.add_argument("--verbose", type=_bool_flag, default=True,
                    help="per-sync structured progress lines ([mc] round/"
                         "active/done/samples-per-sec) + batch progress")

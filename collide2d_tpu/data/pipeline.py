@@ -162,10 +162,11 @@ class RelabelConfig:
     ladder: str = "eighth"  # see GenerateConfig.ladder
     checkpoint_every: int = 0  # rounds between mid-batch checkpoints
     resume: bool = False  # skip already-written output batches + resume
-    #   mid-batch from checkpoint_{i}.npz (requires a fixed --seed;
-    #   output numbering is pinned by a .relabel_start marker so a
-    #   resumed run continues the SAME append window instead of
-    #   appending again)
+    #   mid-batch from per-batch checkpoint files (named by the ABSOLUTE
+    #   output index: checkpoint_{start_batch_count + i}.npz; requires a
+    #   fixed --seed; output numbering is pinned by a .relabel_start
+    #   marker so a resumed run continues the SAME append window instead
+    #   of appending again)
     # Cross-batch pipelining depth (same contract as
     # GenerateConfig.overlap_batches): batch i+1's big rounds interleave
     # with batch i's convergence tail. Threefry labels are bitwise-
@@ -324,25 +325,41 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
     return AdaptiveConfig(**kwargs)
 
 
+def _check_table_idx(idx, table_len: int, name: str) -> None:
+    """Loud host-side bounds check before a device gather: jnp.take
+    fills out-of-range indices with NaN instead of raising (unlike the
+    numpy fancy-index it replaced), which would flow NaN rows through
+    the sampler and write silently-wrong labels for table-mismatched or
+    corrupt relabel inputs."""
+    idx = np.asarray(idx)
+    if idx.size and (idx.min() < 0 or idx.max() >= table_len):
+        raise ValueError(
+            f"{name} index out of range [0, {table_len}): input rows "
+            f"reference rows {idx.min()}..{idx.max()} — the input was "
+            "generated against different tables than data_out's?"
+        )
+
+
 def _batch_configs(positions, pose_idx, var_idx, poses, std_devs) -> Configs:
-    """Device-resident Configs assembly shared by relabel/ztest.
+    """Device-resident Configs assembly for the pipelined relabel.
 
     Gathers the table rows ON DEVICE (bit-identical float32 rows; a
     gather computes nothing): at the production 64^4 table sizes the
     host fancy-index alternative costs ~1.5 s per 100k batch of
     GIL-holding work. Callers pass device-resident tables (jnp.asarray
-    once per run) to avoid re-uploading 536 MB per batch.
+    once per run) to avoid re-uploading 536 MB per batch, and must
+    bounds-check the indices first (`_check_table_idx`).
     """
-    poses_j = poses if isinstance(poses, jax.Array) else jnp.asarray(
-        poses, jnp.float32)
-    std_devs_j = std_devs if isinstance(std_devs, jax.Array) else (
-        jnp.asarray(std_devs, jnp.float32))
-    pose_cols = jnp.take(poses_j, jnp.asarray(pose_idx, jnp.int32), axis=0)
+    pose_cols = jnp.take(
+        jnp.asarray(poses, jnp.float32),
+        jnp.asarray(pose_idx, jnp.int32), axis=0)
     return Configs(
         position=jnp.asarray(positions, jnp.float32),
         pose_theta=pose_cols[:, 2],
         obstacle_wh=pose_cols[:, 0:2],
-        std_dev=jnp.take(std_devs_j, jnp.asarray(var_idx, jnp.int32), axis=0),
+        std_dev=jnp.take(
+            jnp.asarray(std_devs, jnp.float32),
+            jnp.asarray(var_idx, jnp.int32), axis=0),
     )
 
 
@@ -366,10 +383,25 @@ def _label_batch(
     Output rows come back in INPUT order (the uid bookkeeping inside
     `adaptive_collision_probabilities` plays the role of the reference's
     device-side index column, compute_collision_probability.cu:337-344).
+
+    Tables are gathered on the HOST here: ztest labels ONE file, so a
+    host fancy-index of its rows (<= ~1.5 s even at 100k rows) beats
+    uploading the full 536 MB production tables to gather a sliver —
+    and numpy raises IndexError on out-of-range indices for free. The
+    many-batch relabel path amortizes a one-time device upload instead
+    (`_batch_configs`).
     """
     pose_idx = np.asarray(pose_idx, np.int64)
     var_idx = np.asarray(var_idx, np.int64)
-    configs = _batch_configs(positions, pose_idx, var_idx, poses, std_devs)
+    poses = np.asarray(poses, np.float32)
+    std_devs = np.asarray(std_devs, np.float32)
+    pose_rows = poses[pose_idx]
+    configs = Configs(
+        position=jnp.asarray(positions, jnp.float32),
+        pose_theta=jnp.asarray(pose_rows[:, 2]),
+        obstacle_wh=jnp.asarray(pose_rows[:, 0:2]),
+        std_dev=jnp.asarray(std_devs[var_idx]),
+    )
     cp, _, _ = adaptive_collision_probabilities(
         key, configs, robot_wh, adaptive,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
@@ -385,6 +417,36 @@ def _shuffle_rows(rows: np.ndarray, enabled: bool) -> np.ndarray:
     if not enabled:
         return rows
     return rows[native.std_shuffle_perm(len(rows), 0)]
+
+
+def _pending_batches(cfg, num_batches: int, target_of) -> list[int]:
+    """Batch indices still to label (resume skips existing outputs)."""
+    pending = []
+    for batch_index in range(num_batches):
+        target = target_of(batch_index)
+        if cfg.resume and target.exists():
+            _log(cfg, f"resume: skipping existing {target.name}")
+            continue
+        pending.append(batch_index)
+    return pending
+
+
+def _interleaved_finish(cfg, writer, state, num_batches: int, begin: float):
+    """The shared `run_interleaved` on_done callback of generate and
+    relabel: materialize -> pack (input order) -> shuffle -> async write
+    -> progress line. ``state['done']`` counts completed batches."""
+    def _finish(tag, run):
+        cp, _, _ = run.materialize()
+        rows = schemas.pack_dataset_rows(
+            tag["positions"], cp, tag["var_idx"], tag["pose_idx"]
+        )
+        rows = _shuffle_rows(rows, cfg.shuffle)
+        writer.submit(tag["target"], rows)
+        state["done"] += 1
+        mins = (time.monotonic() - begin) / 60.0
+        _log(cfg, f"batches generated: {state['done']}/{num_batches}, "
+                  f"Time: {mins:.1f} [min]")
+    return _finish
 
 
 # ---------------------------------------------------------------------------
@@ -438,13 +500,10 @@ def generate_dataset(cfg: GenerateConfig) -> None:
     mesh = _mesh_for(cfg)
     from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
 
-    pending = []
-    for batch_index in range(cfg.num_batches):
-        target = batch_path(data_dir, cfg.start_batch_count + batch_index)
-        if cfg.resume and target.exists():
-            _log(cfg, f"resume: skipping existing {target.name}")
-            continue
-        pending.append(batch_index)
+    pending = _pending_batches(
+        cfg, cfg.num_batches,
+        lambda i: batch_path(data_dir, cfg.start_batch_count + i),
+    )
     progress_state = {"done": cfg.num_batches - len(pending), "first": True}
 
     def _start(batch_index: int):
@@ -502,20 +561,10 @@ def generate_dataset(cfg: GenerateConfig) -> None:
         return tag, run
 
     with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
-        def _finish(tag, run):
-            cp, _, _ = run.materialize()
-            rows = schemas.pack_dataset_rows(
-                tag["positions"], cp, tag["var_idx"], tag["pose_idx"]
-            )
-            rows = _shuffle_rows(rows, cfg.shuffle)
-            writer.submit(tag["target"], rows)
-            progress_state["done"] += 1
-            mins = (time.monotonic() - begin) / 60.0
-            _log(cfg, f"batches generated: {progress_state['done']}/"
-                      f"{cfg.num_batches}, Time: {mins:.1f} [min]")
-
         run_interleaved(
-            [functools.partial(_start, i) for i in pending], overlap, _finish
+            [functools.partial(_start, i) for i in pending], overlap,
+            _interleaved_finish(cfg, writer, progress_state,
+                                cfg.num_batches, begin),
         )
         errors = writer.flush()
         if errors:
@@ -585,13 +634,10 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
     overlap = max(1, int(getattr(cfg, "overlap_batches", 1) or 1))
     from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
 
-    pending = []
-    for batch_index in range(num_batches):
-        target = batch_path(data_out, start_batch_count + batch_index)
-        if cfg.resume and target.exists():
-            _log(cfg, f"resume: skipping existing {target.name}")
-            continue
-        pending.append(batch_index)
+    pending = _pending_batches(
+        cfg, num_batches,
+        lambda i: batch_path(data_out, start_batch_count + i),
+    )
     state = {"done": num_batches - len(pending), "first": True,
              "poses_j": None, "std_devs_j": None}
 
@@ -613,6 +659,8 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
         positions, var_idx, pose_idx = schemas.unpack_relabel_rows(rows_in)
         pose_idx = np.asarray(pose_idx, np.int64)
         var_idx = np.asarray(var_idx, np.int64)
+        _check_table_idx(pose_idx, len(poses), "pose_idx")
+        _check_table_idx(var_idx, len(std_devs), "var_idx")
         configs = _batch_configs(
             positions, pose_idx, var_idx, state["poses_j"], state["std_devs_j"]
         )
@@ -640,20 +688,9 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
     _log(cfg, "Begin computation...")
     begin = time.monotonic()
     with native.AsyncNpyWriter() as writer, trace(cfg.trace_dir or None):
-        def _finish(tag, run):
-            cp, _, _ = run.materialize()
-            rows = schemas.pack_dataset_rows(
-                tag["positions"], cp, tag["var_idx"], tag["pose_idx"]
-            )
-            rows = _shuffle_rows(rows, cfg.shuffle)
-            writer.submit(tag["target"], rows)
-            state["done"] += 1
-            mins = (time.monotonic() - begin) / 60.0
-            _log(cfg, f"batches generated: {state['done']}/{num_batches}, "
-                      f"Time: {mins:.1f} [min]")
-
         run_interleaved(
-            [functools.partial(_start, i) for i in pending], overlap, _finish
+            [functools.partial(_start, i) for i in pending], overlap,
+            _interleaved_finish(cfg, writer, state, num_batches, begin),
         )
         errors = writer.flush()
         if errors:

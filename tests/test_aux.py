@@ -289,3 +289,18 @@ def test_warmup_covers_driver_signatures(monkeypatch):
     )
     assert stats["failed"] == 0 and not stats["errors"]
     assert stats["ok"] == len(est._warm_targets(cfg, "jnp", C)) > 0
+
+    # Warms are once per process per program signature: a second call
+    # (e.g. relabel after generate, or back-to-back pipeline runs) must
+    # skip every already-warmed target instead of re-issuing the AOT
+    # herd — measured on-chip, repeated herds slowed identical runs
+    # 8-28x by contending with the live driver at the compile service.
+    from collide2d_tpu.mc import driver as drv
+
+    n_sigs = len(drv._WARMED_SIGS)
+    again = est._warm_fused_round_compiles(
+        key, configs, robot_wh, cfg, impl="jnp", shape_noise=True, c0=C,
+        acc_bins=acc, bin_acc=bacc, sync=True,
+    )
+    assert len(drv._WARMED_SIGS) == n_sigs  # nothing new registered
+    assert again["ok"] == stats["ok"] and again["failed"] == 0

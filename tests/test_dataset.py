@@ -386,6 +386,28 @@ def test_relabel_overlap_bitwise_and_checkpoint_cleanup(tmp_path, generated):
         np.testing.assert_array_equal(a, b)
 
 
+def test_relabel_rejects_out_of_range_indices(tmp_path, generated):
+    # jnp.take NaN-fills out-of-range gathers instead of raising (unlike
+    # the numpy fancy-index it replaced), so a table-mismatched input
+    # must be rejected loudly on the host before the device gather —
+    # not silently labeled with NaN-derived garbage (review r3 finding).
+    data_dir, _ = generated
+    batch = np.load(data_dir / "1.npy")[:32]
+    rows = batch[:, [0, 1, 3, 4]].astype(np.float32)
+    rows[0, 2] = 99.0  # var_idx beyond the 16-row test table
+    data_in = tmp_path / "badin"
+    data_in.mkdir()
+    np.save(data_in / "0.npy", rows)
+    out = tmp_path / "badout"
+    _copy_tables(data_dir, out)
+    with pytest.raises(ValueError, match="var_idx"):
+        relabel_dataset(RelabelConfig(
+            data_in=str(data_in), data_out=str(out), shuffle=False,
+            seed=3, verbose=False, adaptive=FAST,
+            max_samples=FAST.max_samples,
+        ))
+
+
 def test_ztest_checkpoint_flag(tmp_path, generated):
     # --checkpoint_every wires mid-run checkpoints into ztest; a clean
     # finish removes the file (estimator-level resume semantics are
