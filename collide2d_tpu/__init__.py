@@ -59,6 +59,24 @@ from collide2d_tpu.models.collision_model import (
 
 __version__ = "0.1.0"
 
+_LEARNED_EXPORTS = (
+    "LearnedCollisionModel",
+    "TrainConfig",
+    "train_model",
+    "featurize",
+)
+
+
+def __getattr__(name: str):
+    # Lazy: the learned-model stack pulls in optax; keep package import
+    # (and thus CLI/test startup) free of it until actually used.
+    if name in _LEARNED_EXPORTS:
+        from collide2d_tpu.models import learned
+
+        return getattr(learned, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "rect_vertices",
     "transform_vertices",
@@ -84,4 +102,8 @@ __all__ = [
     "adaptive_collision_probabilities",
     "CollisionProbabilityModel",
     "PolygonCollisionProbabilityModel",
+    "LearnedCollisionModel",
+    "TrainConfig",
+    "train_model",
+    "featurize",
 ]

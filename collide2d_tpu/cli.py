@@ -531,6 +531,104 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
     p.set_defaults(func=run)
 
 
+def _add_train(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "train",
+        help="fit the learned collision-probability MLP on a generated "
+             "dataset (the dataset's stated downstream purpose, "
+             "generate_dataset.cu:30-36; the reference stops at the data)",
+    )
+    p.add_argument("--data_dir", default="./data/",
+                   help="dataset directory (batch files + poses/variances)")
+    p.add_argument("--out", default="model.npz", help="model artifact path")
+    p.add_argument("--hidden", type=int, nargs="+", default=[256, 256, 256])
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=8192)
+    p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--val_fraction", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="matmul input dtype (accumulation is always f32); "
+                        "bfloat16 is the MXU's native mode")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch axis over all local devices "
+                        "(replicated params, XLA-inserted gradient "
+                        "all-reduce)")
+    p.add_argument("--accuracy_bins", type=float, nargs="+",
+                   default=[0.0, 0.01, 0.1, 1.0],
+                   help="bins for the per-bin validation MAE report")
+    p.add_argument("--verbose", type=_bool_flag, default=True)
+    p.set_defaults(func=_run_train)
+
+
+def _run_train(args: argparse.Namespace) -> int:
+    from collide2d_tpu.models.learned import (
+        TrainConfig,
+        load_training_data,
+        save_model,
+        train_model,
+    )
+
+    features, labels = load_training_data(args.data_dir)
+    print(f"training on {features.shape[0]} rows from {args.data_dir}")
+    cfg = TrainConfig(
+        hidden=tuple(args.hidden),
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        val_fraction=args.val_fraction,
+        seed=args.seed,
+        compute_dtype=args.compute_dtype,
+        data_parallel=args.data_parallel,
+        verbose=args.verbose,
+    )
+    result = train_model(features, labels, cfg,
+                         accuracy_bins=tuple(args.accuracy_bins))
+    save_model(args.out, result, cfg)
+    bins = ", ".join(
+        f"[{lo:g},{hi:g}): {mae:.4f}"
+        for (lo, hi), mae in zip(
+            zip(args.accuracy_bins[:-1], args.accuracy_bins[1:]),
+            result.val_mae_per_bin,
+        )
+    )
+    print(f"val bce {result.val_bce:.5f}  val mae {result.val_mae:.4f}")
+    if bins:
+        print(f"val mae per cp bin: {bins}")
+    print(f"model -> {args.out}")
+    return 0
+
+
+def _add_predict(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "predict",
+        help="predict cps for one batch file with a trained model; output "
+             "is the bare cps vector (ztest --cps_only schema), directly "
+             "comparable to MC labels via `collide2d compare`",
+    )
+    p.add_argument("--model", required=True, help="model artifact (.npz)")
+    p.add_argument("--data_in", required=True,
+                   help=".npy batch: (N,5) dataset rows or (N,4) relabel "
+                        "rows")
+    p.add_argument("--data_dir", default="./data/",
+                   help="directory holding poses.npy / variances.npy")
+    p.add_argument("--out", default="predicted_cps.npy")
+    p.set_defaults(func=_run_predict)
+
+
+def _run_predict(args: argparse.Namespace) -> int:
+    from collide2d_tpu.models.learned import predict_file
+    from collide2d_tpu.utils.io_npy import save_npy
+
+    cps = predict_file(args.model, args.data_in, args.data_dir)
+    save_npy(args.out, cps)
+    print(f"predicted {cps.shape[0]} cps -> {args.out}")
+    return 0
+
+
 def _bool_flag(value: str) -> bool:
     if value.lower() in ("1", "true", "yes", "on"):
         return True
@@ -554,6 +652,8 @@ def main(argv: list[str] | None = None) -> int:
     _add_compare(sub)
     _add_bench(sub)
     _add_polylabel(sub)
+    _add_train(sub)
+    _add_predict(sub)
     args = parser.parse_args(argv)
     # Remote TPU compiles cost minutes; make them once-per-machine rather
     # than once-per-process (opt out: COLLIDE2D_CACHE_DIR="").

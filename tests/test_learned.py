@@ -1,0 +1,179 @@
+"""Learned collision-probability model: features, training, persistence,
+data-parallel training, and the CLI train/predict loop against a real
+generated micro-dataset (the downstream use the reference names at
+generate_dataset.cu:30-36 but never implements)."""
+
+import numpy as np
+import pytest
+
+from collide2d_tpu.models import learned
+from collide2d_tpu.models.learned import (
+    LearnedCollisionModel,
+    TrainConfig,
+    featurize,
+    load_training_data,
+    save_model,
+    train_model,
+)
+
+
+def _toy_problem(n=2048, seed=0):
+    """Learnable synthetic task phrased in the real feature semantics:
+    cp is a smooth function of the robot-obstacle gap."""
+    rng = np.random.default_rng(seed)
+    positions = rng.uniform(-6, 6, size=(n, 2)).astype(np.float32)
+    poses = rng.uniform(0.5, 4.0, size=(8, 3)).astype(np.float32)
+    variances = rng.uniform(0.0, 0.09, size=(4, 5)).astype(np.float32)
+    std = np.sqrt(variances)
+    pose_idx = rng.integers(0, 8, size=n)
+    var_idx = rng.integers(0, 4, size=n)
+    feats = featurize(positions, var_idx, pose_idx, poses, std)
+    # soft label: logistic in (distance - combined half extents)
+    gap = np.linalg.norm(positions, axis=1) - 0.5 * (
+        poses[pose_idx, 0] + poses[pose_idx, 1]
+    )
+    labels = (1.0 / (1.0 + np.exp(3.0 * gap))).astype(np.float32)
+    return feats, labels
+
+
+def test_featurize_resolves_tables():
+    positions = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    poses = np.array([[5.0, 6.0, 0.0], [7.0, 8.0, np.pi / 2]], np.float32)
+    std = np.arange(10, dtype=np.float32).reshape(2, 5)
+    f = featurize(positions, [1.0, 0.0], [0.0, 1.0], poses, std)
+    assert f.shape == (2, learned.NUM_FEATURES)
+    np.testing.assert_allclose(f[0, :2], [1.0, 2.0])
+    np.testing.assert_allclose(f[0, 2:4], [5.0, 6.0])  # pose 0 w,h
+    np.testing.assert_allclose(f[0, 4:6], [1.0, 0.0])  # cos/sin(0)
+    np.testing.assert_allclose(f[0, 6:], std[1])       # var row 1
+    np.testing.assert_allclose(f[1, 4:6], [0.0, 1.0], atol=1e-6)
+
+
+def test_featurize_rejects_out_of_range_indices():
+    poses = np.zeros((2, 3), np.float32)
+    std = np.zeros((2, 5), np.float32)
+    pos = np.zeros((1, 2), np.float32)
+    with pytest.raises(ValueError, match="pose_idx"):
+        featurize(pos, [0], [2], poses, std)
+    with pytest.raises(ValueError, match="var_idx"):
+        featurize(pos, [5], [0], poses, std)
+
+
+def test_training_learns_and_beats_mean_predictor():
+    feats, labels = _toy_problem()
+    cfg = TrainConfig(hidden=(64, 64), epochs=30, batch_size=256,
+                      learning_rate=3e-3, val_fraction=0.125, seed=0)
+    res = train_model(feats, labels, cfg)
+    assert res.history[-1] < 0.8 * res.history[0]
+    # must beat the constant-mean predictor on held-out rows
+    mean_mae = float(np.mean(np.abs(labels - labels.mean())))
+    assert res.val_mae < 0.7 * mean_mae
+    assert len(res.val_mae_per_bin) == 3
+
+
+def test_save_load_roundtrip_identical_predictions(tmp_path):
+    feats, labels = _toy_problem(n=512)
+    cfg = TrainConfig(hidden=(16,), epochs=2, batch_size=128,
+                      val_fraction=0.25, seed=1)
+    res = train_model(feats, labels, cfg)
+    path = tmp_path / "model.npz"
+    save_model(path, res, cfg)
+    model = LearnedCollisionModel.load(path)
+    direct = LearnedCollisionModel(
+        res.params, res.norm_mean, res.norm_std, cfg.compute_dtype
+    )
+    a = np.asarray(model.cp_from_features(feats[:64]))
+    b = np.asarray(direct.cp_from_features(feats[:64]))
+    np.testing.assert_array_equal(a, b)
+    assert ((a >= 0) & (a <= 1)).all()
+
+
+def test_data_parallel_training_matches_single_device():
+    # f32 compute so the only cross-device difference is reduction order.
+    feats, labels = _toy_problem(n=1024, seed=3)
+    base = TrainConfig(hidden=(32,), epochs=3, batch_size=128,
+                       val_fraction=0.0, seed=2, compute_dtype="float32")
+    res_single = train_model(feats, labels, base)
+    res_dp = train_model(
+        feats, labels,
+        TrainConfig(**{**base.__dict__, "data_parallel": True}),
+    )
+    for k in res_single.params:
+        np.testing.assert_allclose(
+            np.asarray(res_single.params[k]), np.asarray(res_dp.params[k]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_cli_train_predict_on_generated_dataset(tmp_path):
+    """Full loop on a real micro-dataset: generate -> train -> predict."""
+    from collide2d_tpu.cli import main
+    from collide2d_tpu.data.pipeline import GenerateConfig, generate_dataset
+    from collide2d_tpu.mc.estimator import AdaptiveConfig
+
+    data_dir = tmp_path / "data"
+    generate_dataset(GenerateConfig(
+        data_dir=str(data_dir), num_batches=2, batch_size=128,
+        num_poses=8, num_variances=8, seed=0, verbose=False,
+        adaptive=AdaptiveConfig(
+            max_samples=2000, initial_batch=1000,
+            initial_phase_samples=2000, later_batch=1000,
+            bin_accuracy=(0.05, 0.05, 0.1), min_active=64,
+        ),
+        max_samples=2000,
+    ))
+    model_path = tmp_path / "model.npz"
+    rc = main([
+        "train", "--data_dir", str(data_dir), "--out", str(model_path),
+        "--hidden", "16", "--epochs", "3", "--batch_size", "64",
+        "--val_fraction", "0.1", "--verbose", "0",
+    ])
+    assert rc == 0 and model_path.exists()
+
+    out = tmp_path / "pred.npy"
+    rc = main([
+        "predict", "--model", str(model_path),
+        "--data_in", str(data_dir / "0.npy"),
+        "--data_dir", str(data_dir), "--out", str(out),
+    ])
+    assert rc == 0
+    cps = np.load(out)
+    rows = np.load(data_dir / "0.npy")
+    assert cps.shape == (rows.shape[0],)
+    assert ((cps >= 0) & (cps <= 1)).all()
+    # the predict path accepts relabel-schema (N, 4) inputs too
+    relabel_in = tmp_path / "relabel_rows.npy"
+    np.save(relabel_in, rows[:, [0, 1, 3, 4]])
+    rc = main([
+        "predict", "--model", str(model_path),
+        "--data_in", str(relabel_in),
+        "--data_dir", str(data_dir), "--out", str(out),
+    ])
+    assert rc == 0 and np.load(out).shape == (rows.shape[0],)
+
+
+def test_load_training_data_resolves_dataset_dir(tmp_path):
+    from collide2d_tpu.data.pipeline import GenerateConfig, generate_dataset
+    from collide2d_tpu.mc.estimator import AdaptiveConfig
+
+    data_dir = tmp_path / "data"
+    generate_dataset(GenerateConfig(
+        data_dir=str(data_dir), num_batches=1, batch_size=128,
+        num_poses=4, num_variances=4, seed=1, verbose=False,
+        adaptive=AdaptiveConfig(
+            max_samples=2000, initial_batch=1000,
+            initial_phase_samples=2000, later_batch=1000,
+            bin_accuracy=(0.05, 0.05, 0.1), min_active=64,
+        ),
+        max_samples=2000,
+    ))
+    feats, labels = load_training_data(data_dir)
+    assert feats.shape == (128, learned.NUM_FEATURES)
+    assert labels.shape == (128,)
+    assert ((labels >= 0) & (labels <= 1)).all()
+    # features carry the actual table values, not the indices
+    rows = np.load(data_dir / "0.npy")
+    poses = np.load(data_dir / "poses.npy")
+    np.testing.assert_allclose(
+        feats[:, 2], poses[rows[:, 4].astype(int), 0], rtol=1e-6
+    )
