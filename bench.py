@@ -136,7 +136,11 @@ def main() -> int:
     # headline.
     import functools
 
-    from collide2d_tpu.utils.benchmarks import bench_agreement, bench_e2e
+    from collide2d_tpu.utils.benchmarks import (
+        bench_agreement,
+        bench_e2e,
+        bench_learned_train,
+    )
 
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
@@ -165,6 +169,7 @@ def main() -> int:
         # On-hardware statistical acceptance of the fused MC path
         # (hardware-PRNG distribution vs threefry; ok must be true).
         bench_agreement,
+        bench_learned_train,
         # LAST: the adaptive-driver metric compiles the whole bucket
         # ladder; under a congested tunnel that can take minutes, and the
         # timeout-proof contract (headline already printed, secondaries on

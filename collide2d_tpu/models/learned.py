@@ -177,8 +177,13 @@ def _bce(logits: Array, targets: Array) -> Array:
 # Training
 
 
-def _make_epoch_fn(tx, compute_dtype, batch_size: int, steps: int):
-    """One donated, jit-compiled program: scan over an epoch's minibatches."""
+def _epoch_body(tx, compute_dtype, batch_size: int, steps: int):
+    """Un-jitted epoch function: shuffled-minibatch scan over the data.
+
+    (params, opt_state, key, x, y) -> (params, opt_state, mean loss).
+    `_make_epoch_fn` jits it with donation for training;
+    `utils.benchmarks.bench_learned_train` wraps it in a traced-bound
+    fori_loop for difference-quotient timing."""
 
     def loss_fn(params, xb, yb):
         return _bce(apply_model(params, xb, compute_dtype), yb)
@@ -202,7 +207,15 @@ def _make_epoch_fn(tx, compute_dtype, batch_size: int, steps: int):
         )
         return params, opt_state, jnp.mean(losses)
 
-    return jax.jit(epoch, donate_argnums=(0, 1))
+    return epoch
+
+
+def _make_epoch_fn(tx, compute_dtype, batch_size: int, steps: int):
+    """One donated, jit-compiled program: scan over an epoch's minibatches."""
+    return jax.jit(
+        _epoch_body(tx, compute_dtype, batch_size, steps),
+        donate_argnums=(0, 1),
+    )
 
 
 @dataclasses.dataclass

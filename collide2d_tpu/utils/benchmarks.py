@@ -897,6 +897,71 @@ def bench_e2e(
     }
 
 
+def bench_learned_train(
+    rows: int = 1 << 21,
+    batch: int = 8192,
+    hidden=(256, 256, 256),
+    epochs: int = 4,
+) -> dict:
+    """Learned-model training throughput (models/learned.py).
+
+    Times whole one-program epochs (shuffled-minibatch scan; bf16 MXU
+    matmuls with f32 accumulation) via the traced-bound difference
+    quotient: a fori_loop over epochs INSIDE one jit, so tunnel RTT and
+    per-dispatch overhead cancel out of the reported rate. Reports
+    ``model_tflops`` at the 3x-forward train-FLOP convention.
+    """
+    import optax
+
+    from collide2d_tpu.models import learned
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((rows, learned.NUM_FEATURES)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.uniform(size=rows).astype(np.float32))
+    steps = rows // batch
+    tx = optax.adamw(3e-4)
+    params = learned.init_params(jax.random.PRNGKey(0), tuple(hidden))
+    opt_state = tx.init(params)
+    epoch = learned._epoch_body(tx, jnp.bfloat16, batch, steps)
+
+    @jax.jit
+    def loop(params, opt_state, x, y, k):
+        def body(i, carry):
+            p, o, _ = carry
+            return epoch(
+                p, o, jax.random.fold_in(jax.random.PRNGKey(1), i), x, y
+            )
+
+        out = jax.lax.fori_loop(
+            0, k, body, (params, opt_state, jnp.float32(0))
+        )
+        return out[2]
+
+    k1 = jnp.int32(1)
+    k2 = jnp.int32(1 + epochs)
+    dt = _diff_time(
+        loop, (params, opt_state, x, y, k1), (params, opt_state, x, y, k2),
+        epochs,
+    )
+    rows_per_epoch = steps * batch
+    rate = rows_per_epoch / dt
+    sizes = [learned.NUM_FEATURES, *hidden, 1]
+    macs_per_row = sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
+    return {
+        "metric": "learned_train_rows_per_sec",
+        "value": rate,
+        "unit": "rows/s",
+        "vs_baseline": rate,  # no reference number exists (model not built)
+        "seconds_per_epoch": dt,
+        "rows_per_epoch": rows_per_epoch,
+        "batch": batch,
+        "hidden": list(hidden),
+        "model_tflops": rate * macs_per_row * 2 * 3 / 1e12,
+    }
+
+
 def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     # Pallas kernels need TPU hardware (no CPU lowering for the TPU
     # memory spaces / PRNG); keep `collide2d bench` usable on CPU-only
