@@ -559,6 +559,11 @@ def _add_train(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--accuracy_bins", type=float, nargs="+",
                    default=[0.0, 0.01, 0.1, 1.0],
                    help="bins for the per-bin validation MAE report")
+    p.add_argument("--balance_bins", type=float, nargs="+", default=None,
+                   help="cp bin edges: balance the training rows across "
+                        "these bins first (data/balance truncation — the "
+                        "reference's balance_datasets.py step), countering "
+                        "the annulus sampler's ~61%% zero-cp mass")
     p.add_argument("--verbose", type=_bool_flag, default=True)
     p.set_defaults(func=_run_train)
 
@@ -571,8 +576,12 @@ def _run_train(args: argparse.Namespace) -> int:
         train_model,
     )
 
-    features, labels = load_training_data(args.data_dir)
-    print(f"training on {features.shape[0]} rows from {args.data_dir}")
+    features, labels = load_training_data(
+        args.data_dir, balance_bins=args.balance_bins
+    )
+    balanced = " (balanced)" if args.balance_bins else ""
+    print(f"training on {features.shape[0]} rows from {args.data_dir}"
+          f"{balanced}")
     cfg = TrainConfig(
         hidden=tuple(args.hidden),
         epochs=args.epochs,

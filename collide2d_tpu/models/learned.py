@@ -235,6 +235,7 @@ def train_model(
     cfg: TrainConfig = TrainConfig(),
     *,
     accuracy_bins: Sequence[float] = (0.0, 0.01, 0.1, 1.0),
+    devices=None,
 ) -> TrainResult:
     """Fit the MLP on (N, 11) features / (N,) cp labels.
 
@@ -242,6 +243,10 @@ def train_model(
     ``cfg.epochs`` one-program epochs, and reports validation BCE/MAE
     (overall and per reference accuracy bin, so model error reads in
     the same units as the labeler's CI targets).
+
+    ``devices``: explicit device list for ``cfg.data_parallel`` (default
+    ``jax.local_devices()``) — pass the CPU mesh devices in tests and
+    dryruns so nothing dispatches through a remote backend.
     """
     features = np.asarray(features, np.float32)
     labels = np.asarray(labels, np.float32)
@@ -276,10 +281,9 @@ def train_model(
 
     x_dev = jnp.asarray(xtr)
     y_dev = jnp.asarray(ytr)
-    if cfg.data_parallel and len(jax.local_devices()) > 1:
+    devs = list(devices) if devices is not None else jax.local_devices()
+    if cfg.data_parallel and len(devs) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-        devs = jax.local_devices()
         # the scan gathers global permutation indices, so rows must tile
         # evenly; drop the remainder (same rule as the minibatch cut)
         usable = (x_dev.shape[0] // len(devs)) * len(devs)
@@ -445,16 +449,31 @@ def _load_tables(data_dir) -> tuple[np.ndarray, np.ndarray]:
     return poses, np.sqrt(variances).astype(np.float32)
 
 
-def load_training_data(data_dir) -> tuple[np.ndarray, np.ndarray]:
+def load_training_data(
+    data_dir, balance_bins: Sequence[float] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """All labeled batches in a dataset dir -> ((N, 11) features, (N,) cp).
 
     Reads the generator's artifacts exactly as `balance.load_data` does
     (numeric batch files, skipping poses*/variance*/checkpoint*) and
-    resolves table indices through poses.npy / variances.npy."""
-    from collide2d_tpu.data.balance import load_data
+    resolves table indices through poses.npy / variances.npy.
+
+    ``balance_bins``: optional cp bin edges — truncates every bin to the
+    smallest bin's row count before featurizing (`data.balance`, the
+    reference's balance_datasets.py step), the standard counter to the
+    annulus sampler's ~61% zero-probability mass dominating training."""
+    from collide2d_tpu.data.balance import (
+        balance_single,
+        compute_bin_idx,
+        load_data,
+    )
     from collide2d_tpu.data.schemas import unpack_dataset_rows
 
     rows = load_data(data_dir)
+    if balance_bins is not None:
+        rows = balance_single(
+            rows, compute_bin_idx(rows[:, 2], list(balance_bins))
+        )
     positions, cp, var_idx, pose_idx = unpack_dataset_rows(rows)
     poses, std_devs = _load_tables(data_dir)
     return featurize(positions, var_idx, pose_idx, poses, std_devs), cp

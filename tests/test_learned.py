@@ -152,6 +152,38 @@ def test_cli_train_predict_on_generated_dataset(tmp_path):
     assert rc == 0 and np.load(out).shape == (rows.shape[0],)
 
 
+def test_load_training_data_balance_bins(tmp_path):
+    """balance_bins truncates every cp bin to the smallest bin's count
+    (the reference's balance_datasets.py step) before featurizing."""
+    from collide2d_tpu.data.schemas import pack_dataset_rows
+    from collide2d_tpu.utils.io_npy import save_npy
+
+    rng = np.random.default_rng(0)
+    n = 300
+    cp = np.concatenate([
+        np.zeros(200, np.float32),                      # [0, 0.01) bin
+        rng.uniform(0.02, 0.09, 60).astype(np.float32),  # [0.01, 0.1)
+        rng.uniform(0.2, 0.9, 40).astype(np.float32),    # [0.1, 1]
+    ])
+    rows = pack_dataset_rows(
+        rng.uniform(-5, 5, (n, 2)).astype(np.float32), cp,
+        np.zeros(n, np.float32), np.zeros(n, np.float32),
+    )
+    data_dir = tmp_path / "data"
+    save_npy(data_dir / "0.npy", rows)
+    save_npy(data_dir / "poses.npy", np.ones((1, 3), np.float32))
+    save_npy(data_dir / "variances.npy", np.zeros((1, 5), np.float32))
+
+    feats, labels = load_training_data(data_dir)
+    assert labels.shape == (n,)
+    bins = (0.0, 0.01, 0.1, 1.0)
+    feats_b, labels_b = load_training_data(data_dir, balance_bins=bins)
+    # smallest bin has 40 rows -> 3 bins x 40
+    assert labels_b.shape == (120,)
+    assert (labels_b < 0.01).sum() == 40
+    assert ((labels_b >= 0.01) & (labels_b < 0.1)).sum() == 40
+
+
 def test_load_training_data_resolves_dataset_dir(tmp_path):
     from collide2d_tpu.data.pipeline import GenerateConfig, generate_dataset
     from collide2d_tpu.mc.estimator import AdaptiveConfig
