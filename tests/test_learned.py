@@ -88,6 +88,23 @@ def test_save_load_roundtrip_identical_predictions(tmp_path):
     assert ((a >= 0) & (a <= 1)).all()
 
 
+def test_training_is_deterministic():
+    """Same data + TrainConfig -> bit-identical parameters (threefry
+    shuffles, deterministic scan, fixed split): the same contract the
+    labelers carry (same-seed generates are bitwise identical)."""
+    feats, labels = _toy_problem(n=512, seed=5)
+    cfg = TrainConfig(hidden=(16,), epochs=2, batch_size=128,
+                      val_fraction=0.25, seed=4)
+    a = train_model(feats, labels, cfg)
+    b = train_model(feats, labels, cfg)
+    assert a.history == b.history
+    for k in a.params:
+        np.testing.assert_array_equal(
+            np.asarray(a.params[k]), np.asarray(b.params[k])
+        )
+    np.testing.assert_array_equal(a.norm_mean, b.norm_mean)
+
+
 def test_data_parallel_training_matches_single_device():
     # f32 compute so the only cross-device difference is reduction order.
     feats, labels = _toy_problem(n=1024, seed=3)
