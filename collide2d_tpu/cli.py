@@ -112,7 +112,8 @@ def _add_generate(sub: argparse._SubParsersAction) -> None:
                    help="rounds between mid-batch checkpoints (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="skip existing batch files and resume mid-batch from "
-                        "checkpoint.npz (requires a fixed --seed)")
+                        "data_dir/checkpoint_{batch}.npz (one per in-flight "
+                        "pipelined batch; requires a fixed --seed)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the configuration axis across all local chips")
     p.add_argument("--overlap_batches", type=int, default=3,

@@ -94,7 +94,8 @@ class GenerateConfig:
     adaptive: AdaptiveConfig | None = None  # schedule override (tests)
     checkpoint_every: int = 0  # rounds between mid-batch checkpoints (0 = off)
     resume: bool = False  # skip batches whose files exist; resume mid-batch
-    #   from checkpoint.npz (requires a fixed --seed so keys reproduce)
+    #   from checkpoint_{abs_batch}.npz, one per in-flight pipelined batch
+    #   (requires a fixed --seed so keys reproduce)
     data_parallel: bool = False  # shard the config axis across all chips
     mesh: object = None  # explicit Mesh override (tests / custom topologies)
     schedule: object = None  # None = reference schedule | "tuned" | explicit tuple
@@ -386,15 +387,19 @@ def _label_batch(
 
     Tables are gathered on the HOST here: ztest labels ONE file, so a
     host fancy-index of its rows (<= ~1.5 s even at 100k rows) beats
-    uploading the full 536 MB production tables to gather a sliver —
-    and numpy raises IndexError on out-of-range indices for free. The
-    many-batch relabel path amortizes a one-time device upload instead
-    (`_batch_configs`).
+    uploading the full 536 MB production tables to gather a sliver.
+    The many-batch relabel path amortizes a one-time device upload
+    instead (`_batch_configs`). Bounds are checked explicitly: numpy
+    raises only for indices >= len, while NEGATIVE decoded indices
+    (corrupt/table-mismatched input) would silently wrap to the tail
+    rows and label the wrong configurations.
     """
     pose_idx = np.asarray(pose_idx, np.int64)
     var_idx = np.asarray(var_idx, np.int64)
     poses = np.asarray(poses, np.float32)
     std_devs = np.asarray(std_devs, np.float32)
+    _check_table_idx(pose_idx, len(poses), "pose_idx")
+    _check_table_idx(var_idx, len(std_devs), "var_idx")
     pose_rows = poses[pose_idx]
     configs = Configs(
         position=jnp.asarray(positions, jnp.float32),

@@ -1230,7 +1230,11 @@ def _save_checkpoint(
 ) -> None:
     import os
 
-    tmp = f"{path}.tmp.npz"  # ends in .npz so np.savez won't rename it
+    # Ends in .npz so np.savez won't rename it; PID-suffixed so two
+    # processes checkpointing the same path (e.g. a --resume rerun
+    # racing a stuck first run) can't os.replace each other's temp file
+    # mid-write — the same race utils.io_npy.save_npy documents.
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez(
         tmp,
         key_data=key_data,

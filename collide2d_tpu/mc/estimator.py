@@ -339,7 +339,16 @@ def resolve_impl(impl: str, example: Array | None = None) -> str:
         try:
             platform = next(iter(example.devices())).platform
         except Exception:
-            platform = None
+            platform = None  # e.g. a Tracer under an outer jit
+    if platform is None:
+        # Tracer (or no example): an explicitly pinned default device
+        # outranks default_backend() — on this image the TPU plugin
+        # registers itself as the default backend even when the user
+        # pinned jax_default_device to CPU, and resolving 'pallas' there
+        # would dispatch a Mosaic kernel through the (possibly wedged)
+        # tunnel from inside a CPU-pinned program.
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        platform = getattr(default_dev, "platform", None)
     if platform is None:
         platform = jax.default_backend()
     return "pallas" if platform in ("tpu", "axon") else "jnp"

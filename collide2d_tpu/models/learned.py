@@ -276,9 +276,6 @@ def train_model(
     tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
 
-    steps = xtr.shape[0] // cfg.batch_size
-    epoch_fn = _make_epoch_fn(tx, compute_dtype, cfg.batch_size, steps)
-
     x_dev = jnp.asarray(xtr)
     y_dev = jnp.asarray(ytr)
     devs = list(devices) if devices is not None else jax.local_devices()
@@ -295,6 +292,17 @@ def train_model(
         y_dev = jax.device_put(y_dev, row_sharded)
         params = jax.device_put(params, replicated)
         opt_state = jax.device_put(opt_state, replicated)
+
+    # AFTER the DP truncation: n % batch_size can shrink below
+    # n % n_devices, and the epoch's permutation reshape must match the
+    # rows that actually remain on device.
+    steps = x_dev.shape[0] // cfg.batch_size
+    if steps == 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} exceeds the {x_dev.shape[0]} "
+            "training rows left after the data-parallel truncation"
+        )
+    epoch_fn = _make_epoch_fn(tx, compute_dtype, cfg.batch_size, steps)
 
     key = jax.random.PRNGKey(cfg.seed + 1)
     history = []

@@ -386,6 +386,26 @@ def test_relabel_overlap_bitwise_and_checkpoint_cleanup(tmp_path, generated):
         np.testing.assert_array_equal(a, b)
 
 
+def test_ztest_rejects_negative_indices(tmp_path, generated):
+    # numpy fancy-indexing WRAPS negative indices to the table tail, so
+    # a corrupt input whose idx column decodes to -1 would silently
+    # label the wrong configuration; the host bounds check must fire on
+    # the ztest path too, not just relabel (review r3 finding).
+    data_dir, _ = generated
+    batch = np.load(data_dir / "0.npy")[:32]
+    rows = batch[:, [0, 1, 3, 4]].astype(np.float32)
+    rows[3, 3] = -1.0  # negative pose_idx
+    bad = tmp_path / "neg.npy"
+    np.save(bad, rows)
+    with pytest.raises(ValueError, match="pose_idx"):
+        ztest(ZTestConfig(
+            data_dir=str(data_dir), data_file_in=str(bad),
+            data_file_out=str(tmp_path / "out.npy"), cps_only=True,
+            seed=2, verbose=False, n_batch=1000, max_samples=4000,
+            adaptive=FAST,
+        ))
+
+
 def test_relabel_rejects_out_of_range_indices(tmp_path, generated):
     # jnp.take NaN-fills out-of-range gathers instead of raising (unlike
     # the numpy fancy-index it replaced), so a table-mismatched input

@@ -122,6 +122,23 @@ def test_data_parallel_training_matches_single_device():
         )
 
 
+def test_data_parallel_truncation_respects_batch_count():
+    """Regression (review r3): with a device count that does not divide
+    the row count, the DP truncation can drop the usable rows below
+    steps * batch_size — the epoch's permutation reshape must size
+    itself AFTER the truncation, not before."""
+    from conftest import cpu_devices
+
+    feats, labels = _toy_problem(n=512, seed=6)
+    res = train_model(
+        feats, labels,
+        TrainConfig(hidden=(8,), epochs=1, batch_size=128,
+                    val_fraction=0.0, seed=0, data_parallel=True),
+        devices=cpu_devices()[:3],  # 512 % 3 != 0 -> 510 usable rows
+    )
+    assert np.isfinite(res.history[-1])
+
+
 def test_cli_train_predict_on_generated_dataset(tmp_path):
     """Full loop on a real micro-dataset: generate -> train -> predict."""
     from collide2d_tpu.cli import main
