@@ -482,6 +482,13 @@ def load_training_data(
         rows = balance_single(
             rows, compute_bin_idx(rows[:, 2], list(balance_bins))
         )
+    if not np.isfinite(rows).all():
+        bad = int((~np.isfinite(rows).all(axis=1)).sum())
+        raise ValueError(
+            f"{data_dir}: {bad} rows contain NaN/inf — corrupt batch "
+            "file? (a non-finite feature would silently train the model "
+            "to NaN)"
+        )
     positions, cp, var_idx, pose_idx = unpack_dataset_rows(rows)
     poses, std_devs = _load_tables(data_dir)
     return featurize(positions, var_idx, pose_idx, poses, std_devs), cp

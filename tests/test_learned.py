@@ -218,6 +218,19 @@ def test_load_training_data_balance_bins(tmp_path):
     assert ((labels_b >= 0.01) & (labels_b < 0.1)).sum() == 40
 
 
+def test_load_training_data_rejects_non_finite_rows(tmp_path):
+    from collide2d_tpu.utils.io_npy import save_npy
+
+    rows = np.zeros((8, 5), np.float32)
+    rows[2, 0] = np.nan
+    data_dir = tmp_path / "data"
+    save_npy(data_dir / "0.npy", rows)
+    save_npy(data_dir / "poses.npy", np.ones((1, 3), np.float32))
+    save_npy(data_dir / "variances.npy", np.zeros((1, 5), np.float32))
+    with pytest.raises(ValueError, match="NaN"):
+        load_training_data(data_dir)
+
+
 def test_load_training_data_resolves_dataset_dir(tmp_path):
     from collide2d_tpu.data.pipeline import GenerateConfig, generate_dataset
     from collide2d_tpu.mc.estimator import AdaptiveConfig
