@@ -429,6 +429,30 @@ class LearnedCollisionModel:
             apply_model(self.params, x, self.compute_dtype)
         )
 
+    def cp_from_configs(self, configs) -> Array:
+        """Predicted cp for a `mc.estimator.Configs` batch — the learned
+        model as a drop-in SURROGATE for `CollisionProbabilityModel.
+        forward` (same batch type in, (N,) cp out, no sampling).
+
+        A Configs row carries exactly the 11 features the model trains
+        on: position, obstacle w/h, cos/sin of the robot angle, and the
+        five noise std-devs. Jittable. The contract is the model's
+        measured accuracy (README "Production validation"), not the MC
+        estimator's CI guarantee — use it for cheap dense sweeps, keep
+        the adaptive labeler for dataset-grade labels.
+        """
+        feats = jnp.concatenate(
+            [
+                configs.position,
+                configs.obstacle_wh,
+                jnp.cos(configs.pose_theta)[:, None],
+                jnp.sin(configs.pose_theta)[:, None],
+                configs.std_dev,
+            ],
+            axis=1,
+        )
+        return self.cp_from_features(feats)
+
     def cp(self, positions, var_idx, pose_idx, poses, std_devs) -> np.ndarray:
         """Dataset-row form: resolves tables then predicts. (N,) float32."""
         feats = featurize(positions, var_idx, pose_idx, poses, std_devs)

@@ -122,6 +122,37 @@ def test_data_parallel_training_matches_single_device():
         )
 
 
+def test_cp_from_configs_matches_featurize_path():
+    """The Configs surrogate surface must produce exactly the features
+    the model was trained on (column order pinned vs featurize)."""
+    from collide2d_tpu.mc.estimator import Configs
+
+    rng = np.random.default_rng(2)
+    n = 64
+    poses = rng.uniform(0.5, 4.0, size=(4, 3)).astype(np.float32)
+    std = np.sqrt(rng.uniform(0, 0.09, size=(4, 5))).astype(np.float32)
+    positions = rng.uniform(-6, 6, size=(n, 2)).astype(np.float32)
+    pose_idx = rng.integers(0, 4, size=n)
+    var_idx = rng.integers(0, 4, size=n)
+    feats, labels = _toy_problem(n=512, seed=7)
+    cfg = TrainConfig(hidden=(16,), epochs=1, batch_size=128,
+                      val_fraction=0.0, seed=0)
+    res = train_model(feats, labels, cfg)
+    model = LearnedCollisionModel(
+        res.params, res.norm_mean, res.norm_std, cfg.compute_dtype
+    )
+    configs = Configs(
+        position=positions,
+        pose_theta=poses[pose_idx, 2],
+        obstacle_wh=poses[pose_idx, 0:2],
+        std_dev=std[var_idx],
+    )
+    via_configs = np.asarray(model.cp_from_configs(configs))
+    via_tables = model.cp(positions, var_idx, pose_idx, poses, std)
+    np.testing.assert_allclose(via_configs, via_tables, rtol=0, atol=2e-6)
+    assert via_configs.shape == (n,)
+
+
 def test_data_parallel_truncation_respects_batch_count():
     """Regression (review r3): with a device count that does not divide
     the row count, the DP truncation can drop the usable rows below
