@@ -10,11 +10,14 @@ and the final counts (4 bytes/config):
     seeded per (round, grid block) with BOTH 32-bit halves of the folded
     threefry key (64-bit round entropy — a single int32 would birthday-
     collide across rounds x blocks) and the block id hash-mixed into the
-    second word; normals via Box-Muller, mirroring curand_normal's
-    method. Each loop step draws FIVE Box-Muller pairs = ten normals =
-    the noise for exactly TWO samples, so no half-pair is ever wasted
-    (a 6-normals-for-5 layout measured 14% slower — the kernel is
-    VPU-issue-bound and Box-Muller is its largest op block);
+    second word. Normals via inverse-CDF `erf_inv` by default (jax.
+    random.normal's method — a polynomial of FMAs instead of Box-
+    Muller's log/sqrt/cos/sin; +21-25% measured on v5e, the kernel
+    being VPU-issue-bound with the normal draws its largest op block),
+    with Box-Muller (curand_normal's method) selectable for A/B. Each
+    loop step draws FIVE normal pairs = ten normals = the noise for
+    exactly TWO samples, so no half-pair is ever wasted (a
+    6-normals-for-5 layout measured 14% slower);
   - the sampled obstacle is used in closed OBB form (`ops.sat.obb_collide`
     math): center (dx,dy), half-extents |wh/2 + z*sigma_wh/2|, angle
     dtheta — no vertex materialization. The axis test uses the
@@ -116,6 +119,34 @@ def _box_muller(shape):
     return r * jnp.cos(a), r * jnp.sin(a)
 
 
+def _erfinv_pair(shape):
+    """One pair of standard normals via inverse-CDF (erf_inv).
+
+    jax.random.normal's own method: z = sqrt(2) * erfinv(2u - 1), with
+    u centered to (0, 1) so the argument stays strictly inside (-1, 1)
+    (2u-1 = ±(1 - 2^-24) at the extremes ⇒ |z| <= ~5.6σ, the same
+    24-bit tail truncation class as Box-Muller's |z| <= 5.77σ). On TPU
+    erf_inv lowers to a polynomial of FMAs — measured against the two
+    transcendentals/normal of Box-Muller in `bench_mc_pallas`
+    (normal_method); see mc_counts_pallas for which is the default.
+    """
+    if _TEST_UNIFORM_FN is not None:
+        bits0 = (_TEST_UNIFORM_FN(shape) * (1 << 24) - 1.0)
+        bits1 = (_TEST_UNIFORM_FN(shape) * (1 << 24) - 1.0)
+    else:
+        bits0 = jax.lax.shift_right_logical(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32), 8
+        ).astype(jnp.float32)
+        bits1 = jax.lax.shift_right_logical(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32), 8
+        ).astype(jnp.float32)
+    scale = jnp.float32(2.0 * _INV_2_24)
+    s2 = jnp.float32(1.4142135623730951)
+    z0 = s2 * jax.lax.erf_inv((bits0 + 0.5) * scale - 1.0)
+    z1 = s2 * jax.lax.erf_inv((bits1 + 0.5) * scale - 1.0)
+    return z0, z1
+
+
 def _obb_separated(
     px, py, cos_a, sin_a, theta, hx1, hy1, ow_h, oh_h, sx, sy, sth, swh, shh,
     z_dx, z_dy, z_th, z_dw, z_dh,
@@ -165,7 +196,8 @@ def _obb_separated(
 
 
 def _mc_kernel(
-    seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int, shape_noise: bool
+    seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int,
+    shape_noise: bool, normal_method: str = "erfinv",
 ):
     if _TEST_UNIFORM_FN is None:
         # Two seed words (Mosaic's limit): both halves of the round's
@@ -189,19 +221,20 @@ def _mc_kernel(
     )
 
     shape = (sub // 2, LANE_CONFIGS)
+    draw_pair = _box_muller if normal_method == "box_muller" else _erfinv_pair
 
     def step(_, acc):
         # Five pairs = ten normals = the (dx, dy, theta, dw, dh) noise
         # for exactly TWO samples per tile row — nothing wasted. With
         # shape noise off (the reference default) only THREE pairs are
-        # drawn: Box-Muller is the kernel's largest op block and the
-        # kernel is VPU-issue-bound, so the dead draws are pure waste.
-        za_dx, zb_dx = _box_muller(shape)
-        za_dy, zb_dy = _box_muller(shape)
-        za_th, zb_th = _box_muller(shape)
+        # drawn: the normal draws are the kernel's largest op block and
+        # the kernel is VPU-issue-bound, so dead draws are pure waste.
+        za_dx, zb_dx = draw_pair(shape)
+        za_dy, zb_dy = draw_pair(shape)
+        za_th, zb_th = draw_pair(shape)
         if shape_noise:
-            za_dw, zb_dw = _box_muller(shape)
-            za_dh, zb_dh = _box_muller(shape)
+            za_dw, zb_dw = draw_pair(shape)
+            za_dh, zb_dh = draw_pair(shape)
         else:
             za_dw = zb_dw = za_dh = zb_dh = None
         sep_a = _obb_separated(*args, za_dx, za_dy, za_th, za_dw, za_dh)
@@ -231,10 +264,13 @@ def _pick_sub(n_batch: int) -> int:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "shape_noise", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("sub", "shape_noise", "interpret", "normal_method"),
+)
 def mc_counts_pallas(
     seed, params: Array, n_steps, *, sub: int = 16, shape_noise: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, normal_method: str = "erfinv",
 ) -> Array:
     """Collision counts out of ``n_steps * sub`` noise samples per config.
 
@@ -254,7 +290,11 @@ def mc_counts_pallas(
     assert params.shape[0] == PARAM_ROWS, params.shape
     assert c % LANE_CONFIGS == 0, c
     assert sub % 2 == 0 and sub >= 16, sub
-    kernel = functools.partial(_mc_kernel, sub=sub, shape_noise=shape_noise)
+    assert normal_method in ("box_muller", "erfinv"), normal_method
+    kernel = functools.partial(
+        _mc_kernel, sub=sub, shape_noise=shape_noise,
+        normal_method=normal_method,
+    )
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)
     if seed.shape[0] == 1:  # tolerate legacy scalar seeds
         seed = jnp.concatenate([seed, jnp.zeros((1,), jnp.int32)])
@@ -292,6 +332,7 @@ def mc_round_pallas(
     sub: int | None = None,
     shape_noise: bool = True,
     interpret: bool = False,
+    normal_method: str = "erfinv",
 ) -> Array:
     """Drop-in round step on the fused kernel: int32 (C,) counts.
 
@@ -304,6 +345,11 @@ def mc_round_pallas(
     compilation serve every round size of an adaptive schedule.
     ``shape_noise=False`` skips the two w/h noise draws (see
     `mc_counts_pallas`); only valid when every config's w/h sigma is 0.
+    ``normal_method``: 'erfinv' (default — inverse-CDF normals, +21-25%
+    measured over Box-Muller on v5e; see `_erfinv_pair`) or
+    'box_muller' (curand_normal's method). Both draw exactly N(0,1) up
+    to the 24-bit-uniform tail truncation; switching methods changes
+    the stream, never the distribution — the kernel's only contract.
     """
     if n_steps is None:
         sub = _pick_sub(n_batch)
@@ -323,6 +369,6 @@ def mc_round_pallas(
     )
     counts = mc_counts_pallas(
         seed, params, n_steps, sub=sub, shape_noise=shape_noise,
-        interpret=interpret,
+        interpret=interpret, normal_method=normal_method,
     )
     return counts[:c].astype(jnp.int32)

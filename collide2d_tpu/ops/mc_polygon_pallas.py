@@ -236,7 +236,7 @@ def _poly_separated(rows, k: int, k2: int, z_dx, z_dy, z_th, k2_axes=None):
 
 def _mc_poly_kernel(
     seed_ref, n_steps_ref, params_ref, out_ref, *, sub: int, k: int, k2: int,
-    k2_axes: int,
+    k2_axes: int, normal_method: str = "erfinv",
 ):
     if _mcp._TEST_UNIFORM_FN is None:
         block_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
@@ -247,12 +247,18 @@ def _mc_poly_kernel(
     rows = lambda i: p[i, :][None, :]  # (1, L), broadcasts over sublanes
     shape = (sub // 2, LANE_CONFIGS)
 
+    draw_pair = (
+        _mcp._box_muller if normal_method == "box_muller"
+        else _mcp._erfinv_pair
+    )
+
     def step(_, acc):
-        # Three Box-Muller pairs = six normals = the (dx, dy, theta)
-        # noise for exactly TWO samples per tile row.
-        za_dx, zb_dx = _mcp._box_muller(shape)
-        za_dy, zb_dy = _mcp._box_muller(shape)
-        za_th, zb_th = _mcp._box_muller(shape)
+        # Three normal pairs = six normals = the (dx, dy, theta) noise
+        # for exactly TWO samples per tile row (erfinv by default — see
+        # mc_pallas._erfinv_pair for the measured win over Box-Muller).
+        za_dx, zb_dx = draw_pair(shape)
+        za_dy, zb_dy = draw_pair(shape)
+        za_th, zb_th = draw_pair(shape)
         sep_a = _poly_separated(rows, k, k2, za_dx, za_dy, za_th, k2_axes)
         sep_b = _poly_separated(rows, k, k2, zb_dx, zb_dy, zb_th, k2_axes)
         hits = jnp.logical_not(sep_a).astype(jnp.int32) + jnp.logical_not(
@@ -267,11 +273,14 @@ def _mc_poly_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sub", "k", "k2", "k2_axes", "interpret")
+    jax.jit,
+    static_argnames=("sub", "k", "k2", "k2_axes", "interpret",
+                     "normal_method"),
 )
 def mc_poly_counts_pallas(
     seed, params: Array, n_steps, *, sub: int = 16, k: int, k2: int,
     k2_axes: int | None = None, interpret: bool = False,
+    normal_method: str = "erfinv",
 ) -> Array:
     """Collision counts out of ``n_steps * sub`` samples per config.
 
@@ -287,8 +296,10 @@ def mc_poly_counts_pallas(
     assert params.shape[0] == _num_rows(k, k2, k2_axes), (params.shape, k, k2)
     assert c % LANE_CONFIGS == 0, c
     assert sub % 2 == 0 and sub >= 16, sub
+    assert normal_method in ("box_muller", "erfinv"), normal_method
     kernel = functools.partial(
-        _mc_poly_kernel, sub=sub, k=k, k2=k2, k2_axes=k2_axes
+        _mc_poly_kernel, sub=sub, k=k, k2=k2, k2_axes=k2_axes,
+        normal_method=normal_method,
     )
     seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:2]
     out = pl.pallas_call(
@@ -327,6 +338,7 @@ def mc_round_polygons_pallas(
     sub: int | None = None,
     a_keep: tuple[int, ...] | None = None,
     interpret: bool = False,
+    normal_method: str = "erfinv",
 ) -> Array:
     """Drop-in round step on the fused polygon kernel: int32 (C,) counts.
 
@@ -359,6 +371,6 @@ def mc_round_polygons_pallas(
         seed, params, n_steps, sub=sub,
         k=configs.obstacle_verts.shape[1], k2=rv.shape[0],
         k2_axes=rv.shape[0] if a_keep is None else len(a_keep),
-        interpret=interpret,
+        interpret=interpret, normal_method=normal_method,
     )
     return counts[:c].astype(jnp.int32)

@@ -599,18 +599,21 @@ def bench_mc(configs: int = 65536, step_samples: int = 128, iters: int = 20) -> 
 
 
 def bench_mc_pallas(
-    configs: int = 65536, iters: int = 30, shape_noise: bool = True
+    configs: int = 65536, iters: int = 30, shape_noise: bool = True,
+    normal_method: str = "erfinv",
 ) -> dict:
-    """Fused Pallas MC kernel throughput (hardware PRNG + Box-Muller +
+    """Fused Pallas MC kernel throughput (hardware PRNG + normal draws +
     OBB + on-chip reduce) — the production sampler.
 
-    VPU-issue-bound (probed: neither the transcendental unit nor PRNG
-    generation limits it). The paired-draw relative-angle kernel (5
-    Box-Muller pairs = 2 samples, cos/sin of theta-phi) measures ~8.5e9
-    samples/s on the axon chip — +15% over the 6-draws-for-5-normals
-    layout it replaced. ``shape_noise=False`` benchmarks the 3-pair
-    variant the driver selects when every w/h sigma is zero (the
-    reference default workload)."""
+    VPU-issue-bound with the normal draws the largest op block: erfinv
+    normals (the production default) measure 1.06e10 samples/s full-
+    noise / 1.41e10 shape-noise-off on the axon chip, +25%/+21% over
+    Box-Muller (8.5e9 / 1.17e10 — itself +15% over the
+    6-draws-for-5-normals layout it replaced). ``shape_noise=False``
+    benchmarks the 3-pair variant the driver selects when every w/h
+    sigma is zero (the reference default workload);
+    ``normal_method='box_muller'`` keeps the A/B comparison honest in
+    every capture."""
     from collide2d_tpu.ops.mc_pallas import mc_counts_pallas, pack_mc_params
 
     cfgs = _bench_configs(configs)
@@ -626,7 +629,7 @@ def bench_mc_pallas(
             return acc + jnp.sum(
                 mc_counts_pallas(
                     seed + i, params, jnp.int32(n_steps), sub=sub,
-                    shape_noise=shape_noise,
+                    shape_noise=shape_noise, normal_method=normal_method,
                 ),
                 dtype=jnp.int32,
             )
@@ -638,8 +641,11 @@ def bench_mc_pallas(
     )
     rate = params.shape[1] * sub * n_steps / dt
     return {
+        # plain name = the production path (erfinv since round 3);
+        # non-default methods get a suffix so A/B entries stay distinct
         "metric": "mc_samples_per_sec_pallas"
-        + ("" if shape_noise else "_noshape"),
+        + ("" if shape_noise else "_noshape")
+        + ("" if normal_method == "erfinv" else f"_{normal_method}"),
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / SAT_TARGET,
@@ -650,7 +656,8 @@ def bench_mc_pallas(
 
 
 def bench_mc_polygons_pallas(
-    configs: int = 16384, k: int = 8, iters: int = 20
+    configs: int = 16384, k: int = 8, iters: int = 20,
+    normal_method: str = "erfinv",
 ) -> dict:
     """Fused polygon MC kernel (ops.mc_polygon_pallas) throughput, on the
     production path (robot-axis dedup: the rectangle robot keeps 2 of
@@ -684,7 +691,7 @@ def bench_mc_polygons_pallas(
             return acc + jnp.sum(
                 mc_poly_counts_pallas(
                     seed + i, params, jnp.int32(n_steps), sub=sub, k=k, k2=4,
-                    k2_axes=len(a_keep),
+                    k2_axes=len(a_keep), normal_method=normal_method,
                 ),
                 dtype=jnp.int32,
             )
@@ -696,7 +703,8 @@ def bench_mc_polygons_pallas(
     )
     rate = params.shape[1] * sub * n_steps / dt
     return {
-        "metric": "mc_polygon_samples_per_sec_pallas",
+        "metric": "mc_polygon_samples_per_sec_pallas"
+        + ("" if normal_method == "erfinv" else f"_{normal_method}"),
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / SAT_TARGET,

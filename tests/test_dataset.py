@@ -392,7 +392,10 @@ def test_ztest_rejects_negative_indices(tmp_path, generated):
     # label the wrong configuration; the host bounds check must fire on
     # the ztest path too, not just relabel (review r3 finding).
     data_dir, _ = generated
-    batch = np.load(data_dir / "0.npy")[:32]
+    # batch 1, not 0: test_ztest_cps_only_and_default_paths overwrites
+    # data_dir/0.npy with a 1-D cps vector (the reference's default
+    # output path, ztest.cu:200-206)
+    batch = np.load(data_dir / "1.npy")[:32]
     rows = batch[:, [0, 1, 3, 4]].astype(np.float32)
     rows[3, 3] = -1.0  # negative pose_idx
     bad = tmp_path / "neg.npy"

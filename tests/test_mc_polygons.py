@@ -422,6 +422,10 @@ def test_polygon_kernel_tile_vs_numpy_oracle(rng, monkeypatch):
         mpp.mc_poly_counts_pallas(
             jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
             sub=sub, k=K, k2=4, k2_axes=len(keep), interpret=True,
+            # one method suffices for the oracle check (the wiring tests
+            # in test_pallas.py cover both draw methods); pin it so the
+            # replay below stays stream-exact
+            normal_method="box_muller",
         )
     )
 

@@ -200,16 +200,20 @@ def test_polygon_kernel_mixed_k(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_mc_kernel_math_interpret(rng, monkeypatch):
-    """Off-TPU CI coverage of the fused MC kernel's OBB math.
+@pytest.mark.parametrize("normal_method", ["box_muller", "erfinv"])
+def test_mc_kernel_math_interpret(rng, monkeypatch, normal_method):
+    """Off-TPU CI coverage of the fused MC kernel's OBB math (both
+    normal-draw methods: erfinv is the production default, Box-Muller
+    the A/B alternative).
 
     The hardware PRNG has no CPU lowering, so the uniform source is
     stubbed with a deterministic iota-hash. Two checks:
 
     1. WIRING, bit-for-bit: the same draws replayed through the module's
-       own Box-Muller and `_obb_separated` (the tile function the kernel
-       itself calls) must reproduce the kernel's counts exactly — pins
-       packing, seeds-plumbing, the paired-draw order, and accumulation.
+       own draw-pair fn and `_obb_separated` (the tile functions the
+       kernel itself calls) must reproduce the kernel's counts exactly —
+       pins packing, seeds-plumbing, the paired-draw order, and
+       accumulation.
     2. SEMANTICS: the counts must equal `ops.sat.obb_collide` on the same
        noise. The kernel's relative-angle form rounds differently, so
        labels could in principle flip on exactly-touching inputs; the
@@ -236,21 +240,23 @@ def test_mc_kernel_math_interpret(rng, monkeypatch):
     counts = np.array(
         mcp.mc_counts_pallas(
             jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
-            sub=sub, interpret=True,
+            sub=sub, interpret=True, normal_method=normal_method,
         )
     )
 
-    # Replay the same ten draws through the module's own Box-Muller (the
-    # stub depends only on (shape, call index) — reset and repeat): five
-    # pairs of shape (sub/2, C), halves a/b = two samples per row.
+    # Replay the same ten draws through the module's own draw-pair fn
+    # (the stub depends only on (shape, call index) — reset and repeat):
+    # five pairs of shape (sub/2, C), halves a/b = two samples per row.
     replay = deterministic_uniform_stub()
     monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", replay)
+    draw = (mcp._box_muller if normal_method == "box_muller"
+            else mcp._erfinv_pair)
     shape = (sub // 2, C)
-    za_dx, zb_dx = mcp._box_muller(shape)
-    za_dy, zb_dy = mcp._box_muller(shape)
-    za_th, zb_th = mcp._box_muller(shape)
-    za_dw, zb_dw = mcp._box_muller(shape)
-    za_dh, zb_dh = mcp._box_muller(shape)
+    za_dx, zb_dx = draw(shape)
+    za_dy, zb_dy = draw(shape)
+    za_th, zb_th = draw(shape)
+    za_dw, zb_dw = draw(shape)
+    za_dh, zb_dh = draw(shape)
 
     p = np.asarray(params)
     prow = lambda i: jnp.asarray(p[i])[None, :]  # (1, C), as in the kernel
@@ -290,7 +296,8 @@ def test_mc_kernel_math_interpret(rng, monkeypatch):
     np.testing.assert_array_equal(counts, want_sem)
 
 
-def test_mc_kernel_no_shape_noise_interpret(rng, monkeypatch):
+@pytest.mark.parametrize("normal_method", ["box_muller", "erfinv"])
+def test_mc_kernel_no_shape_noise_interpret(rng, monkeypatch, normal_method):
     """shape_noise=False (the reference default: w/h sigmas zero) draws
     only THREE Box-Muller pairs per step. With zero w/h sigmas the
     5-draw and 3-draw kernels see different streams, so equality is
@@ -321,14 +328,17 @@ def test_mc_kernel_no_shape_noise_interpret(rng, monkeypatch):
         mcp.mc_counts_pallas(
             jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
             sub=sub, shape_noise=False, interpret=True,
+            normal_method=normal_method,
         )
     )
 
     monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    draw = (mcp._box_muller if normal_method == "box_muller"
+            else mcp._erfinv_pair)
     shape = (sub // 2, C)
-    za_dx, zb_dx = mcp._box_muller(shape)
-    za_dy, zb_dy = mcp._box_muller(shape)
-    za_th, zb_th = mcp._box_muller(shape)
+    za_dx, zb_dx = draw(shape)
+    za_dy, zb_dy = draw(shape)
+    za_th, zb_th = draw(shape)
 
     p = np.asarray(params)
     prow = lambda i: jnp.asarray(p[i])[None, :]
@@ -422,7 +432,8 @@ def test_mc_polygon_kernel_statistics_tpu():
     assert (np.abs(got - want) <= tol).all()
 
 
-def test_mc_polygon_kernel_math_interpret(rng, monkeypatch):
+@pytest.mark.parametrize("normal_method", ["box_muller", "erfinv"])
+def test_mc_polygon_kernel_math_interpret(rng, monkeypatch, normal_method):
     """Off-TPU CI coverage of the fused polygon MC kernel.
 
     1. WIRING, bit-for-bit: stubbed draws replayed through the module's
@@ -455,15 +466,18 @@ def test_mc_polygon_kernel_math_interpret(rng, monkeypatch):
         mpp.mc_poly_counts_pallas(
             jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
             sub=sub, k=K, k2=K2, interpret=True,
+            normal_method=normal_method,
         )
     )
 
     # --- wiring replay through the module's own tile function
     monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    draw = (mcp._box_muller if normal_method == "box_muller"
+            else mcp._erfinv_pair)
     shape = (sub // 2, C)
-    za_dx, zb_dx = mcp._box_muller(shape)
-    za_dy, zb_dy = mcp._box_muller(shape)
-    za_th, zb_th = mcp._box_muller(shape)
+    za_dx, zb_dx = draw(shape)
+    za_dy, zb_dy = draw(shape)
+    za_th, zb_th = draw(shape)
     p = np.asarray(params)
     rows = lambda i: jnp.asarray(p[i])[None, :]
     sep_a = mpp._poly_separated(rows, K, K2, za_dx, za_dy, za_th)
