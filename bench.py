@@ -144,6 +144,13 @@ def main() -> int:
 
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
+    # A/B record of the round-3 normal-draw change (erfinv is the
+    # production default; this line keeps the Box-Muller baseline in
+    # every capture so the win stays measured, not remembered).
+    noshape_bm = functools.partial(
+        bench_mc_pallas, shape_noise=False, normal_method="box_muller"
+    )
+    noshape_bm.__name__ = "bench_mc_pallas_noshape_box_muller"
     poly_bf16 = functools.partial(bench_sat_polygons_pallas, precision="bf16")
     poly_bf16.__name__ = "bench_sat_polygons_pallas_bf16"
     from collide2d_tpu.utils.benchmarks import bench_sat_polygons_mxu
@@ -160,6 +167,7 @@ def main() -> int:
         bench_mc,
         bench_mc_pallas,
         noshape,
+        noshape_bm,
         bench_mc_polygons_pallas,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
