@@ -57,9 +57,10 @@ def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
                         "before a repack — measured +3-5%% end to end over "
                         "quarter; quarter/half: progressively fewer "
                         "compiled shapes for cold-cache hosts; sixteenth: "
-                        "simulated +1-2%% device slots over eighth for 2x "
-                        "the compile-warm bill — only for long runs on "
-                        "persistent-cache hosts)")
+                        "saves 1-2%% device slots over eighth but costs 2x "
+                        "the compile bill and extra dispatches — measured "
+                        "net-negative on this tunnel since the erfinv "
+                        "kernel; only for dispatch-cheap deployments)")
 
 
 def _schedule_arg(args: argparse.Namespace):

@@ -502,16 +502,19 @@ def load_training_data(
     from collide2d_tpu.data.schemas import unpack_dataset_rows
 
     rows = load_data(data_dir)
-    if balance_bins is not None:
-        rows = balance_single(
-            rows, compute_bin_idx(rows[:, 2], list(balance_bins))
-        )
+    # BEFORE balance filtering: a NaN cp falls outside every balance
+    # bin mask, so checking afterwards would silently DROP the corrupt
+    # rows instead of raising (review r3 finding).
     if not np.isfinite(rows).all():
         bad = int((~np.isfinite(rows).all(axis=1)).sum())
         raise ValueError(
             f"{data_dir}: {bad} rows contain NaN/inf — corrupt batch "
             "file? (a non-finite feature would silently train the model "
             "to NaN)"
+        )
+    if balance_bins is not None:
+        rows = balance_single(
+            rows, compute_bin_idx(rows[:, 2], list(balance_bins))
         )
     positions, cp, var_idx, pose_idx = unpack_dataset_rows(rows)
     poses, std_devs = _load_tables(data_dir)

@@ -98,15 +98,27 @@ def pack_mc_params(configs: Configs, robot_wh) -> Array:
 _TEST_UNIFORM_FN = None
 
 
-def _uniform01(shape):
-    """Uniform floats in (0, 1] from raw PRNG bits (24-bit mantissa)."""
+def _uniform_bits24(shape):
+    """Raw 24-bit uniform codes: int32 in [0, 2^24).
+
+    The single point where randomness enters the kernel — hardware PRNG
+    in production, `_TEST_UNIFORM_FN` in interpret-mode CI (the stub's
+    (k+1)*2^-24 floats invert exactly: k+1 <= 2^24 is exact in f32).
+    """
     if _TEST_UNIFORM_FN is not None:
-        return _TEST_UNIFORM_FN(shape)
+        return (
+            _TEST_UNIFORM_FN(shape) * jnp.float32(1 << 24) - 1.0
+        ).astype(jnp.int32)
     bits = pltpu.prng_random_bits(shape)
     # Mosaic has no uint32->f32 cast; shift as int32 (>> 8 of a uint is
     # the same as of its int reinterpretation's logical shift) and the
-    # result fits in 24 bits, so the int32->f32 cast is exact.
-    bits = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), 8)
+    # result fits in 24 bits, so the later int32->f32 cast is exact.
+    return jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), 8)
+
+
+def _uniform01(shape):
+    """Uniform floats in (0, 1] from 24-bit codes."""
+    bits = _uniform_bits24(shape)
     return (bits.astype(jnp.float32) + 1.0) * jnp.float32(_INV_2_24)
 
 
@@ -122,28 +134,25 @@ def _box_muller(shape):
 def _erfinv_pair(shape):
     """One pair of standard normals via inverse-CDF (erf_inv).
 
-    jax.random.normal's own method: z = sqrt(2) * erfinv(2u - 1), with
-    u centered to (0, 1) so the argument stays strictly inside (-1, 1)
-    (2u-1 = ±(1 - 2^-24) at the extremes ⇒ |z| <= ~5.6σ, the same
-    24-bit tail truncation class as Box-Muller's |z| <= 5.77σ). On TPU
-    erf_inv lowers to a polynomial of FMAs — measured against the two
-    transcendentals/normal of Box-Muller in `bench_mc_pallas`
-    (normal_method); see mc_counts_pallas for which is the default.
+    jax.random.normal's own method on 23-BIT codes: z = sqrt(2) *
+    erfinv((b + 0.5) / 2^22 - 1) with b in [0, 2^23). 23 bits, not 24,
+    because the ±0.5 centering must be EXACT in float32: at 24 bits,
+    b + 0.5 rounds (half-to-even) for every b >= 2^23, and the top code
+    rounds UP to 2^24 making the erf_inv argument exactly 1.0 — an
+    +inf draw whose NaNs would count as collisions (review r3 finding,
+    regression-tested). With 23-bit codes every b + 0.5 and the final
+    argument ±(1 - 2^-23) are exact, so draws are finite by
+    construction: |z| <= erfinv(1-2^-23)*sqrt(2) ≈ 5.33σ — the same
+    finite-code tail-truncation class as Box-Muller's 5.77σ. On TPU
+    erf_inv lowers to a polynomial block measurably cheaper than
+    Box-Muller's log/sqrt/cos/sin (see `bench_mc_pallas`).
     """
-    if _TEST_UNIFORM_FN is not None:
-        bits0 = (_TEST_UNIFORM_FN(shape) * (1 << 24) - 1.0)
-        bits1 = (_TEST_UNIFORM_FN(shape) * (1 << 24) - 1.0)
-    else:
-        bits0 = jax.lax.shift_right_logical(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32), 8
-        ).astype(jnp.float32)
-        bits1 = jax.lax.shift_right_logical(
-            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32), 8
-        ).astype(jnp.float32)
-    scale = jnp.float32(2.0 * _INV_2_24)
+    b0 = jax.lax.shift_right_logical(_uniform_bits24(shape), 1)
+    b1 = jax.lax.shift_right_logical(_uniform_bits24(shape), 1)
+    scale = jnp.float32(1.0 / (1 << 22))
     s2 = jnp.float32(1.4142135623730951)
-    z0 = s2 * jax.lax.erf_inv((bits0 + 0.5) * scale - 1.0)
-    z1 = s2 * jax.lax.erf_inv((bits1 + 0.5) * scale - 1.0)
+    z0 = s2 * jax.lax.erf_inv((b0.astype(jnp.float32) + 0.5) * scale - 1.0)
+    z1 = s2 * jax.lax.erf_inv((b1.astype(jnp.float32) + 0.5) * scale - 1.0)
     return z0, z1
 
 

@@ -260,6 +260,11 @@ def test_load_training_data_rejects_non_finite_rows(tmp_path):
     save_npy(data_dir / "variances.npy", np.zeros((1, 5), np.float32))
     with pytest.raises(ValueError, match="NaN"):
         load_training_data(data_dir)
+    # with balance_bins too: a NaN cp falls outside every bin mask, so a
+    # post-balance check would silently DROP the corrupt rows instead of
+    # raising (review r3 finding)
+    with pytest.raises(ValueError, match="NaN"):
+        load_training_data(data_dir, balance_bins=(0.0, 0.01, 0.1, 1.0))
 
 
 def test_load_training_data_resolves_dataset_dir(tmp_path):

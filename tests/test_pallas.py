@@ -384,6 +384,28 @@ def _on_tpu():
         return False
 
 
+def test_erfinv_pair_finite_at_code_extremes(monkeypatch):
+    """Regression (review r3): at the top 24-bit code, a 24-bit-centered
+    erfinv argument rounds to exactly 1.0 in float32 and erf_inv(1.0) =
+    +inf — whose NaNs would be COUNTED AS COLLISIONS downstream. The
+    23-bit-code construction must produce finite draws at both code
+    extremes (and everywhere, by the exactness argument in its
+    docstring)."""
+    import collide2d_tpu.ops.mc_pallas as mcp
+
+    shape = (8, 128)
+    for const in (1.0, 1.0 / (1 << 24)):  # top and bottom codes
+        monkeypatch.setattr(
+            mcp, "_TEST_UNIFORM_FN",
+            lambda s, c=const: jnp.full(s, c, jnp.float32),
+        )
+        z0, z1 = mcp._erfinv_pair(shape)
+        for z in (z0, z1):
+            z = np.asarray(z)
+            assert np.isfinite(z).all(), f"non-finite draw at code {const}"
+            assert (np.abs(z) < 6.0).all()  # ~5.33 sigma truncation
+
+
 @pytest.mark.skipif(not _on_tpu(), reason="MC kernel needs the TPU hardware PRNG")
 def test_mc_kernel_statistics_tpu():
     from collide2d_tpu.mc.estimator import Configs, mc_round
