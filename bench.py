@@ -162,8 +162,11 @@ def main() -> int:
     e2e.__name__ = "bench_e2e"
     e2e_tuned = functools.partial(bench_e2e, configs=65536, schedule="tuned")
     e2e_tuned.__name__ = "bench_e2e_tuned"
+    from collide2d_tpu.utils.benchmarks import bench_obb_pallas
+
     for fn in (
         bench_sat,
+        bench_obb_pallas,
         bench_mc,
         bench_mc_pallas,
         noshape,

@@ -129,6 +129,57 @@ def bench_sat_pallas(pairs: int = 1 << 22, iters: int = 20, block: int = 4096) -
     }
 
 
+@jax.jit
+def _obb_pallas_loop(b1t, b2t, k):
+    from collide2d_tpu.ops.sat_pallas import obb_count_pallas_t
+
+    def body(i, acc):
+        shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+        return acc + obb_count_pallas_t(b1t, b2t, shift, block=4096)
+
+    return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+
+def bench_obb_pallas(pairs: int = 1 << 23, iters: int = 100) -> dict:
+    """Param-form OBB SAT kernel: collision tests on PARAMETRIC boxes
+    (center/extents/angle — the representation the reference's own
+    dataset workload carries, generate_dataset.cu:207-236) without
+    vertex materialization. 48 bytes/pair streamed vs the vertex
+    kernel's 128 — the bandwidth-bound ceiling is 2.7x higher, and
+    labels are bitwise-equal to `ops.sat.obb_collide`'s closed form."""
+    from collide2d_tpu.ops.sat_pallas import pack_obbs
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    mk = lambda i, lo, hi, shape: jax.random.uniform(
+        ks[i], shape, jnp.float32, lo, hi
+    )
+    b1t = jax.block_until_ready(pack_obbs(
+        mk(0, -6, 6, (pairs, 2)), mk(1, 0.1, 5, (pairs, 2)),
+        mk(2, 0, 2 * np.pi, (pairs,)),
+    ))
+    b2t = jax.block_until_ready(pack_obbs(
+        mk(3, -6, 6, (pairs, 2)), mk(4, 0.1, 5, (pairs, 2)),
+        mk(5, 0, 2 * np.pi, (pairs,)),
+    ))
+    dt = _diff_time(
+        _obb_pallas_loop,
+        (b1t, b2t, jnp.int32(1)),
+        (b1t, b2t, jnp.int32(1 + iters)),
+        iters,
+    )
+    rate = pairs / dt
+    return {
+        "metric": "obb_param_pairs_per_sec_pallas",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "seconds_per_iter": dt,
+        "pairs": pairs,
+        "effective_gbps": 48 * pairs / dt / 1e9,
+    }
+
+
 def _random_convex_polygons(n: int, k: int, seed: int, area_side: float):
     """Random convex k-gons (scaled, rotated regular k-gons) with centers
     uniform in an ``area_side``-sized box — candidate density is set by

@@ -384,6 +384,29 @@ def _on_tpu():
         return False
 
 
+def test_obb_param_kernel_bitwise_vs_closed_form(rng):
+    """Param-form OBB kernel == ops.sat.obb_collide bit-for-bit (same
+    float op order), incl. negative extents (the reference's additive
+    shape noise can invert rectangles, utils.cu:144-157) and the
+    padding path."""
+    from collide2d_tpu.ops.sat import obb_collide
+    from collide2d_tpu.ops.sat_pallas import obb_collide_pallas
+
+    n = 1000  # not a multiple of the 8*block alignment -> padding path
+    c1 = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    e1 = jnp.asarray(rng.uniform(-2, 5, (n, 2)).astype(np.float32))
+    e2 = jnp.asarray(rng.uniform(-2, 5, (n, 2)).astype(np.float32))
+    t1 = jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32))
+    t2 = jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32))
+    want = np.array(obb_collide(c1, e1, t1, c2, e2, t2))
+    got = np.array(
+        obb_collide_pallas(c1, e1, t1, c2, e2, t2, block=64, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 0 and want.sum() < n  # non-degenerate mix
+
+
 def test_erfinv_pair_finite_at_code_extremes(monkeypatch):
     """Regression (review r3): at the top 24-bit code, a 24-bit-centered
     erfinv argument rounds to exactly 1.0 in float32 and erf_inv(1.0) =
