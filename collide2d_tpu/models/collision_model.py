@@ -41,7 +41,7 @@ class CollisionProbabilityModel:
     # ---- deterministic narrow phase -------------------------------------
     def collide(
         self, position: Array, pose_theta: Array, obstacle_wh: Array,
-        *, precision: str = "f32", impl: str = "auto",
+        *, precision: str = "f32", impl: str = "auto", method: str = "vertex",
     ) -> Array:
         """Deterministic SAT label for robot-at-(position, theta) vs an
         axis-aligned obstacle at the origin. int32 (C,).
@@ -55,18 +55,47 @@ class CollisionProbabilityModel:
         rounded labels come from the XLA path, so results are
         platform-independent. ``impl``: 'auto' = Pallas kernel on TPU,
         XLA elsewhere; 'jnp' forces the XLA path.
+
+        ``method='obb'`` skips vertex materialization: the closed-form
+        oriented-box test straight on the parameters (+30% pairs/s at
+        2.7x less HBM traffic on TPU, `ops.sat_pallas.obb_collide_pallas`;
+        `ops.sat.obb_collide` off-TPU). Labels equal the vertex path
+        everywhere except measure-zero exactly-touching roundings (the
+        obb_collide contract); f32 only.
         """
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                             f"{precision!r}")
+        if method not in ("vertex", "obb"):
+            raise ValueError(f"method must be 'vertex' or 'obb', got "
+                             f"{method!r}")
+        from collide2d_tpu.mc.estimator import resolve_impl
+
+        if method == "obb":
+            if precision != "f32":
+                raise ValueError("method='obb' supports precision='f32' "
+                                 "only (the bf16 contract is about vertex "
+                                 "coordinate rounding)")
+            c1 = jnp.asarray(position, jnp.float32)
+            ext1 = jnp.broadcast_to(self.robot_wh, c1.shape)
+            th1 = jnp.asarray(pose_theta, jnp.float32)
+            c2 = jnp.zeros_like(c1)
+            ext2 = jnp.asarray(obstacle_wh, jnp.float32)
+            th2 = jnp.zeros_like(th1)
+            if resolve_impl(impl, c1) == "pallas":
+                from collide2d_tpu.ops.sat_pallas import obb_collide_pallas
+
+                return obb_collide_pallas(c1, ext1, th1, c2, ext2, th2)
+            from collide2d_tpu.ops.sat import obb_collide
+
+            return obb_collide(c1, ext1, th1, c2, ext2, th2)
+
         robot = rects_from_params(
             position, jnp.broadcast_to(self.robot_wh, position.shape), pose_theta
         )
         obstacle = rects_from_params(
             jnp.zeros_like(position), obstacle_wh, jnp.zeros_like(pose_theta)
         )
-        if precision not in ("f32", "bf16"):
-            raise ValueError(f"precision must be 'f32' or 'bf16', got "
-                             f"{precision!r}")
-        from collide2d_tpu.mc.estimator import resolve_impl
-
         if resolve_impl(impl, robot) == "pallas":
             from collide2d_tpu.ops.sat_pallas import sat_rects_pallas
 

@@ -192,6 +192,36 @@ def test_polygon_mask_preserves_closing_edge_axis():
     assert got_g == 0
 
 
+def test_model_obb_method_surface(rng):
+    # CollisionProbabilityModel.collide(method='obb') — the param-form
+    # path (round-3): equals ops.sat.obb_collide exactly, agrees with the
+    # vertex path except measure-zero boundary roundings, rejects bf16.
+    import jax.numpy as jnp
+
+    from collide2d_tpu.models.collision_model import CollisionProbabilityModel
+    from collide2d_tpu.ops.sat import obb_collide
+
+    n = 512
+    model = CollisionProbabilityModel()
+    position = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32))
+    wh = jnp.asarray(rng.uniform(0.1, 5, (n, 2)).astype(np.float32))
+
+    got = np.array(model.collide(position, theta, wh, method="obb",
+                                 impl="jnp"))
+    want = np.array(obb_collide(
+        position, jnp.broadcast_to(model.robot_wh, position.shape), theta,
+        jnp.zeros_like(position), wh, jnp.zeros_like(theta),
+    ))
+    np.testing.assert_array_equal(got, want)
+    vertex = np.array(model.collide(position, theta, wh, impl="jnp"))
+    assert (got != vertex).mean() < 0.01  # boundary roundings only
+    with pytest.raises(ValueError, match="obb"):
+        model.collide(position, theta, wh, method="obb", precision="bf16")
+    with pytest.raises(ValueError, match="method"):
+        model.collide(position, theta, wh, method="aabb")
+
+
 def test_model_bf16_precision_surface(rng):
     # CollisionProbabilityModel.collide(precision='bf16') — the coarse-
     # labeling surface (round-3): labels equal the f32 SAT on explicitly
