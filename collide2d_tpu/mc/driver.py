@@ -56,12 +56,25 @@ from collide2d_tpu.mc.estimator import (
 
 # Dispatch enough rounds between host syncs to amortize the readback
 # latency (~30 ms through the remote tunnel) against real compute.
-SYNC_SAMPLES = 3 * 10**8  # ~40-60 ms of device work per sync
+SYNC_SAMPLES = 3 * 10**8  # ~20-40 ms of device work per sync
+# The tuned schedule's fewer, larger rounds tolerate a coarser quantum:
+# measured +5% end to end at 6e8 (7.17->7.55e4 configs/s, 65k), while
+# the REFERENCE schedule loses ~4% there (its 1000-sample early rounds
+# pack too many rounds per group and the 20k->100k cliff coarsens) —
+# the post-erfinv sweep in docs/design.md.
+TUNED_SYNC_SAMPLES = 6 * 10**8
 # Only SMALL groups pipeline their done-count readback: for a big group
 # the stall is a few percent while a one-group-late repack wastes a
 # whole large round on a mostly-done buffer, so those resolve
 # synchronously.
 PIPELINE_WORK = 5 * SYNC_SAMPLES
+
+
+def sync_samples_for(schedule) -> int:
+    """Schedule-aware sync quantum — ONE policy shared by the live
+    driver and the offline replay (mc/schedule_sim.py), so the sim's
+    equivalence proof can never drift from production grouping."""
+    return TUNED_SYNC_SAMPLES if schedule == "tuned" else SYNC_SAMPLES
 
 
 class _OutState(NamedTuple):
@@ -393,7 +406,7 @@ class AdaptiveScheduler:
         chunk_offset: int = 0,
         rnd: int = 0,
         checkpoint_every: int = 0,
-        sync_samples: int = SYNC_SAMPLES,
+        sync_samples: int | None = None,  # None -> sync_samples_for(cfg)
         pipeline_work: int = PIPELINE_WORK,
         eager_resolve: bool = False,
     ) -> None:
@@ -407,7 +420,10 @@ class AdaptiveScheduler:
         self.chunk_offset = chunk_offset
         self.rnd = rnd
         self.checkpoint_every = checkpoint_every
-        self.sync_samples = sync_samples
+        self.sync_samples = (
+            sync_samples if sync_samples is not None
+            else sync_samples_for(cfg.schedule)
+        )
         self.pipeline_work = pipeline_work
         # Eager mode: handle the in-flight count at the TOP of step(),
         # BEFORE planning the next group, so a repack always lands before
