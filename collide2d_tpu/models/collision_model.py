@@ -78,9 +78,13 @@ class CollisionProbabilityModel:
                                  "coordinate rounding)")
             c1 = jnp.asarray(position, jnp.float32)
             ext1 = jnp.broadcast_to(self.robot_wh, c1.shape)
-            th1 = jnp.asarray(pose_theta, jnp.float32)
+            th1 = jnp.broadcast_to(
+                jnp.asarray(pose_theta, jnp.float32), c1.shape[:-1]
+            )
             c2 = jnp.zeros_like(c1)
-            ext2 = jnp.asarray(obstacle_wh, jnp.float32)
+            ext2 = jnp.broadcast_to(
+                jnp.asarray(obstacle_wh, jnp.float32), c1.shape
+            )
             th2 = jnp.zeros_like(th1)
             if resolve_impl(impl, c1) == "pallas":
                 from collide2d_tpu.ops.sat_pallas import obb_collide_pallas

@@ -1045,9 +1045,17 @@ def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     # The adaptive driver draws ~2e5 samples/config at reference bins: a
     # CPU host needs a small batch or this leg runs for hours.
     out.append(json.dumps(bench_e2e(configs=65536 if on_tpu else 256)))
-    out.append(json.dumps(bench_learned_train(
-        rows=1 << 21 if on_tpu else 1 << 15,
-        batch=8192 if on_tpu else 1024,
-        epochs=4 if on_tpu else 2,
-    )))
+    # optax is the optional [train] extra — a base install must still get
+    # every measured leg above, not a ModuleNotFoundError out of run_all.
+    try:
+        out.append(json.dumps(bench_learned_train(
+            rows=1 << 21 if on_tpu else 1 << 15,
+            batch=8192 if on_tpu else 1024,
+            epochs=4 if on_tpu else 2,
+        )))
+    except ImportError as e:
+        out.append(json.dumps({
+            "metric": "learned_train", "skipped": str(e),
+            "hint": "pip install collide2d-tpu[train]",
+        }))
     return out

@@ -304,3 +304,30 @@ def test_warmup_covers_driver_signatures(monkeypatch):
     )
     assert len(drv._WARMED_SIGS) == n_sigs  # nothing new registered
     assert again["ok"] == stats["ok"] and again["failed"] == 0
+
+
+def test_run_all_survives_missing_optax(monkeypatch):
+    # optax is the optional [train] extra; a base install's `collide2d
+    # bench` must still emit every measured leg plus a structured skip
+    # line, not lose them to ModuleNotFoundError (review r3 finding).
+    import builtins
+    import json
+
+    from collide2d_tpu.utils import benchmarks as bm
+
+    for name in ("bench_sat", "bench_mc", "bench_e2e"):
+        monkeypatch.setattr(
+            bm, name, lambda *a, _n=name, **k: {"metric": _n, "value": 1.0}
+        )
+
+    real_import = builtins.__import__
+
+    def no_optax(name, *a, **k):
+        if name == "optax" or name.startswith("optax."):
+            raise ImportError("No module named 'optax'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optax)
+    out = [json.loads(s) for s in bm.run_all(pairs=8, iters=1)]
+    assert [o["metric"] for o in out[:-1]] == ["bench_sat", "bench_mc", "bench_e2e"]
+    assert out[-1]["metric"] == "learned_train" and "skipped" in out[-1]

@@ -1,5 +1,7 @@
 """End-to-end dataset pipeline: artifacts, schemas, resume, modes."""
 
+import shutil
+
 import numpy as np
 import pytest
 
@@ -142,7 +144,12 @@ def test_relabel_round_trip(tmp_path, generated):
 
 
 def test_ztest_cps_only_and_default_paths(tmp_path, generated):
-    data_dir, cfg = generated
+    # ztest's default output path OVERWRITES data_dir/0.npy with a 1-D cps
+    # vector (ztest.cu:200-206) — run it on a private copy of the dataset
+    # so the module-scoped fixture stays pristine for the other tests.
+    src_dir, cfg = generated
+    data_dir = tmp_path / "data"
+    shutil.copytree(src_dir, data_dir)
     batch = np.load(data_dir / "0.npy")[:64]
     tmp_in = data_dir / "tmp"
     tmp_in.mkdir(exist_ok=True)
@@ -225,7 +232,6 @@ def test_relabel_sample_parallel_bitwise(tmp_path, generated):
     from tests.conftest import cpu_devices
 
     data_dir, _ = generated
-    # 1.npy: the ztest default-path test overwrites 0.npy with a cps vector
     batch = np.load(data_dir / "1.npy")[:32]
     din = tmp_path / "rin"
     din.mkdir()
@@ -238,8 +244,6 @@ def test_relabel_sample_parallel_bitwise(tmp_path, generated):
     def run(out_name, mesh):
         out = tmp_path / out_name
         # relabel needs tables/meta in data_out
-        import shutil
-
         out.mkdir()
         for f in ("poses.npy", "variances.npy"):
             shutil.copy(data_dir / f, out / f)
@@ -255,11 +259,16 @@ def test_relabel_sample_parallel_bitwise(tmp_path, generated):
     np.testing.assert_array_equal(got, base)
 
 
-def test_ztest_sample_parallel_validation(generated):
+def test_ztest_sample_parallel_validation(tmp_path, generated):
     data_dir, _ = generated
+    src = tmp_path / "zv"
+    _copy_tables(data_dir, src)
+    (src / "tmp").mkdir()
+    batch = np.load(data_dir / "0.npy")[:16]
+    np.save(src / "tmp" / "0.npy", batch[:, [0, 1, 3, 4]].astype(np.float32))
     with pytest.raises(ValueError, match="divide"):
         ztest(ZTestConfig(
-            data_dir=str(data_dir), verbose=False,
+            data_dir=str(src), verbose=False,
             n_batch=1000, sample_parallel=7,
         ))
 
@@ -306,7 +315,6 @@ def test_relabel_resume_skips_and_appends_once(tmp_path, generated):
     # so the rerun continues the SAME numbering instead of appending a
     # second copy after its own partial output.
     data_dir, _ = generated
-    # batch 1: the suite's ztest test overwrites 0.npy with a 1-D cps vector
     batch = np.load(data_dir / "1.npy")
     data_in = tmp_path / "rin"
     data_in.mkdir()
@@ -392,9 +400,6 @@ def test_ztest_rejects_negative_indices(tmp_path, generated):
     # label the wrong configuration; the host bounds check must fire on
     # the ztest path too, not just relabel (review r3 finding).
     data_dir, _ = generated
-    # batch 1, not 0: test_ztest_cps_only_and_default_paths overwrites
-    # data_dir/0.npy with a 1-D cps vector (the reference's default
-    # output path, ztest.cu:200-206)
     batch = np.load(data_dir / "1.npy")[:32]
     rows = batch[:, [0, 1, 3, 4]].astype(np.float32)
     rows[3, 3] = -1.0  # negative pose_idx

@@ -222,6 +222,46 @@ def test_model_obb_method_surface(rng):
         model.collide(position, theta, wh, method="aabb")
 
 
+def test_model_obb_broadcasts_on_both_impls(rng, monkeypatch):
+    # A single (2,) obstacle_wh / scalar pose_theta must broadcast to the
+    # batch on BOTH branches — the Pallas packer indexes exts[:, 0], so an
+    # unbroadcast (2,) crashed the TPU path while the jnp path accepted it
+    # (review r3 finding). Pallas branch driven in interpret mode.
+    import functools
+
+    import jax.numpy as jnp
+
+    from collide2d_tpu.models.collision_model import CollisionProbabilityModel
+    from collide2d_tpu.ops import sat_pallas
+    from collide2d_tpu.ops.sat import obb_collide
+
+    n = 64
+    model = CollisionProbabilityModel()
+    position = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    theta = jnp.float32(0.7)  # scalar: one pose for the whole batch
+    wh = jnp.asarray([3.0, 2.0], jnp.float32)  # (2,): one obstacle size
+
+    want = np.array(obb_collide(
+        position, jnp.broadcast_to(model.robot_wh, position.shape),
+        jnp.full((n,), theta),
+        jnp.zeros_like(position), jnp.broadcast_to(wh, position.shape),
+        jnp.zeros((n,), jnp.float32),
+    ))
+    got_jnp = np.array(
+        model.collide(position, theta, wh, method="obb", impl="jnp")
+    )
+    np.testing.assert_array_equal(got_jnp, want)
+
+    monkeypatch.setattr(
+        sat_pallas, "obb_collide_pallas",
+        functools.partial(sat_pallas.obb_collide_pallas, interpret=True),
+    )
+    got_pallas = np.array(
+        model.collide(position, theta, wh, method="obb", impl="pallas")
+    )
+    np.testing.assert_array_equal(got_pallas, want)
+
+
 def test_model_bf16_precision_surface(rng):
     # CollisionProbabilityModel.collide(precision='bf16') — the coarse-
     # labeling surface (round-3): labels equal the f32 SAT on explicitly
