@@ -35,6 +35,10 @@ from collide2d_tpu.ops.sat import (
     sat_polygons,
     obb_collide,
 )
+from collide2d_tpu.ops.distance import (
+    polygon_signed_distance,
+    rect_signed_distance,
+)
 from collide2d_tpu.ops.broad_phase import (
     aabb_overlap,
     candidate_mask,
@@ -86,6 +90,8 @@ __all__ = [
     "sat_rects",
     "sat_polygons",
     "obb_collide",
+    "polygon_signed_distance",
+    "rect_signed_distance",
     "aabb_overlap",
     "candidate_mask",
     "collide_candidates",

@@ -109,6 +109,29 @@ class CollisionProbabilityModel:
             obstacle = obstacle.astype(jnp.bfloat16).astype(jnp.float32)
         return sat_rects(robot, obstacle)
 
+    def distance(self, position: Array, pose_theta: Array,
+                 obstacle_wh: Array) -> Array:
+        """Signed distance for the same scene as `collide`: robot at
+        (position, pose_theta) vs an axis-aligned obstacle at the origin.
+        float32 (C,): positive = clearance, negative = -(penetration
+        depth), zero = touching (`ops.distance.polygon_signed_distance`).
+        Differentiable — `jax.grad` through position gives the contact
+        normal, the quantity gradient-based planners consume. Beyond the
+        reference's boolean `convex_collide` (utils.cu:159-184)."""
+        from collide2d_tpu.ops.distance import rect_signed_distance
+
+        position = jnp.asarray(position, jnp.float32)
+        pose_theta = jnp.broadcast_to(
+            jnp.asarray(pose_theta, jnp.float32), position.shape[:-1]
+        )
+        return rect_signed_distance(
+            position, jnp.broadcast_to(self.robot_wh, position.shape),
+            pose_theta, jnp.zeros_like(position),
+            jnp.broadcast_to(jnp.asarray(obstacle_wh, jnp.float32),
+                             position.shape),
+            jnp.zeros_like(pose_theta),
+        )
+
     def collide_polygons(
         self, p1, p2, mask1=None, mask2=None, *, broad_phase=False,
         precision: str = "f32",
@@ -193,6 +216,20 @@ class PolygonCollisionProbabilityModel:
             configs.pose_theta,
         )
         return sat_polygons(robot, configs.obstacle_verts)
+
+    def distance(self, configs: PolygonConfigs) -> Array:
+        """Signed distance at zero noise for each configuration. f32 (C,):
+        positive = clearance, negative = -(penetration depth); sign agrees
+        with `collide` away from touching. Differentiable (see
+        `ops.distance.polygon_signed_distance`)."""
+        from collide2d_tpu.ops.distance import polygon_signed_distance
+
+        robot = transform_vertices(
+            self.robot_verts[None],
+            configs.position[:, 0], configs.position[:, 1],
+            configs.pose_theta,
+        )
+        return polygon_signed_distance(robot, configs.obstacle_verts)
 
     def forward(self, key: Array, configs: PolygonConfigs, n_samples: int) -> Array:
         """Fixed-budget MC collision probabilities; jittable. f32 (C,)."""
