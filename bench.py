@@ -164,9 +164,18 @@ def main() -> int:
     e2e_tuned.__name__ = "bench_e2e_tuned"
     from collide2d_tpu.utils.benchmarks import bench_obb_pallas
 
+    from collide2d_tpu.utils.benchmarks import (
+        bench_distance,
+        bench_distance_pallas,
+        bench_polygon_distance,
+    )
+
     for fn in (
         bench_sat,
         bench_obb_pallas,
+        bench_distance,
+        bench_distance_pallas,
+        bench_polygon_distance,
         bench_mc,
         bench_mc_pallas,
         noshape,

@@ -36,7 +36,9 @@ from collide2d_tpu.ops.sat import (
     obb_collide,
 )
 from collide2d_tpu.ops.distance import (
+    polygon_closest_points,
     polygon_signed_distance,
+    rect_closest_points,
     rect_signed_distance,
 )
 from collide2d_tpu.ops.broad_phase import (
@@ -90,7 +92,9 @@ __all__ = [
     "sat_rects",
     "sat_polygons",
     "obb_collide",
+    "polygon_closest_points",
     "polygon_signed_distance",
+    "rect_closest_points",
     "rect_signed_distance",
     "aabb_overlap",
     "candidate_mask",

@@ -110,21 +110,61 @@ class CollisionProbabilityModel:
         return sat_rects(robot, obstacle)
 
     def distance(self, position: Array, pose_theta: Array,
-                 obstacle_wh: Array) -> Array:
+                 obstacle_wh: Array, *, impl: str = "jnp") -> Array:
         """Signed distance for the same scene as `collide`: robot at
         (position, pose_theta) vs an axis-aligned obstacle at the origin.
         float32 (C,): positive = clearance, negative = -(penetration
         depth), zero = touching (`ops.distance.polygon_signed_distance`).
         Differentiable — `jax.grad` through position gives the contact
         normal, the quantity gradient-based planners consume. Beyond the
-        reference's boolean `convex_collide` (utils.cu:159-184)."""
+        reference's boolean `convex_collide` (utils.cu:159-184).
+
+        ``impl``: 'jnp' (default — differentiable XLA path), 'pallas'
+        (the fused `ops.distance_pallas` kernel, ~25x the throughput on
+        TPU; values agree to f32 rounding, sign agrees bitwise with
+        `collide(method='obb')`), or 'auto' (pallas on TPU data)."""
+        from collide2d_tpu.mc.estimator import resolve_impl
         from collide2d_tpu.ops.distance import rect_signed_distance
 
         position = jnp.asarray(position, jnp.float32)
         pose_theta = jnp.broadcast_to(
             jnp.asarray(pose_theta, jnp.float32), position.shape[:-1]
         )
+        if resolve_impl(impl, position) == "pallas":
+            from collide2d_tpu.ops.distance_pallas import rect_distance_pallas
+
+            return rect_distance_pallas(
+                position, jnp.broadcast_to(self.robot_wh, position.shape),
+                pose_theta, jnp.zeros_like(position),
+                jnp.broadcast_to(jnp.asarray(obstacle_wh, jnp.float32),
+                                 position.shape),
+                jnp.zeros_like(pose_theta),
+            )
         return rect_signed_distance(
+            position, jnp.broadcast_to(self.robot_wh, position.shape),
+            pose_theta, jnp.zeros_like(position),
+            jnp.broadcast_to(jnp.asarray(obstacle_wh, jnp.float32),
+                             position.shape),
+            jnp.zeros_like(pose_theta),
+        )
+
+    def closest_points(self, position: Array, pose_theta: Array,
+                       obstacle_wh: Array):
+        """Witness points + contact normal for the `distance` scene.
+
+        Returns ``(dist, pa, pb, normal)`` — ``pa`` on the robot, ``pb``
+        on the obstacle, ``pb - pa = dist * normal``; translating the
+        obstacle by ``-dist * normal`` brings the pair into touching
+        contact (`ops.distance.polygon_closest_points`). The witness
+        gathers are piecewise-constant — differentiate `distance` for
+        smooth normals."""
+        from collide2d_tpu.ops.distance import rect_closest_points
+
+        position = jnp.asarray(position, jnp.float32)
+        pose_theta = jnp.broadcast_to(
+            jnp.asarray(pose_theta, jnp.float32), position.shape[:-1]
+        )
+        return rect_closest_points(
             position, jnp.broadcast_to(self.robot_wh, position.shape),
             pose_theta, jnp.zeros_like(position),
             jnp.broadcast_to(jnp.asarray(obstacle_wh, jnp.float32),
@@ -230,6 +270,20 @@ class PolygonCollisionProbabilityModel:
             configs.pose_theta,
         )
         return polygon_signed_distance(robot, configs.obstacle_verts)
+
+    def closest_points(self, configs: PolygonConfigs):
+        """Witness points + contact normal per configuration: ``(dist,
+        pa, pb, normal)`` with ``pa`` on the (placed) robot, ``pb`` on
+        the obstacle, ``pb - pa = dist * normal``
+        (`ops.distance.polygon_closest_points`)."""
+        from collide2d_tpu.ops.distance import polygon_closest_points
+
+        robot = transform_vertices(
+            self.robot_verts[None],
+            configs.position[:, 0], configs.position[:, 1],
+            configs.pose_theta,
+        )
+        return polygon_closest_points(robot, configs.obstacle_verts)
 
     def forward(self, key: Array, configs: PolygonConfigs, n_samples: int) -> Array:
         """Fixed-budget MC collision probabilities; jittable. f32 (C,)."""

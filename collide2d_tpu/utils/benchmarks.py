@@ -308,6 +308,126 @@ def bench_sat_polygons_pallas(
     }
 
 
+def bench_distance(pairs: int = 1 << 21, iters: int = 20) -> dict:
+    """Signed-distance throughput on param-form OBB pairs (the query
+    planners issue; ops/distance.py). Reads 40 B/pair (10 f32 params) but
+    is dominated by its materialized O(k^2) candidate tensors between
+    XLA fusions. Measured on-chip: 2.38e8 pairs/s (polygon k=8 path:
+    9.5e7) — vs 1.15e10 for the fused kernel (`bench_distance_pallas`),
+    which keeps those temporaries in VMEM."""
+    from collide2d_tpu.ops.distance import rect_signed_distance
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    mk = lambda i, lo, hi, shape: jax.random.uniform(
+        ks[i], shape, jnp.float32, lo, hi
+    )
+    args = jax.block_until_ready((
+        mk(0, -6, 6, (pairs, 2)), mk(1, 0.1, 5, (pairs, 2)),
+        mk(2, 0, 2 * np.pi, (pairs,)),
+        mk(3, -6, 6, (pairs, 2)), mk(4, 0.1, 5, (pairs, 2)),
+        mk(5, 0, 2 * np.pi, (pairs,)),
+    ))
+
+    @jax.jit
+    def loop(c1, e1, t1, c2, e2, t2, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            return acc + jnp.sum(
+                rect_signed_distance(c1, e1, t1, c2 + shift, e2, t2)
+            )
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (*args, jnp.int32(1)), (*args, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "rect_distance_pairs_per_sec",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,  # vs the boolean-SAT north star
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+    }
+
+
+def bench_distance_pallas(pairs: int = 1 << 23, iters: int = 100) -> dict:
+    """Fused OBB signed-distance kernel (ops/distance_pallas.py): the
+    same query as `bench_distance` with the O(k^2) temporaries kept in
+    VMEM — 52 HBM bytes/pair instead of the XLA path's materialized
+    candidate tensors."""
+    from collide2d_tpu.ops.distance_pallas import obb_distance_pallas_t
+    from collide2d_tpu.ops.sat_pallas import pack_obbs
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    mk = lambda i, lo, hi, shape: jax.random.uniform(
+        ks[i], shape, jnp.float32, lo, hi
+    )
+    b1t = jax.block_until_ready(pack_obbs(
+        mk(0, -6, 6, (pairs, 2)), mk(1, 0.1, 5, (pairs, 2)),
+        mk(2, 0, 2 * np.pi, (pairs,))))
+    b2t = jax.block_until_ready(pack_obbs(
+        mk(3, -6, 6, (pairs, 2)), mk(4, 0.1, 5, (pairs, 2)),
+        mk(5, 0, 2 * np.pi, (pairs,))))
+
+    @jax.jit
+    def loop(b1t, b2t, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            return acc + jnp.sum(obb_distance_pallas_t(b1t, b2t, shift))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (b1t, b2t, jnp.int32(1)), (b1t, b2t, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "rect_distance_pairs_per_sec_pallas",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+        "effective_gbps": rate * 52e-9,
+    }
+
+
+def bench_polygon_distance(pairs: int = 1 << 20, k: int = 8, iters: int = 20) -> dict:
+    """Signed-distance throughput on convex k-gon pairs, vertex form
+    (O(k^2) support gaps + vertex-segment terms — ~4x the rect math at
+    k=8)."""
+    from collide2d_tpu.ops.distance import polygon_signed_distance
+
+    p1 = jax.block_until_ready(_random_convex_polygons(pairs, k, 0, 10.0))
+    p2 = jax.block_until_ready(_random_convex_polygons(pairs, k, 1, 10.0))
+
+    @jax.jit
+    def loop(p1, p2, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            return acc + jnp.sum(polygon_signed_distance(p1, p2 + shift))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (p1, p2, jnp.int32(1)), (p1, p2, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "polygon_distance_pairs_per_sec",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "k": k,
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+    }
+
+
 def bench_sat_polygons_mxu(
     pairs: int = 1 << 20, k: int = 8, iters: int = 20, dtype: str = "f32"
 ) -> dict:

@@ -7,7 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from collide2d_tpu.ops.distance import (
+    polygon_closest_points,
     polygon_signed_distance,
+    rect_closest_points,
     rect_signed_distance,
 )
 from collide2d_tpu.ops.sat import sat_polygons
@@ -188,6 +190,139 @@ def test_jit_and_vmap_compose():
     )
 
 
+def _random_pair_batch(rng, n=96, spread=4.0):
+    """Mixed-k (repeat-padded to 8) random convex pairs spanning overlap,
+    touching-ish, and disjoint regimes."""
+    P1, P2 = [], []
+    for _ in range(n):
+        k1, k2 = int(rng.integers(3, 9)), int(rng.integers(3, 9))
+        p1 = _regular_polygon(
+            k1, rng.uniform(0.3, 2.0), rng.uniform(-spread, spread),
+            rng.uniform(-spread, spread), rng.uniform(0, 7))
+        p2 = _regular_polygon(
+            k2, rng.uniform(0.3, 2.0), rng.uniform(-spread, spread),
+            rng.uniform(-spread, spread), rng.uniform(0, 7))
+        P1.append(np.concatenate([p1, np.repeat(p1[-1:], 8 - k1, 0)]))
+        P2.append(np.concatenate([p2, np.repeat(p2[-1:], 8 - k2, 0)]))
+    return jnp.asarray(np.stack(P1)), jnp.asarray(np.stack(P2))
+
+
+def _point_to_boundary(x, q):
+    """float64 distance from point x to the boundary of polygon q."""
+    q = np.asarray(q, np.float64)
+    a, b = q, np.roll(q, -1, 0)
+    e = b - a
+    ee = (e * e).sum(-1)
+    t = np.clip(
+        ((x - a) * e).sum(-1) / np.where(ee > 0, ee, 1.0), 0, 1
+    ) * (ee > 0)
+    c = a + t[:, None] * e
+    return float(np.sqrt(((x - c) ** 2).sum(-1).min()))
+
+
+def test_closest_points_identity_and_resolution(rng):
+    p1, p2 = _random_pair_batch(rng)
+    d, pa, pb, nrm = polygon_closest_points(p1, p2)
+    d, pa, pb, nrm = map(np.array, (d, pa, pb, nrm))
+    # dist is exactly polygon_signed_distance (shared formulas).
+    np.testing.assert_array_equal(
+        d, np.array(polygon_signed_distance(p1, p2)))
+    assert (d > 0).any() and (d < 0).any()
+    # unit normal, and the witness identity pb - pa = dist * normal.
+    np.testing.assert_allclose(
+        np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        pb - pa, d[:, None] * nrm, atol=2e-5)
+    # translating B by -dist*normal resolves to touching contact.
+    moved = np.array(p2) - (d[:, None] * nrm)[:, None, :]
+    d_after = np.array(polygon_signed_distance(p1, jnp.asarray(moved)))
+    np.testing.assert_allclose(d_after, 0.0, atol=2e-4)
+
+
+def test_closest_points_on_boundaries(rng):
+    p1, p2 = _random_pair_batch(rng)
+    d, pa, pb, nrm = map(
+        np.array, polygon_closest_points(p1, p2))
+    p1n, p2n = np.array(p1), np.array(p2)
+    for i in range(len(d)):
+        if d[i] > 1e-4:  # disjoint: both witnesses on the boundaries
+            assert _point_to_boundary(pa[i], p1n[i]) < 2e-5
+            assert _point_to_boundary(pb[i], p2n[i]) < 2e-5
+        elif d[i] < -1e-4:  # overlap: pb is a vertex of B, pa sits on
+            # A's supporting line along the MTV axis.
+            assert np.min(np.linalg.norm(p2n[i] - pb[i], axis=-1)) < 1e-6
+            support_a = (p1n[i] @ nrm[i]).max()
+            assert abs(pa[i] @ nrm[i] - support_a) < 2e-5
+
+
+def test_closest_points_closed_forms():
+    def square(cx, cy, half):
+        return np.array(
+            [[cx - half, cy - half], [cx + half, cy - half],
+             [cx + half, cy + half], [cx - half, cy + half]], np.float32)
+
+    a = jnp.asarray(square(0, 0, 1.0))[None]
+    # corner-corner: unique witnesses (1,1) on A and (2,3) on B.
+    b = jnp.asarray(square(3.0, 4.0, 1.0))[None]
+    d, pa, pb, nrm = map(np.array, polygon_closest_points(a, b))
+    np.testing.assert_allclose(d, [np.hypot(1.0, 2.0)], atol=1e-6)
+    np.testing.assert_allclose(pa[0], [1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(pb[0], [2.0, 3.0], atol=1e-6)
+    np.testing.assert_allclose(nrm[0], np.array([1.0, 2.0]) / np.sqrt(5),
+                               atol=1e-6)
+    # overlap along x, depth 0.5: normal = +x (push B right), pb on B's
+    # min-x face, pa its image on A's x=+1 face.
+    b = jnp.asarray(square(1.5, 0, 1.0))[None]
+    d, pa, pb, nrm = map(np.array, polygon_closest_points(a, b))
+    np.testing.assert_allclose(d, [-0.5], atol=1e-6)
+    np.testing.assert_allclose(nrm[0], [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(pb[0][0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(pa[0][0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(pa[0][1], pb[0][1], atol=1e-6)
+
+
+def test_rect_closest_points_param_form(rng):
+    n = 128
+    c1 = jnp.asarray(rng.uniform(-4, 4, (n, 2)).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(-4, 4, (n, 2)).astype(np.float32))
+    e1 = jnp.asarray(rng.uniform(0.2, 3, (n, 2)).astype(np.float32))
+    e2 = jnp.asarray(rng.uniform(0.2, 3, (n, 2)).astype(np.float32))
+    t1 = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    t2 = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    d, pa, pb, nrm = map(np.array,
+                         rect_closest_points(c1, e1, t1, c2, e2, t2))
+    np.testing.assert_array_equal(
+        d, np.array(rect_signed_distance(c1, e1, t1, c2, e2, t2)))
+    np.testing.assert_allclose(
+        pb - pa, d[:, None] * nrm, atol=2e-5)
+    # negative extents rectify exactly like rect_signed_distance
+    d2 = np.array(rect_closest_points(c1, -e1, t1, c2, e2, t2)[0])
+    np.testing.assert_array_equal(d2, d)
+
+
+def test_closest_points_jit_and_mask(rng):
+    hexes1 = np.stack([
+        _regular_polygon(6, 1.0, rng.uniform(-3, 3), rng.uniform(-3, 3))
+        for _ in range(16)])
+    hexes2 = np.stack([
+        _regular_polygon(6, 1.0, rng.uniform(-3, 3), rng.uniform(-3, 3))
+        for _ in range(16)])
+    base = [np.array(x) for x in polygon_closest_points(
+        jnp.asarray(hexes1), jnp.asarray(hexes2))]
+    # jit agrees
+    jitted = jax.jit(polygon_closest_points)
+    for g, w in zip(jitted(jnp.asarray(hexes1), jnp.asarray(hexes2)), base):
+        np.testing.assert_allclose(np.array(g), w, rtol=1e-6, atol=1e-6)
+    # garbage padding + mask reproduces the unpadded result exactly
+    junk1 = np.concatenate([hexes1, np.full((16, 2, 2), 55.0, np.float32)], 1)
+    junk2 = np.concatenate([hexes2, np.full((16, 2, 2), -9.0, np.float32)], 1)
+    m = jnp.asarray(np.broadcast_to(np.arange(8) < 6, (16, 8)))
+    got = polygon_closest_points(
+        jnp.asarray(junk1), jnp.asarray(junk2), mask1=m, mask2=m)
+    for g, w in zip(got, base):
+        np.testing.assert_array_equal(np.array(g), w)
+
+
 def test_model_surfaces(rng):
     from collide2d_tpu.models.collision_model import (
         CollisionProbabilityModel,
@@ -216,3 +351,18 @@ def test_model_surfaces(rng):
     hp = np.array(pmodel.collide(b))
     clear = np.abs(dp) > 1e-5
     np.testing.assert_array_equal((dp < 0)[clear], (hp == 1)[clear])
+
+    # closest_points surfaces: dist matches distance(), identity holds.
+    dr, par, pbr, nr = model.closest_points(
+        position, theta, jnp.asarray([2.0, 1.0]))
+    np.testing.assert_array_equal(
+        np.array(dr),
+        np.array(model.distance(position, theta, jnp.asarray([2.0, 1.0]))))
+    np.testing.assert_allclose(
+        np.array(pbr - par), np.array(dr)[:, None] * np.array(nr),
+        atol=2e-5)
+    dq, paq, pbq, nq = pmodel.closest_points(b)
+    np.testing.assert_array_equal(dq, pmodel.distance(b))
+    np.testing.assert_allclose(
+        np.array(pbq - paq), np.array(dq)[:, None] * np.array(nq),
+        atol=2e-5)

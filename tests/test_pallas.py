@@ -407,6 +407,61 @@ def test_obb_param_kernel_bitwise_vs_closed_form(rng):
     assert want.sum() > 0 and want.sum() < n  # non-degenerate mix
 
 
+def test_distance_kernel_vs_xla_and_sign(rng):
+    """Fused OBB signed-distance kernel vs `rect_signed_distance` (an
+    independent formulation — generic SAT-axis support gaps +
+    vertex-segment minimization vs the kernel's local-frame closed
+    form): values agree to f32 rounding, and sign(dist <= 0) equals the
+    `obb_collide` label EXACTLY (same gap expressions; f32 subtraction
+    preserves comparison sign). Includes negative extents and the
+    padding path (n not aligned)."""
+    from collide2d_tpu.ops.distance import rect_signed_distance
+    from collide2d_tpu.ops.distance_pallas import rect_distance_pallas
+    from collide2d_tpu.ops.sat import obb_collide
+
+    n = 1000
+    c1 = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(-6, 6, (n, 2)).astype(np.float32))
+    e1 = jnp.asarray(rng.uniform(-2, 5, (n, 2)).astype(np.float32))
+    e2 = jnp.asarray(rng.uniform(-2, 5, (n, 2)).astype(np.float32))
+    t1 = jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32))
+    t2 = jnp.asarray(rng.uniform(0, 2 * np.pi, n).astype(np.float32))
+    want = np.array(rect_signed_distance(c1, e1, t1, c2, e2, t2))
+    got = np.array(
+        rect_distance_pallas(c1, e1, t1, c2, e2, t2, block=64, interpret=True)
+    )
+    assert got.shape == (n,)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    assert (want > 0).any() and (want < 0).any()
+    np.testing.assert_array_equal(
+        (got <= 0).astype(np.int32),
+        np.array(obb_collide(c1, e1, t1, c2, e2, t2)),
+    )
+
+
+def test_distance_kernel_closed_forms():
+    """Axis-aligned cases with known exact distances (incl. exact touch,
+    which must label as colliding: dist == 0 -> dist <= 0)."""
+    from collide2d_tpu.ops.distance_pallas import rect_distance_pallas
+
+    # unit squares (full extents 2) at varying center separations
+    seps = np.array([5.0, 2.5, 2.0, 1.0, 0.0], np.float32)
+    n = len(seps)
+    z2 = jnp.zeros((n, 2), jnp.float32)
+    e = jnp.full((n, 2), 2.0, jnp.float32)
+    zt = jnp.zeros(n, jnp.float32)
+    c2 = jnp.stack([jnp.asarray(seps), jnp.zeros(n)], axis=1)
+    got = np.array(rect_distance_pallas(z2, e, zt, c2, e, zt,
+                                        block=8, interpret=True))
+    np.testing.assert_allclose(got, [3.0, 0.5, 0.0, -1.0, -2.0], atol=1e-6)
+    # corner-corner diagonal case
+    got2 = np.array(rect_distance_pallas(
+        z2[:1], e[:1], zt[:1],
+        jnp.asarray([[3.0, 4.0]]), e[:1], zt[:1], block=8, interpret=True))
+    # closest corners (1,1) of A and (2,3) of B
+    np.testing.assert_allclose(got2, [np.hypot(1.0, 2.0)], atol=1e-6)
+
+
 def test_erfinv_pair_finite_at_code_extremes(monkeypatch):
     """Regression (review r3): at the top 24-bit code, a 24-bit-centered
     erfinv argument rounds to exactly 1.0 in float32 and erf_inv(1.0) =
