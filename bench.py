@@ -168,6 +168,7 @@ def main() -> int:
         bench_distance,
         bench_distance_pallas,
         bench_polygon_distance,
+        bench_polygon_distance_pallas,
     )
 
     for fn in (
@@ -176,6 +177,7 @@ def main() -> int:
         bench_distance,
         bench_distance_pallas,
         bench_polygon_distance,
+        bench_polygon_distance_pallas,
         bench_mc,
         bench_mc_pallas,
         noshape,

@@ -257,11 +257,16 @@ class PolygonCollisionProbabilityModel:
         )
         return sat_polygons(robot, configs.obstacle_verts)
 
-    def distance(self, configs: PolygonConfigs) -> Array:
+    def distance(self, configs: PolygonConfigs, *, impl: str = "jnp") -> Array:
         """Signed distance at zero noise for each configuration. f32 (C,):
         positive = clearance, negative = -(penetration depth); sign agrees
         with `collide` away from touching. Differentiable (see
-        `ops.distance.polygon_signed_distance`)."""
+        `ops.distance.polygon_signed_distance`).
+
+        ``impl``: 'jnp' (default, differentiable), 'pallas' (fused
+        `ops.distance_pallas.polygon_distance_pallas` kernel — values to
+        f32 rounding, sign bitwise vs `collide`), or 'auto'."""
+        from collide2d_tpu.mc.estimator import resolve_impl
         from collide2d_tpu.ops.distance import polygon_signed_distance
 
         robot = transform_vertices(
@@ -269,6 +274,12 @@ class PolygonCollisionProbabilityModel:
             configs.position[:, 0], configs.position[:, 1],
             configs.pose_theta,
         )
+        if resolve_impl(impl, robot) == "pallas":
+            from collide2d_tpu.ops.distance_pallas import (
+                polygon_distance_pallas,
+            )
+
+            return polygon_distance_pallas(robot, configs.obstacle_verts)
         return polygon_signed_distance(robot, configs.obstacle_verts)
 
     def closest_points(self, configs: PolygonConfigs):

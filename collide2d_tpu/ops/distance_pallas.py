@@ -31,6 +31,11 @@ max |diff| 2.9e-6 over 8k random pairs); the SIGN agrees bitwise with
 `obb_collide`. Measured on one v5e chip: 1.15e10 pairs/s (48x the XLA
 path; ~600 GB/s — VPU-issue-bound like the param-form OBB label kernel,
 not bandwidth-bound).
+
+The same file carries the generic convex k-gon variant
+(`polygon_distance_pallas`, `pack_polygons` layout): measured 1.06e9
+pairs/s at k=8 / 3.11e9 at k=4 (11x / 33x the XLA path's 9.5e7) —
+VPU-compute-bound at ~2700 flops/pair (k=8).
 """
 
 from __future__ import annotations
@@ -44,6 +49,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from collide2d_tpu.ops.sat_pallas import LANE_BLOCK, pack_obbs, unpack_labels
+from collide2d_tpu.ops.polygon_pallas import (
+    LANE_BLOCK as POLY_LANE_BLOCK,
+    pack_polygons,
+)
 
 
 def _distance_body(shift_ref, b1_ref, b2_ref):
@@ -140,6 +149,140 @@ def obb_distance_pallas_t(
         interpret=interpret,
     )(jnp.asarray(shift, jnp.float32).reshape(1, 1), b1t, b2t)
     return unpack_labels(out)
+
+
+def _polygon_distance_body(v1: Array, v2: Array, k1: int, k2: int):
+    """Generic convex k-gon signed distance on (8, L) tiles.
+
+    Same formulation as `ops.distance.polygon_signed_distance` (support
+    gap over true edge normals when overlapping; vertex-segment minimum
+    when disjoint), fully unrolled at static (k1, k2) with repeat-last
+    padding semantics: a zero axis is masked to -inf in the gap max, a
+    zero-length segment falls back to the vertex distance via the
+    clamped-parameter guard. Values agree to f32 rounding (rsqrt-scaled
+    gaps vs the XLA path's divide); the SIGN (dist <= 0) is bitwise the
+    `sat_polygons` label (f32 subtraction preserves comparison sign and
+    the rsqrt scale is positive).
+    """
+    x1 = [v1[i] for i in range(k1)]
+    y1 = [v1[k1 + i] for i in range(k1)]
+    x2 = [v2[i] for i in range(k2)]
+    y2 = [v2[k2 + i] for i in range(k2)]
+
+    def interval(ax, ay, xs, ys):
+        mn = mx = ax * xs[0] + ay * ys[0]
+        for x, y in zip(xs[1:], ys[1:]):
+            p = ax * x + ay * y
+            mn = jnp.minimum(mn, p)
+            mx = jnp.maximum(mx, p)
+        return mn, mx
+
+    gap = None
+    neg_inf = jnp.float32(-jnp.inf)
+    for xs, ys, k in ((x1, y1, k1), (x2, y2, k2)):
+        for i in range(k):
+            j = (i + 1) % k
+            ax = ys[j] - ys[i]  # true perpendicular normal of edge i->j
+            ay = xs[i] - xs[j]
+            nn = ax * ax + ay * ay
+            mn1, mx1 = interval(ax, ay, x1, y1)
+            mn2, mx2 = interval(ax, ay, x2, y2)
+            g = jnp.maximum(mn2 - mx1, mn1 - mx2) * jax.lax.rsqrt(
+                jnp.where(nn > 0, nn, 1.0)
+            )
+            g = jnp.where(nn > 0, g, neg_inf)
+            gap = g if gap is None else jnp.maximum(gap, g)
+
+    d2 = None
+    for (pxs, pys, kp), (qxs, qys, kq) in (
+        ((x1, y1, k1), (x2, y2, k2)),
+        ((x2, y2, k2), (x1, y1, k1)),
+    ):
+        for j in range(kq):
+            j2 = (j + 1) % kq
+            ex = qxs[j2] - qxs[j]
+            ey = qys[j2] - qys[j]
+            ee = ex * ex + ey * ey
+            live = ee > 0
+            inv = 1.0 / jnp.where(live, ee, 1.0)
+            for i in range(kp):
+                dx = pxs[i] - qxs[j]
+                dy = pys[i] - qys[j]
+                t = jnp.clip((dx * ex + dy * ey) * inv, 0.0, 1.0) * live
+                cx = dx - t * ex
+                cy = dy - t * ey
+                dd = cx * cx + cy * cy
+                d2 = dd if d2 is None else jnp.minimum(d2, dd)
+    return jnp.where(gap < 0, gap, jnp.sqrt(d2))
+
+
+def _make_polygon_distance_kernel(k1: int, k2: int):
+    def kernel(p1_ref, p2_ref, out_ref):
+        out_ref[...] = _polygon_distance_body(
+            p1_ref[...].astype(jnp.float32),
+            p2_ref[...].astype(jnp.float32),
+            k1, k2,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "block", "interpret"))
+def polygon_distance_pallas_t(
+    p1t: Array, p2t: Array, *, k1: int, k2: int,
+    block: int = POLY_LANE_BLOCK, interpret: bool = False,
+) -> Array:
+    """Signed distance over SoA k-gon pairs (`pack_polygons` layout):
+    (2K1, 8, M) x (2K2, 8, M) -> float32 (8*M,)."""
+    m = p1t.shape[2]
+    assert m % block == 0, (m, block)
+    ksum = k1 + k2
+    out = pl.pallas_call(
+        _make_polygon_distance_kernel(k1, k2),
+        out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
+        grid=(m // block,),
+        in_specs=[
+            pl.BlockSpec(
+                (2 * k1, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2 * k2, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            # gaps: (k1+k2) axes x 2(k1+k2) fma-ish interval ops;
+            # witnesses: 2*k1*k2 point-segment tests at ~12 ops.
+            flops=(ksum * 2 * ksum * 2 + 2 * k1 * k2 * 12) * 8 * m,
+            bytes_accessed=(ksum * 8 + 4) * 8 * m,
+            transcendentals=ksum * 8 * m,
+        ),
+        interpret=interpret,
+    )(p1t, p2t)
+    return out.reshape(-1)
+
+
+def polygon_distance_pallas(
+    p1: Array, p2: Array, *, block: int = POLY_LANE_BLOCK,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in for `ops.distance.polygon_signed_distance` on repeat-
+    padded (N, K, 2) inputs (no masks — the padding conventions above):
+    float32 (N,). ``distance <= 0`` agrees BITWISE with `sat_polygons`."""
+    n, k1 = p1.shape[0], p1.shape[1]
+    k2 = p2.shape[1]
+    align = 8 * block
+    padded = -(-n // align) * align
+    if padded != n:
+        reps1 = jnp.broadcast_to(p1[-1:], (padded - n, k1, 2))
+        reps2 = jnp.broadcast_to(p2[-1:], (padded - n, k2, 2))
+        p1 = jnp.concatenate([p1, reps1], axis=0)
+        p2 = jnp.concatenate([p2, reps2], axis=0)
+    return polygon_distance_pallas_t(
+        pack_polygons(jnp.asarray(p1, jnp.float32)),
+        pack_polygons(jnp.asarray(p2, jnp.float32)),
+        k1=k1, k2=k2, block=block, interpret=interpret,
+    )[:n]
 
 
 def rect_distance_pallas(

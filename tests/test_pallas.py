@@ -462,6 +462,39 @@ def test_distance_kernel_closed_forms():
     np.testing.assert_allclose(got2, [np.hypot(1.0, 2.0)], atol=1e-6)
 
 
+def test_polygon_distance_kernel_vs_xla_and_sign(rng):
+    """Fused k-gon signed-distance kernel vs `polygon_signed_distance`
+    (values to f32 rounding) and `sat_polygons` (sign bitwise), over
+    mixed-k repeat-padded pairs incl. the pair-padding path."""
+    from collide2d_tpu.ops.distance import polygon_signed_distance
+    from collide2d_tpu.ops.distance_pallas import polygon_distance_pallas
+    from collide2d_tpu.ops.sat import sat_polygons
+    from tests.test_sat import _regular_polygon
+
+    n = 500  # not 8*block aligned
+    P1, P2 = [], []
+    for _ in range(n):
+        k1, k2 = int(rng.integers(3, 9)), int(rng.integers(3, 9))
+        p1 = _regular_polygon(
+            k1, rng.uniform(0.3, 2.0), rng.uniform(-4, 4),
+            rng.uniform(-4, 4), rng.uniform(0, 7))
+        p2 = _regular_polygon(
+            k2, rng.uniform(0.3, 2.0), rng.uniform(-4, 4),
+            rng.uniform(-4, 4), rng.uniform(0, 7))
+        P1.append(np.concatenate([p1, np.repeat(p1[-1:], 8 - k1, 0)]))
+        P2.append(np.concatenate([p2, np.repeat(p2[-1:], 8 - k2, 0)]))
+    p1 = jnp.asarray(np.stack(P1))
+    p2 = jnp.asarray(np.stack(P2))
+    want = np.array(polygon_signed_distance(p1, p2))
+    got = np.array(polygon_distance_pallas(p1, p2, block=16, interpret=True))
+    assert got.shape == (n,)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    assert (want > 0).any() and (want < 0).any()
+    np.testing.assert_array_equal(
+        (got <= 0).astype(np.int32), np.array(sat_polygons(p1, p2))
+    )
+
+
 def test_erfinv_pair_finite_at_code_extremes(monkeypatch):
     """Regression (review r3): at the top 24-bit code, a 24-bit-centered
     erfinv argument rounds to exactly 1.0 in float32 and erf_inv(1.0) =
