@@ -41,6 +41,10 @@ from collide2d_tpu.ops.distance import (
     rect_closest_points,
     rect_signed_distance,
 )
+from collide2d_tpu.ops.toi import (
+    polygon_time_of_impact,
+    rect_time_of_impact,
+)
 from collide2d_tpu.ops.broad_phase import (
     aabb_overlap,
     candidate_mask,
@@ -96,6 +100,8 @@ __all__ = [
     "polygon_signed_distance",
     "rect_closest_points",
     "rect_signed_distance",
+    "polygon_time_of_impact",
+    "rect_time_of_impact",
     "aabb_overlap",
     "candidate_mask",
     "collide_candidates",

@@ -172,6 +172,42 @@ class CollisionProbabilityModel:
             jnp.zeros_like(pose_theta),
         )
 
+    def time_of_impact(self, position: Array, pose_theta: Array,
+                       obstacle_wh: Array, velocity: Array, omega=0.0,
+                       *, t_max: float = 1.0, iters: int = 64,
+                       tol: float = 1e-4, impl: str = "jnp") -> Array:
+        """Earliest time the moving robot hits the static obstacle at
+        the origin: robot starts at (position, pose_theta) and moves
+        rigidly with ``velocity`` (B+(2,)) and angular rate ``omega``
+        about its center. Returns t in [0, t_max] (certified impact,
+        d(t) <= tol) or +inf (`ops.toi.rect_time_of_impact` contract —
+        conservative advancement over the signed distance).
+
+        ``impl``: 'jnp' (default), 'pallas' (the fused
+        `ops.toi_pallas.rect_toi_pallas` advancement kernel), or 'auto'
+        (pallas on TPU data)."""
+        from collide2d_tpu.mc.estimator import resolve_impl
+
+        position = jnp.asarray(position, jnp.float32)
+        pose_theta = jnp.broadcast_to(
+            jnp.asarray(pose_theta, jnp.float32), position.shape[:-1]
+        )
+        args = (
+            position, jnp.broadcast_to(self.robot_wh, position.shape),
+            pose_theta, velocity, omega,
+            jnp.zeros_like(position),
+            jnp.broadcast_to(jnp.asarray(obstacle_wh, jnp.float32),
+                             position.shape),
+            jnp.zeros_like(pose_theta), jnp.zeros_like(position), 0.0,
+        )
+        if resolve_impl(impl, position) == "pallas":
+            from collide2d_tpu.ops.toi_pallas import rect_toi_pallas
+
+            return rect_toi_pallas(*args, t_max=t_max, iters=iters, tol=tol)
+        from collide2d_tpu.ops.toi import rect_time_of_impact
+
+        return rect_time_of_impact(*args, t_max=t_max, iters=iters, tol=tol)
+
     def collide_polygons(
         self, p1, p2, mask1=None, mask2=None, *, broad_phase=False,
         precision: str = "f32",

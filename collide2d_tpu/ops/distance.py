@@ -159,7 +159,12 @@ def polygon_closest_points(
       ~zero depth (``pa ~= pb``).
 
     The unifying contract — pinned by tests — is that translating B by
-    ``-dist * normal`` brings the pair into touching contact. Witness
+    ``-dist * normal`` brings the pair into touching contact. The
+    minimizer is not always unique (a vertex-vertex closest pair is a
+    witness on both candidate sides with exactly equal distance), and at
+    such ties WHICH witness is returned may vary with compilation
+    (jit fusion reorders the tie-breaking comparison) — only ``dist``
+    and the contract above are stable. Witness
     selection goes through argmin/argmax gathers (piecewise constant):
     differentiate `polygon_signed_distance` for smooth contact normals;
     use this for the discrete witness features themselves. Same padding

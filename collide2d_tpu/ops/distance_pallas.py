@@ -55,16 +55,14 @@ from collide2d_tpu.ops.polygon_pallas import (
 )
 
 
-def _distance_body(shift_ref, b1_ref, b2_ref):
-    """Signed distance on (8, L) tiles; see module docstring."""
-    v1 = b1_ref[...]
-    v2 = b2_ref[...]
-    shift = shift_ref[0, 0]
-    dx = (v2[0] + shift) - v1[0]  # d = c2 - c1
-    dy = (v2[1] + shift) - v1[1]
-    c1, s1, hx1, hy1 = v1[2], v1[3], v1[4], v1[5]
-    c2, s2, hx2, hy2 = v2[2], v2[3], v2[4], v2[5]
+def obb_signed_distance_tile(dx, dy, c1, s1, hx1, hy1, c2, s2, hx2, hy2):
+    """The closed-form OBB signed distance on elementwise tiles.
 
+    ``(dx, dy)`` is c2 - c1; ``(ci, si)`` are cos/sin of each box's
+    angle; ``hxi, hyi`` are HALF extents. Shared by the static distance
+    kernel below and the time-of-impact kernel (`ops.toi_pallas`), which
+    re-evaluates it per conservative-advancement step.
+    """
     # --- overlap side: signed gaps along the 4 unit SAT axes ---------
     # Identical float expressions to sat_pallas._obb_body's separation
     # test (d there is c1 - c2; the abs makes the sign irrelevant).
@@ -110,6 +108,18 @@ def _distance_body(shift_ref, b1_ref, b2_ref):
     sep = jnp.sqrt(d2)
 
     return jnp.where(gap < 0, gap, sep)
+
+
+def _distance_body(shift_ref, b1_ref, b2_ref):
+    """Signed distance on (8, L) tiles; see module docstring."""
+    v1 = b1_ref[...]
+    v2 = b2_ref[...]
+    shift = shift_ref[0, 0]
+    dx = (v2[0] + shift) - v1[0]  # d = c2 - c1
+    dy = (v2[1] + shift) - v1[1]
+    return obb_signed_distance_tile(
+        dx, dy, v1[2], v1[3], v1[4], v1[5], v2[2], v2[3], v2[4], v2[5]
+    )
 
 
 def _distance_kernel(shift_ref, b1_ref, b2_ref, out_ref):

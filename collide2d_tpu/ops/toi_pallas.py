@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: time of impact for moving boxes, fused.
+
+The XLA path (`ops.toi.rect_time_of_impact`) dispatches one
+`rect_signed_distance` program per conservative-advancement step —
+every step round-trips the O(pairs) candidate tensors through HBM, and
+the measured throughput is 4.4e6 queries/s at the 64-iteration default
+(one v5e chip). This kernel keeps the WHOLE advancement loop on (8, L)
+VPU tiles in VMEM: it reads the 16 motion parameters once (64
+bytes/pair), re-evaluates the closed-form OBB signed distance
+(`distance_pallas.obb_signed_distance_tile`) at each advanced time —
+cos/sin of the evolved angles are the only per-step transcendentals —
+and writes one float per pair.
+
+Early exit: the advancement loop is a `lax.while_loop` whose condition
+is "some lane in this tile is still advancing" — a tile whose 8*L pairs
+have all converged (hit, receded past the horizon, or stalled) stops
+issuing steps. `iters` stays the hard bound, so results are identical
+to the fixed-trip-count loop (each lane freezes at its own stop time;
+extra iterations are no-ops by construction).
+
+Same contract as `ops.toi` (finite t => certified impact with
+d(t) <= tol; +inf otherwise). Values can differ from the XLA path only
+through f32 rounding of the equivalent distance formulation (tested:
+hit/miss agreement + |t| tolerance against `rect_time_of_impact`;
+on-chip over 65k random rotating pairs: hit agreement 1.0, max |dt|
+9.7e-5 ~= tol). Measured on one v5e chip at the 64-iteration default:
+9.8e7 queries/s — 22x the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from collide2d_tpu.ops.distance_pallas import obb_signed_distance_tile
+from collide2d_tpu.ops.sat_pallas import unpack_labels
+
+# The while-loop early exit works per TILE (all 8*block lanes must
+# converge before a tile stops), so narrower tiles could let fast
+# regions of a batch stop early — but on measured random workloads every
+# tile holds a straggler, and wide tiles win on grid overhead: v5e sweep
+# at 64 iters gave 5.2e7 (128) / 7.7e7 (256) / 9.3e7 (512) / 9.8e7
+# (1024) queries/s. Structured batches where whole tiles converge early
+# may prefer a smaller ``block=``.
+LANE_BLOCK = 1024
+
+
+def pack_moving_obbs(c: Array, ext: Array, th: Array, v: Array, w) -> Array:
+    """(N,2) centers + (N,2) FULL extents + (N,) angles + (N,2) velocity
+    + (N,) angular rate -> (8, 8, N/8) SoA rows:
+    cx, cy, theta, |w|/2, |h|/2, vx, vy, omega. N % 8 == 0."""
+    n = c.shape[0]
+    assert n % 8 == 0, n
+    batch = c.shape[:-1]
+    rows = jnp.stack(
+        [
+            c[:, 0],
+            c[:, 1],
+            jnp.broadcast_to(th, batch),
+            jnp.abs(ext[:, 0]) * 0.5,
+            jnp.abs(ext[:, 1]) * 0.5,
+            v[:, 0],
+            v[:, 1],
+            jnp.broadcast_to(w, batch),
+        ],
+        axis=0,
+    )
+    return rows.reshape(8, 8, n // 8)
+
+
+def _make_toi_kernel(t_max: float, iters: int, tol: float):
+    def kernel(b1_ref, b2_ref, out_ref):
+        t_hor = jnp.float32(t_max)
+        tol_f = jnp.float32(tol)
+        v1 = b1_ref[...]
+        v2 = b2_ref[...]
+        cx1, cy1, th1, hx1, hy1, vx1, vy1, w1 = (v1[i] for i in range(8))
+        cx2, cy2, th2, hx2, hy2, vx2, vy2, w2 = (v2[i] for i in range(8))
+
+        rvx = vx2 - vx1
+        rvy = vy2 - vy1
+        r1 = jnp.sqrt(hx1 * hx1 + hy1 * hy1)  # circumradius (half exts)
+        r2 = jnp.sqrt(hx2 * hx2 + hy2 * hy2)
+        bound = jnp.maximum(
+            jnp.sqrt(rvx * rvx + rvy * rvy)
+            + jnp.abs(w1) * r1
+            + jnp.abs(w2) * r2,
+            jnp.float32(1e-30),
+        )
+
+        def dist_at(t):
+            a1 = th1 + t * w1
+            a2 = th2 + t * w2
+            dx = (cx2 + t * vx2) - (cx1 + t * vx1)
+            dy = (cy2 + t * vy2) - (cy1 + t * vy1)
+            return obb_signed_distance_tile(
+                dx, dy,
+                jnp.cos(a1), jnp.sin(a1), hx1, hy1,
+                jnp.cos(a2), jnp.sin(a2), hx2, hy2,
+            )
+
+        def cond(carry):
+            i, _, any_live = carry
+            return jnp.logical_and(i < iters, any_live)
+
+        def body(carry):
+            i, t, _ = carry
+            d = dist_at(t)
+            done = (d <= tol_f) | (t > t_hor)
+            t = jnp.where(done, t, t + jnp.maximum(d, 0.0) / bound)
+            return i + 1, t, jnp.logical_not(jnp.all(done))
+
+        _, t, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros_like(bound), jnp.bool_(True)),
+        )
+        hit = (dist_at(t) <= tol_f) & (t <= t_hor)
+        out_ref[...] = jnp.where(hit, t, jnp.float32(jnp.inf))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_max", "iters", "tol", "block", "interpret")
+)
+def moving_obb_toi_pallas_t(
+    b1t: Array, b2t: Array, *, t_max: float = 1.0, iters: int = 64,
+    tol: float = 1e-4, block: int = LANE_BLOCK, interpret: bool = False,
+) -> Array:
+    """TOI over SoA moving boxes (`pack_moving_obbs` layout):
+    (8,8,M) x (8,8,M) -> float32 (8*M,)."""
+    m = b1t.shape[2]
+    assert m % block == 0, (m, block)
+    spec = pl.BlockSpec((8, 8, block), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_toi_kernel(float(t_max), int(iters), float(tol)),
+        out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
+        grid=(m // block,),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            # ~260 flops + 4 trig per CA step; size for the hard bound.
+            flops=260 * iters * 8 * m,
+            bytes_accessed=(64 + 4) * 8 * m,
+            transcendentals=(4 * iters + 2) * 8 * m,
+        ),
+        interpret=interpret,
+    )(b1t, b2t)
+    return unpack_labels(out)
+
+
+def rect_toi_pallas(
+    c1, ext1, th1, v1, w1,
+    c2, ext2, th2, v2, w2,
+    *, t_max: float = 1.0, iters: int = 64, tol: float = 1e-4,
+    block: int = LANE_BLOCK, interpret: bool = False,
+) -> Array:
+    """Drop-in for `ops.toi.rect_time_of_impact` on parametric moving
+    boxes: float32 (N,). Scalar/broadcastable th/w accepted like the XLA
+    path; padding lanes (zero extents, zero motion) converge on the
+    first step, so they never hold a tile's early exit open."""
+    n = jnp.shape(c1)[0]
+    align = 8 * block
+    padded = -(-n // align) * align
+    batch = (n,)
+
+    def prep(c, ext, th, v, w):
+        c = jnp.asarray(c, jnp.float32)
+        ext = jnp.broadcast_to(jnp.asarray(ext, jnp.float32), (n, 2))
+        th = jnp.broadcast_to(jnp.asarray(th, jnp.float32), batch)
+        v = jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n, 2))
+        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32), batch)
+        if padded != n:
+            pad = ((0, padded - n),)
+            c = jnp.pad(c, pad + ((0, 0),))
+            ext = jnp.pad(ext, pad + ((0, 0),))
+            th = jnp.pad(th, pad)
+            v = jnp.pad(v, pad + ((0, 0),))
+            w = jnp.pad(w, pad)
+        return pack_moving_obbs(c, ext, th, v, w)
+
+    return moving_obb_toi_pallas_t(
+        prep(c1, ext1, th1, v1, w1),
+        prep(c2, ext2, th2, v2, w2),
+        t_max=t_max, iters=iters, tol=tol, block=block, interpret=interpret,
+    )[:n]

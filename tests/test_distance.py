@@ -309,10 +309,17 @@ def test_closest_points_jit_and_mask(rng):
         for _ in range(16)])
     base = [np.array(x) for x in polygon_closest_points(
         jnp.asarray(hexes1), jnp.asarray(hexes2))]
-    # jit agrees
+    # jit agrees on the distance; witnesses may differ at exact ties
+    # (vertex-vertex closest pairs appear in BOTH candidate argmins with
+    # equal d2, and fusion can flip the tie) but must still satisfy the
+    # documented contract: pb - pa = dist * normal with |pb-pa| = |dist|.
     jitted = jax.jit(polygon_closest_points)
-    for g, w in zip(jitted(jnp.asarray(hexes1), jnp.asarray(hexes2)), base):
-        np.testing.assert_allclose(np.array(g), w, rtol=1e-6, atol=1e-6)
+    dj, paj, pbj, nj = (np.array(x) for x in
+                        jitted(jnp.asarray(hexes1), jnp.asarray(hexes2)))
+    np.testing.assert_allclose(dj, base[0], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pbj - paj, dj[:, None] * nj, atol=2e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(pbj - paj, axis=-1), np.abs(dj), atol=2e-6)
     # garbage padding + mask reproduces the unpadded result exactly
     junk1 = np.concatenate([hexes1, np.full((16, 2, 2), 55.0, np.float32)], 1)
     junk2 = np.concatenate([hexes2, np.full((16, 2, 2), -9.0, np.float32)], 1)
