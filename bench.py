@@ -169,6 +169,7 @@ def main() -> int:
         bench_distance_pallas,
         bench_polygon_distance,
         bench_polygon_distance_pallas,
+        bench_toi_pallas,
     )
 
     for fn in (
@@ -178,6 +179,7 @@ def main() -> int:
         bench_distance_pallas,
         bench_polygon_distance,
         bench_polygon_distance_pallas,
+        bench_toi_pallas,
         bench_mc,
         bench_mc_pallas,
         noshape,

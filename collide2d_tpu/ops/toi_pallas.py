@@ -24,7 +24,8 @@ through f32 rounding of the equivalent distance formulation (tested:
 hit/miss agreement + |t| tolerance against `rect_time_of_impact`;
 on-chip over 65k random rotating pairs: hit agreement 1.0, max |dt|
 9.7e-5 ~= tol). Measured on one v5e chip at the 64-iteration default:
-9.8e7 queries/s — 22x the XLA path.
+1.33e8 queries/s (`bench_toi_pallas`, difference-quotient timing) — 30x
+the XLA path's 4.4e6.
 """
 
 from __future__ import annotations

@@ -359,3 +359,59 @@ def test_global_mesh_single_host(devices):
     assert mesh.shape["config"] * 2 == len(devices)
     with pytest.raises(ValueError, match="ICI"):
         global_mesh(sample_axis=16, devices=devices)
+
+
+def test_toi_and_distance_shard_over_config_axis(rng, devices):
+    # the geometric query layer composes with the DP mesh: sharding the
+    # batch axis is a no-op on values (communication-free map).
+    from jax.experimental.shard_map import shard_map
+
+    from collide2d_tpu.ops.distance import rect_signed_distance
+    from collide2d_tpu.ops.toi import rect_time_of_impact
+
+    mesh = make_mesh(devices)
+    n = 64
+    c1 = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(2, 5, (n, 2)).astype(np.float32))
+    e1 = jnp.asarray(rng.uniform(0.5, 3, (n, 2)).astype(np.float32))
+    e2 = jnp.asarray(rng.uniform(0.5, 3, (n, 2)).astype(np.float32))
+    th = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    v2 = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+    zeros2 = jnp.zeros((n, 2), jnp.float32)
+
+    def dist(c1, e1, th, c2, e2):
+        return rect_signed_distance(c1, e1, th, c2, e2, th)
+
+    def toi(c1, e1, th, c2, e2, v2, w):
+        return rect_time_of_impact(
+            c1, e1, th, zeros2[: c1.shape[0]], w,
+            c2, e2, th, v2, -w, t_max=6.0, iters=64,
+        )
+
+    spec2 = P("config", None)
+    spec1 = P("config")
+    sharded_dist = jax.jit(shard_map(
+        dist, mesh=mesh,
+        in_specs=(spec2, spec2, spec1, spec2, spec2), out_specs=spec1,
+    ))
+    # XLA fuses the candidate tensors differently per shard shape:
+    # values agree to f32 rounding (the Pallas kernels, which pin the
+    # op order, are covered by the bitwise mc sharding tests above)
+    got = np.array(sharded_dist(c1, e1, th, c2, e2))
+    np.testing.assert_allclose(
+        got, np.array(dist(c1, e1, th, c2, e2)), atol=2e-6, rtol=1e-6)
+
+    sharded_toi = jax.jit(shard_map(
+        toi, mesh=mesh,
+        in_specs=(spec2, spec2, spec1, spec2, spec2, spec2, spec1),
+        out_specs=spec1,
+    ))
+    # the CA loop's distance math fuses differently per shard shape, so
+    # times agree to f32 rounding, hit/miss decisions exactly
+    got_t = np.array(sharded_toi(c1, e1, th, c2, e2, v2, w))
+    want_t = np.array(toi(c1, e1, th, c2, e2, v2, w))
+    np.testing.assert_array_equal(np.isfinite(got_t), np.isfinite(want_t))
+    m = np.isfinite(want_t)
+    np.testing.assert_allclose(got_t[m], want_t[m], atol=1e-5)
+    assert m.any()
