@@ -62,6 +62,11 @@ from collide2d_tpu.mc.estimator import (
     PolygonConfigs,
     adaptive_collision_probabilities,
 )
+from collide2d_tpu.mc.moving import (
+    MovingConfigs,
+    moving_configs,
+    trajectory_collision_probability,
+)
 from collide2d_tpu.models.collision_model import (
     CollisionProbabilityModel,
     PolygonCollisionProbabilityModel,
@@ -115,6 +120,9 @@ __all__ = [
     "AdaptiveConfig",
     "Configs",
     "PolygonConfigs",
+    "MovingConfigs",
+    "moving_configs",
+    "trajectory_collision_probability",
     "adaptive_collision_probabilities",
     "CollisionProbabilityModel",
     "PolygonCollisionProbabilityModel",

@@ -304,6 +304,7 @@ def _warm_fused_round_compiles(
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
                 mesh=None, shape_noise=shape_noise,
                 poly_a_keep=poly_a_keep,
+                ca_iters=cfg.ca_iters, ca_tol=cfg.ca_tol,
             ).compile()
             with lock:
                 stats["ok"] += 1
@@ -327,6 +328,7 @@ def _warm_fused_round_compiles(
 
     base_sig = (
         impl, shape_noise, cfg.use_vertices, acc_bins, bin_acc, poly_a_keep,
+        cfg.ca_iters, cfg.ca_tol,
         type(configs).__name__,
         # result_type/shape read dtype metadata without materializing —
         # jnp.asarray here would device-upload host-numpy configs leaves.
@@ -749,6 +751,7 @@ class _JaxOps:
             accuracy_bins=self.acc_bins, bin_accuracy=self.bin_acc,
             mesh=self.round_mesh, shape_noise=self.shape_noise,
             poly_a_keep=self.poly_a_keep,
+            ca_iters=self.cfg.ca_iters, ca_tol=self.cfg.ca_tol,
         )
         return handle
 
@@ -916,6 +919,20 @@ class AdaptiveRun:
             n_shards = 1
             round_mesh = None
             _shard = lambda s: s
+
+        # MovingConfigs (trajectory labels, mc.moving) have no fused
+        # kernel: 'auto' resolves to the jnp path; explicit 'pallas' is
+        # a user error surfaced here rather than a silent wrong kernel.
+        from collide2d_tpu.mc.moving import MovingConfigs
+
+        if isinstance(configs, MovingConfigs):
+            if cfg.impl == "pallas":
+                raise ValueError(
+                    "impl='pallas' is not implemented for MovingConfigs "
+                    "(trajectory batches run the jnp path; use 'jnp' or "
+                    "'auto')"
+                )
+            impl = "jnp"
 
         # With every w/h sigma zero (the reference default —
         # generate_dataset.cu:285-290 zeroes them unless --shape_variance),

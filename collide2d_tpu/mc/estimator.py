@@ -292,9 +292,19 @@ def _counts_chunk_polygons(
 
 
 def _counts_chunk(
-    keys: Array, configs: Configs, robot_wh: Array, n_lanes: int, use_vertices: bool
+    keys: Array, configs: Configs, robot_wh: Array, n_lanes: int,
+    use_vertices: bool, ca_iters: int = 48, ca_tol: float = 1e-4,
 ) -> Array:
-    """Collision count over ``n_lanes`` samples for each configuration."""
+    """Collision count over ``n_lanes`` samples for each configuration.
+
+    ``ca_iters``/``ca_tol`` apply only to `MovingConfigs` batches (the
+    conservative-advancement budget of the per-sample TOI predicate)."""
+    from collide2d_tpu.mc.moving import MovingConfigs, counts_chunk_moving
+
+    if isinstance(configs, MovingConfigs):
+        return counts_chunk_moving(
+            keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol
+        )
     if isinstance(configs, PolygonConfigs):
         return _counts_chunk_polygons(keys, configs, robot_wh, n_lanes)
     z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 5), jnp.float32))(keys)
@@ -365,6 +375,8 @@ def mc_round(
     step_samples: int = 0,
     use_vertices: bool = False,
     impl: str = "jnp",
+    ca_iters: int = 48,
+    ca_tol: float = 1e-4,
 ) -> Array:
     """One adaptive round: ``n_batch`` Monte Carlo samples per config.
 
@@ -380,9 +392,22 @@ def mc_round(
 
     `PolygonConfigs` batches dispatch to the fused polygon kernel
     (ops.mc_polygon_pallas) on the pallas path, with the same stream
-    semantics as the rectangle kernel.
+    semantics as the rectangle kernel. `MovingConfigs` batches (the
+    trajectory predicate, mc.moving) run on the jnp path only:
+    'auto' resolves to jnp, explicit 'pallas' raises.
     """
-    impl = resolve_impl(impl, configs.position)
+    from collide2d_tpu.mc.moving import MovingConfigs
+
+    if isinstance(configs, MovingConfigs):
+        if impl == "pallas":
+            raise ValueError(
+                "impl='pallas' is not implemented for MovingConfigs "
+                "(the trajectory predicate runs on the jnp path; use "
+                "'jnp' or 'auto')"
+            )
+        impl = "jnp"
+    else:
+        impl = resolve_impl(impl, configs.position)
     if impl == "pallas" and isinstance(configs, PolygonConfigs):
         from collide2d_tpu.ops.mc_polygon_pallas import mc_round_polygons_pallas
 
@@ -408,11 +433,14 @@ def mc_round(
         jnp.int32(n_batch // step_samples),
         step_samples=step_samples,
         use_vertices=use_vertices,
+        ca_iters=ca_iters,
+        ca_tol=ca_tol,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("step_samples", "use_vertices")
+    jax.jit, static_argnames=("step_samples", "use_vertices", "ca_iters",
+                              "ca_tol")
 )
 def _mc_round_jnp(
     key: Array,
@@ -424,6 +452,8 @@ def _mc_round_jnp(
     *,
     step_samples: int,
     use_vertices: bool = False,
+    ca_iters: int = 48,
+    ca_tol: float = 1e-4,
 ) -> Array:
     """threefry round step: ``step_samples`` lanes at a time inside a
     ``fori_loop`` (traced bound) so intermediates stay fused on-chip;
@@ -437,7 +467,8 @@ def _mc_round_jnp(
             base_keys, chunk_offset + i
         )
         return counts + _counts_chunk(
-            step_keys, configs, robot_wh, step_samples, use_vertices
+            step_keys, configs, robot_wh, step_samples, use_vertices,
+            ca_iters, ca_tol,
         )
 
     counts0 = jnp.zeros((configs.num,), jnp.int32)
@@ -459,6 +490,8 @@ def _sample_sharded_counts(
     step_samples: int,
     use_vertices: bool,
     mesh,
+    ca_iters: int = 48,
+    ca_tol: float = 1e-4,
 ) -> Array:
     """Round counts with STEPS round-robined over the ``sample`` mesh axis.
 
@@ -492,7 +525,8 @@ def _sample_sharded_counts(
             tag = chunk_offset + sidx + j * n_sample
             step_keys = jax.vmap(jax.random.fold_in, (0, None))(base_keys, tag)
             return counts + _counts_chunk(
-                step_keys, cfgs, robot_wh, step_samples, use_vertices
+                step_keys, cfgs, robot_wh, step_samples, use_vertices,
+                ca_iters, ca_tol,
             )
 
         counts0 = jax.lax.pcast(
@@ -590,6 +624,8 @@ def collision_probability(
     step_samples: int = 0,
     use_vertices: bool = False,
     impl: str = "jnp",
+    ca_iters: int = 48,
+    ca_tol: float = 1e-4,
 ) -> Array:
     """Fixed-sample-count Monte Carlo collision probability.
 
@@ -608,6 +644,8 @@ def collision_probability(
         step_samples=step_samples,
         use_vertices=use_vertices,
         impl=impl,
+        ca_iters=ca_iters,
+        ca_tol=ca_tol,
     )
     return counts.astype(jnp.float32) / jnp.float32(n_samples)
 
@@ -730,6 +768,11 @@ class AdaptiveConfig:
     # bin). The reference instead burns ~37k samples per zero-probability
     # configuration reaching the rule-of-three criterion.
     prune_sigma: float = 0.0
+    # Conservative-advancement budget of the per-sample TOI predicate
+    # for `MovingConfigs` (trajectory) batches — see mc.moving. Ignored
+    # for the static Configs/PolygonConfigs types.
+    ca_iters: int = 48
+    ca_tol: float = 1e-4
 
     def __post_init__(self):
         if self.ladder not in ("half", "quarter", "eighth", "sixteenth"):
@@ -812,7 +855,7 @@ class _LoopState(NamedTuple):
     static_argnames=(
         "step_samples", "sub", "use_vertices", "impl",
         "accuracy_bins", "bin_accuracy", "mesh", "shape_noise",
-        "poly_a_keep",
+        "poly_a_keep", "ca_iters", "ca_tol",
     ),
 )
 def _fused_round(
@@ -835,6 +878,8 @@ def _fused_round(
     mesh=None,
     shape_noise: bool = True,
     poly_a_keep: tuple | None = None,
+    ca_iters: int = 48,
+    ca_tol: float = 1e-4,
 ) -> tuple[_LoopState, Array]:
     """``n_rounds`` adaptive rounds + on-device convergence + label
     freezing, in ONE program.
@@ -886,13 +931,14 @@ def _fused_round(
             return _sample_sharded_counts(
                 key, state.uids, state.active, robot_wh, tag, n_steps,
                 step_samples=step_samples, use_vertices=use_vertices,
-                mesh=mesh,
+                mesh=mesh, ca_iters=ca_iters, ca_tol=ca_tol,
             )
         # Config-only DP needs no shard_map: uid-keyed streams shard
         # transparently under GSPMD (bitwise-equal, test_sharding.py).
         return _mc_round_jnp(
             key, state.uids, state.active, robot_wh, tag, n_steps,
             step_samples=step_samples, use_vertices=use_vertices,
+            ca_iters=ca_iters, ca_tol=ca_tol,
         )
 
     acc_b = jnp.asarray(accuracy_bins)

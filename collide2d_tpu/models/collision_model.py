@@ -268,8 +268,30 @@ class CollisionProbabilityModel:
 
     def label(self, key: Array, configs: Configs, cfg: AdaptiveConfig = AdaptiveConfig()):
         """Adaptive labeling to per-bin CI accuracy (host loop around the
-        jitted round step). Returns (cp, n_samples, converged) numpy."""
+        jitted round step). Returns (cp, n_samples, converged) numpy.
+
+        Accepts `Configs` (static labels) and `MovingConfigs` batches
+        (trajectory labels, mc.moving) — the adaptive machinery and its
+        CI guarantees are predicate-agnostic."""
         return adaptive_collision_probabilities(key, configs, self.robot_wh, cfg)
+
+    def trajectory_probability(
+        self, key: Array, configs, n_samples: int, *,
+        ca_iters: int = 48, tol: float = 1e-4,
+    ) -> Array:
+        """Fixed-budget P(the motion collides) for a `MovingConfigs`
+        batch (mc.moving): the robot starts at each row's (position,
+        pose_theta) and moves with (velocity, omega) for t_max. Same
+        noise model and threefry streams as `forward` — at zero motion
+        and ``tol=0`` the estimates are bitwise `forward`'s (keep the
+        positive default for actual motion: certification of a
+        transversal hit needs the tolerance band, mc.moving.CA_TOL)."""
+        from collide2d_tpu.mc.moving import trajectory_collision_probability
+
+        return trajectory_collision_probability(
+            key, configs, self.robot_wh, n_samples,
+            ca_iters=ca_iters, tol=tol,
+        )
 
 
 class PolygonCollisionProbabilityModel:

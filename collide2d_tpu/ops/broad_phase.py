@@ -96,6 +96,15 @@ def possible_collision_mask(configs, robot_wh, sigma_margin: float = 6.0):
         oh = jnp.abs(configs.obstacle_wh[:, 1]) + sigma_margin * sd[:, 4]
         r_obs = 0.5 * jnp.hypot(ow, oh)
     reach = sigma_margin * jnp.hypot(sd[:, 0], sd[:, 1])
+    if hasattr(configs, "velocity"):
+        # MovingConfigs (mc.moving): the robot's center travels at most
+        # |v| * t_max during the motion; rotation about its own center
+        # never grows the circumscribed ball, so this is the full extra
+        # reach and the prune stays conservative for trajectory labels.
+        reach = reach + (
+            jnp.hypot(configs.velocity[:, 0], configs.velocity[:, 1])
+            * jnp.abs(configs.t_max)
+        )
     dist = jnp.hypot(configs.position[:, 0], configs.position[:, 1])
     return dist <= r_rob + r_obs + reach
 

@@ -64,10 +64,11 @@ def config_spec() -> P:
 
 
 def shard_configs(configs: Configs, mesh: Mesh) -> Configs:
-    """Place a Configs batch with the configuration axis sharded over the
-    ``config`` mesh axis (fields: (C,2),(C,),(C,2),(C,5) all shard dim 0)."""
+    """Place a configs batch (Configs / PolygonConfigs / MovingConfigs)
+    with the configuration axis sharded over the ``config`` mesh axis
+    (every field is (C, ...) and shards dim 0)."""
     sharding = NamedSharding(mesh, P("config"))
-    return Configs(*(jax.device_put(a, sharding) for a in configs))
+    return type(configs)(*(jax.device_put(a, sharding) for a in configs))
 
 
 @functools.partial(

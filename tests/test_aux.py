@@ -277,7 +277,8 @@ def test_warmup_covers_driver_signatures(monkeypatch):
             dict(step_samples=step_samples, sub=sub,
                  use_vertices=cfg.use_vertices, impl="jnp",
                  accuracy_bins=acc, bin_accuracy=bacc,
-                 mesh=None, shape_noise=True, poly_a_keep=None),
+                 mesh=None, shape_noise=True, poly_a_keep=None,
+                 ca_iters=cfg.ca_iters, ca_tol=cfg.ca_tol),
         ))
     missing = [s for s in seen if s not in warm_sigs]
     assert not missing, f"driver signatures not covered by warmup: {missing[:2]}"

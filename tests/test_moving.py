@@ -1,0 +1,160 @@
+"""Trajectory collision probability (mc/moving.py): bitwise degeneration
+to the static path at zero motion, deterministic analytic motions,
+horizon monotonicity, the adaptive driver + motion-aware pruning, and
+the impl guard."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collide2d_tpu.mc.estimator import (
+    AdaptiveConfig,
+    Configs,
+    adaptive_collision_probabilities,
+    collision_probability,
+    mc_round,
+)
+from collide2d_tpu.mc.moving import (
+    MovingConfigs,
+    moving_configs,
+    trajectory_collision_probability,
+)
+
+ROBOT = jnp.asarray([4.07, 1.74], jnp.float32)
+
+
+def _static_and_moving(rng, n, v=0.0, w=0.0, t_max=1.0):
+    pos = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+    th = rng.uniform(0, 7, n).astype(np.float32)
+    wh = rng.uniform(0.5, 4, (n, 2)).astype(np.float32)
+    sd = rng.uniform(0, 0.3, (n, 5)).astype(np.float32)
+    static = Configs(jnp.asarray(pos), jnp.asarray(th), jnp.asarray(wh),
+                     jnp.asarray(sd))
+    moving = moving_configs(pos, th, wh, sd, v, w, t_max)
+    return static, moving
+
+
+def test_zero_motion_is_bitwise_the_static_path(rng):
+    # same key, same draws, velocity = omega = 0, tol = 0: the
+    # advancement freezes at t=0 and the predicate is the closed-form
+    # OBB sign — bitwise obb_collide, i.e. the static jnp path.
+    static, moving = _static_and_moving(rng, 64)
+    key = jax.random.PRNGKey(3)
+    a = np.array(collision_probability(key, static, ROBOT, 4096))
+    b = np.array(trajectory_collision_probability(
+        key, moving, ROBOT, 4096, tol=0.0))
+    np.testing.assert_array_equal(a, b)
+    assert (a > 0).any() and (a < 1).any()
+
+
+def test_deterministic_motion_analytic():
+    # zero noise => every sample identical => cp in {0, 1} exactly,
+    # decided by whether the motion geometrically reaches the obstacle.
+    cfgs = moving_configs(
+        position=np.array([[8.0, 0.0], [8.0, 0.0], [8.0, 6.0], [0.5, 0.0]],
+                          np.float32),
+        pose_theta=0.0,
+        obstacle_wh=np.array([2.0, 2.0], np.float32),
+        std_dev=np.zeros(5, np.float32),
+        velocity=np.array([[-1.0, 0.0], [-1.0, 0.0], [-1.0, 0.0],
+                           [1.0, 0.0]], np.float32),
+        omega=0.0,
+        # head-on gap: 8 - 4.07/2 - 1 = 4.965. horizons: 6 reaches it,
+        # 4 does not; the third rides a lateral offset 6 (> 1 + 1.74/2)
+        # and can never touch; the fourth starts overlapping.
+        t_max=np.array([6.0, 4.0, 6.0, 1.0], np.float32),
+    )
+    cp = np.array(trajectory_collision_probability(
+        jax.random.PRNGKey(0), cfgs, ROBOT, 256, ca_iters=128))
+    np.testing.assert_array_equal(cp, [1.0, 0.0, 0.0, 1.0])
+
+
+def test_probability_monotone_in_horizon(rng):
+    # with identical draws, the set of colliding samples grows with the
+    # horizon: counts must be nondecreasing in t_max.
+    key = jax.random.PRNGKey(11)
+    base = _static_and_moving(rng, 48)[1]
+    cps = []
+    for tm in (0.5, 1.5, 4.0):
+        cfgs = base._replace(
+            velocity=jnp.full_like(base.velocity, -0.5),
+            t_max=jnp.full_like(base.t_max, tm))
+        cps.append(np.array(trajectory_collision_probability(
+            key, cfgs, ROBOT, 2048, ca_iters=128)))
+    assert (cps[1] >= cps[0]).all()
+    assert (cps[2] >= cps[1]).all()
+    assert cps[2].mean() > cps[0].mean()  # the motion actually matters
+
+
+def test_adaptive_driver_and_motion_aware_prune(rng):
+    # the adaptive machinery is predicate-agnostic: MovingConfigs flow
+    # through adaptive_collision_probabilities, CIs agree with a big
+    # fixed budget; pruning accounts for motion reach (a config only
+    # reachable BY the motion must not be pruned).
+    n = 24
+    pos = rng.uniform(2, 5, (n, 2)).astype(np.float32)
+    pos[0] = (400.0, 400.0)   # unreachable even with motion -> pruned 0
+    pos[1] = (40.0, 0.0)      # statically far, but the motion covers it
+    vel = np.zeros((n, 2), np.float32)
+    vel[1] = (-10.0, 0.0)
+    t_max = np.ones(n, np.float32)
+    t_max[1] = 4.0
+    cfgs = moving_configs(
+        pos, 0.25, np.array([2.0, 1.5], np.float32),
+        np.array([0.08, 0.08, 0.05, 0.0, 0.0], np.float32), vel, 0.0, t_max)
+    key = jax.random.PRNGKey(5)
+    # loose uniform bin accuracy: convergence inside the budget (the
+    # tight 1e-4 low-probability bin needs ~2e6 samples — not the point)
+    cfg = AdaptiveConfig(max_samples=80_000, prune_sigma=6.0,
+                         bin_accuracy=(0.01, 0.01, 0.01))
+    cp, n_used, done = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg)
+    assert done.all()
+    assert cp[0] == 0.0 and n_used[0] == 0          # pruned without sampling
+    assert cp[1] == 1.0 and n_used[1] > 0           # motion reach kept it
+    ref = np.array(trajectory_collision_probability(key, cfgs, ROBOT, 65536))
+    # adaptive estimates agree with the fixed-budget estimator within a
+    # loose 4-sigma binomial band at the smallest budget used
+    se = np.sqrt(np.maximum(ref * (1 - ref), 1e-4) / np.maximum(n_used, 1))
+    assert (np.abs(cp - ref) <= 4 * se + 4e-2).all()
+
+
+def test_model_surface_and_impl_guard(rng):
+    from collide2d_tpu.models.collision_model import (
+        CollisionProbabilityModel,
+    )
+
+    model = CollisionProbabilityModel()
+    _, moving = _static_and_moving(rng, 16, v=(-0.5, 0.0), t_max=2.0)
+    key = jax.random.PRNGKey(2)
+    cp = np.array(model.trajectory_probability(key, moving, 2048))
+    assert cp.shape == (16,) and ((0 <= cp) & (cp <= 1)).all()
+    # label() accepts MovingConfigs
+    cp2, n2, done2 = model.label(
+        key, moving,
+        AdaptiveConfig(max_samples=40_000, bin_accuracy=(0.01, 0.01, 0.01)))
+    assert done2.all() and ((0 <= cp2) & (cp2 <= 1)).all()
+
+    with pytest.raises(ValueError, match="pallas"):
+        mc_round(key, jnp.arange(16, dtype=jnp.int32), moving, ROBOT,
+                 jnp.int32(0), n_batch=512, impl="pallas")
+    with pytest.raises(ValueError, match="pallas"):
+        adaptive_collision_probabilities(
+            key, moving, ROBOT, AdaptiveConfig(impl="pallas"))
+
+
+def test_moving_configs_jit_and_fields(rng):
+    # the NamedTuple is a well-behaved pytree: jit boundaries, tree.map
+    # row gathers (the driver's compaction primitive) keep field meaning
+    # — with matching uids, a gathered subset reproduces its rows
+    # bitwise (the compaction-invariance contract of the jnp path).
+    _, moving = _static_and_moving(rng, 8, v=(0.2, 0.1), w=0.3, t_max=1.5)
+    idx = jnp.asarray([5, 2, 7], jnp.int32)
+    sub = jax.tree.map(lambda a: a[idx], moving)
+    assert isinstance(sub, MovingConfigs) and sub.num == 3
+    key = jax.random.PRNGKey(0)
+    f = jax.jit(lambda u, c: mc_round(
+        key, u, c, ROBOT, jnp.int32(0), n_batch=512))
+    full = np.array(f(jnp.arange(8, dtype=jnp.int32), moving))
+    part = np.array(f(idx, sub))
+    np.testing.assert_array_equal(full[np.array(idx)], part)

@@ -415,3 +415,33 @@ def test_toi_and_distance_shard_over_config_axis(rng, devices):
     m = np.isfinite(want_t)
     np.testing.assert_allclose(got_t[m], want_t[m], atol=1e-5)
     assert m.any()
+
+
+def test_moving_sample_axis_bitwise(rng, devices):
+    # MovingConfigs through the sample-axis step round-robin: the psum
+    # of partial counts must be BITWISE the unsharded counts (same
+    # fold_in tags; the TOI predicate is deterministic per draw).
+    from collide2d_tpu.mc.moving import moving_configs
+
+    C = 32
+    cfgs = moving_configs(
+        rng.uniform(-4, 4, (C, 2)).astype(np.float32),
+        rng.uniform(0, 7, C).astype(np.float32),
+        rng.uniform(0.5, 4, (C, 2)).astype(np.float32),
+        rng.uniform(0, 0.3, (C, 5)).astype(np.float32),
+        rng.uniform(-1, 1, (C, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, C).astype(np.float32),
+        2.0,
+    )
+    key = jax.random.PRNGKey(9)
+    uids = jnp.arange(C, dtype=jnp.int32)
+    base = np.array(mc_round(key, uids, cfgs, ROBOT, jnp.int32(0),
+                             n_batch=512, step_samples=64))
+    from collide2d_tpu.mc.estimator import _sample_sharded_counts
+
+    mesh = make_mesh(devices, sample_axis=4)
+    got = np.array(_sample_sharded_counts(
+        key, uids, shard_configs(cfgs, mesh), ROBOT, jnp.int32(0),
+        jnp.int32(8), step_samples=64, use_vertices=False, mesh=mesh,
+    ))
+    np.testing.assert_array_equal(got, base)
