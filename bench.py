@@ -142,6 +142,15 @@ def main() -> int:
         bench_learned_train,
     )
 
+    from collide2d_tpu.utils.benchmarks import (
+        bench_mc_moving,
+        bench_mc_moving_pallas,
+    )
+
+    moving_rot = functools.partial(bench_mc_moving_pallas, rotating=True)
+    moving_rot.__name__ = "bench_mc_moving_pallas_rotating"
+    moving_jnp_rot = functools.partial(bench_mc_moving, rotating=True)
+    moving_jnp_rot.__name__ = "bench_mc_moving_jnp_rotating"
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
     # A/B record of the round-3 normal-draw change (erfinv is the
@@ -185,6 +194,13 @@ def main() -> int:
         noshape,
         noshape_bm,
         bench_mc_polygons_pallas,
+        # trajectory sampling: fused kernel vs threefry XLA path, both
+        # regimes (translation-only = exact window; rotating = CA) —
+        # the rotating pair records the kernel's quantified loss there
+        bench_mc_moving_pallas,
+        bench_mc_moving,
+        moving_rot,
+        moving_jnp_rot,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
         poly_bf16,

@@ -44,6 +44,7 @@ from collide2d_tpu.ops.distance import (
 from collide2d_tpu.ops.toi import (
     polygon_time_of_impact,
     rect_time_of_impact,
+    rect_translation_toi,
 )
 from collide2d_tpu.ops.broad_phase import (
     aabb_overlap,
@@ -107,6 +108,7 @@ __all__ = [
     "rect_signed_distance",
     "polygon_time_of_impact",
     "rect_time_of_impact",
+    "rect_translation_toi",
     "aabb_overlap",
     "candidate_mask",
     "collide_candidates",

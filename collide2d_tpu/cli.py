@@ -533,6 +533,139 @@ def _add_polylabel(sub: argparse._SubParsersAction) -> None:
     p.set_defaults(func=run)
 
 
+def _add_movelabel(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "movelabel",
+        help="adaptively label TRAJECTORY configurations: P(a moving "
+             "robot hits the noisy obstacle over t in [0, t_max]) — the "
+             "quantity a planner validating an edge needs (beyond the "
+             "reference: its labels are static-pose only)",
+    )
+    p.add_argument("--data_in", required=True,
+                   help=".npz with position (C,2), pose_theta (C,), "
+                        "obstacle_wh (C,2), std_dev (C,5), velocity (C,2) "
+                        "[optional omega (C,), t_max (C,), robot_wh (2,)]")
+    p.add_argument("--data_out", required=True,
+                   help="output .npz: cp (C,), n_samples (C,), converged (C,)")
+    p.add_argument("--robot_width", "-w", type=float, default=4.07,
+                   help="robot width when data_in has no robot_wh "
+                        "(reference default, generate_dataset.cu:60)")
+    p.add_argument("--robot_height", type=float, default=1.74)
+    p.add_argument("--max_samples", type=int, default=4_000_000,
+                   help="per-configuration sample cap")
+    p.add_argument("--accuracy_bins", type=float, nargs="+",
+                   default=[0.0, 0.01, 0.1, 1.0])
+    p.add_argument("--bin_accuracy", type=float, nargs="+",
+                   default=[1e-4, 1e-3, 1e-2])
+    p.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto",
+                   help=_IMPL_HELP + " (trajectory batches: 'auto' uses the "
+                        "fused kernel only on translation-only batches, "
+                        "where it measures faster)")
+    p.add_argument("--ca_iters", type=int, default=48,
+                   help="conservative-advancement budget per ROTATING "
+                        "sample (translation-only samples resolve through "
+                        "the exact first-contact window and ignore this; "
+                        "certified-hit lower bound tightens as it grows)")
+    p.add_argument("--ca_tol", type=float, default=1e-4,
+                   help="contact certification tolerance of the rotating-"
+                        "sample advancement")
+    _add_adaptive_extensions(p)
+    p.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed (default: time-randomized, like the "
+                        "reference's curand seed)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the configuration axis across all local "
+                        "chips (uid-keyed jnp path: labels bitwise-equal "
+                        "to a single-chip run)")
+    p.add_argument("--sample_parallel", type=int, default=0,
+                   help="shard each configuration's sample budget across "
+                        "this many devices (jnp path: labels bitwise-equal "
+                        "to a single-chip run); ignored with "
+                        "--data_parallel")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="rounds between mid-run checkpoints to "
+                        "<data_out>.checkpoint.npz (0 = off; a rerun with "
+                        "the same --seed auto-resumes from it)")
+    p.add_argument("--verbose", type=_bool_flag, default=False)
+
+    def run(args: argparse.Namespace) -> int:
+        import time
+
+        import numpy as np
+        import jax
+
+        from collide2d_tpu.mc.estimator import (
+            AdaptiveConfig,
+            adaptive_collision_probabilities,
+        )
+        from collide2d_tpu.mc.moving import moving_configs
+
+        data = np.load(args.data_in)
+        for field in ("position", "pose_theta", "obstacle_wh", "std_dev",
+                      "velocity"):
+            if field not in data:
+                raise SystemExit(f"movelabel: {args.data_in} missing "
+                                 f"'{field}'")
+        cfgs = moving_configs(
+            data["position"], data["pose_theta"], data["obstacle_wh"],
+            data["std_dev"], data["velocity"],
+            omega=data["omega"] if "omega" in data else 0.0,
+            t_max=data["t_max"] if "t_max" in data else 1.0,
+        )
+        robot_wh = (np.asarray(data["robot_wh"], np.float32)
+                    if "robot_wh" in data
+                    else np.asarray([args.robot_width, args.robot_height],
+                                    np.float32))
+        cfg = AdaptiveConfig(
+            accuracy_bins=tuple(args.accuracy_bins),
+            bin_accuracy=tuple(args.bin_accuracy),
+            max_samples=args.max_samples,
+            impl=args.impl,
+            prune_sigma=args.prune_sigma,
+            schedule=_schedule_arg(args),
+            ladder=args.ladder,
+            ca_iters=args.ca_iters,
+            ca_tol=args.ca_tol,
+        )
+        seed = args.seed if args.seed is not None else int(time.time())
+        progress = None
+        if args.verbose:
+            def progress(num_left, n_samples, round):
+                print(f"[movelabel] round {round}: left={num_left} "
+                      f"n_samples={n_samples}", flush=True)
+        mesh = None
+        if args.data_parallel:
+            from collide2d_tpu.parallel import make_mesh
+
+            mesh = make_mesh(jax.devices())
+        elif args.sample_parallel and args.sample_parallel > 1:
+            from collide2d_tpu.parallel import make_mesh
+
+            devices = jax.devices()
+            if len(devices) < args.sample_parallel:
+                raise SystemExit(
+                    f"movelabel: sample_parallel={args.sample_parallel} "
+                    f"needs that many devices, have {len(devices)}"
+                )
+            mesh = make_mesh(devices[: args.sample_parallel],
+                             sample_axis=args.sample_parallel)
+        cp, n_used, done = adaptive_collision_probabilities(
+            jax.random.PRNGKey(seed), cfgs, robot_wh, cfg,
+            progress=progress, mesh=mesh,
+            checkpoint_path=(
+                args.data_out + ".checkpoint.npz" if args.checkpoint_every
+                else None
+            ),
+            checkpoint_every=args.checkpoint_every,
+        )
+        np.savez(args.data_out, cp=cp, n_samples=n_used, converged=done)
+        print(f"labeled {cfgs.num} trajectories -> {args.data_out} "
+              f"(converged {float(done.mean()):.1%})")
+        return 0
+
+    p.set_defaults(func=run)
+
+
 def _add_train(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser(
         "train",
@@ -663,6 +796,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_compare(sub)
     _add_bench(sub)
     _add_polylabel(sub)
+    _add_movelabel(sub)
     _add_train(sub)
     _add_predict(sub)
     args = parser.parse_args(argv)

@@ -234,7 +234,7 @@ def _warm_targets(cfg, impl: str, c0: int) -> list[tuple[int, int, int]]:
 
 def _warm_fused_round_compiles(
     key, configs, robot_wh, cfg, *, impl, shape_noise, c0, acc_bins, bin_acc,
-    poly_a_keep=None, sync: bool = False,
+    poly_a_keep=None, ca: tuple | None = None, sync: bool = False,
 ) -> dict:
     """Fire-and-forget compile warmup for every bucket shape the repack
     ladder can visit.
@@ -272,6 +272,7 @@ def _warm_fused_round_compiles(
     """
     import threading
 
+    ca_iters_eff, ca_tol_eff = ca or (cfg.ca_iters, cfg.ca_tol)
     stats = {"ok": 0, "failed": 0, "errors": []}
     lock = threading.Lock()
     # Bound the in-flight warms: the eighth ladder has ~65 targets, and
@@ -304,7 +305,7 @@ def _warm_fused_round_compiles(
                 accuracy_bins=acc_bins, bin_accuracy=bin_acc,
                 mesh=None, shape_noise=shape_noise,
                 poly_a_keep=poly_a_keep,
-                ca_iters=cfg.ca_iters, ca_tol=cfg.ca_tol,
+                ca_iters=ca_iters_eff, ca_tol=ca_tol_eff,
             ).compile()
             with lock:
                 stats["ok"] += 1
@@ -328,7 +329,7 @@ def _warm_fused_round_compiles(
 
     base_sig = (
         impl, shape_noise, cfg.use_vertices, acc_bins, bin_acc, poly_a_keep,
-        cfg.ca_iters, cfg.ca_tol,
+        ca_iters_eff, ca_tol_eff,
         type(configs).__name__,
         # result_type/shape read dtype metadata without materializing —
         # jnp.asarray here would device-upload host-numpy configs leaves.
@@ -699,6 +700,7 @@ class _JaxOps:
         round_mesh=None,
         shape_noise: bool = True,
         poly_a_keep=None,
+        ca: tuple | None = None,
         shard=lambda s: s,
         progress=None,
         checkpoint_write=None,
@@ -714,6 +716,9 @@ class _JaxOps:
         self.round_mesh = round_mesh
         self.shape_noise = shape_noise
         self.poly_a_keep = poly_a_keep
+        # effective CA knobs: (iters, tol) — may differ from cfg's when
+        # the run auto-detected a translation-only trajectory batch
+        self.ca_iters, self.ca_tol = ca or (cfg.ca_iters, cfg.ca_tol)
         self._shard = shard
         self._progress = progress
         self._checkpoint_write = checkpoint_write
@@ -751,7 +756,7 @@ class _JaxOps:
             accuracy_bins=self.acc_bins, bin_accuracy=self.bin_acc,
             mesh=self.round_mesh, shape_noise=self.shape_noise,
             poly_a_keep=self.poly_a_keep,
-            ca_iters=self.cfg.ca_iters, ca_tol=self.cfg.ca_tol,
+            ca_iters=self.ca_iters, ca_tol=self.ca_tol,
         )
         return handle
 
@@ -920,20 +925,6 @@ class AdaptiveRun:
             round_mesh = None
             _shard = lambda s: s
 
-        # MovingConfigs (trajectory labels, mc.moving) have no fused
-        # kernel: 'auto' resolves to the jnp path; explicit 'pallas' is
-        # a user error surfaced here rather than a silent wrong kernel.
-        from collide2d_tpu.mc.moving import MovingConfigs
-
-        if isinstance(configs, MovingConfigs):
-            if cfg.impl == "pallas":
-                raise ValueError(
-                    "impl='pallas' is not implemented for MovingConfigs "
-                    "(trajectory batches run the jnp path; use 'jnp' or "
-                    "'auto')"
-                )
-            impl = "jnp"
-
         # With every w/h sigma zero (the reference default —
         # generate_dataset.cu:285-290 zeroes them unless --shape_variance),
         # the fused kernel skips 2 of its 5 Box-Muller draw pairs (it is
@@ -951,6 +942,27 @@ class AdaptiveRun:
             from collide2d_tpu.ops.mc_polygon_pallas import dedup_robot_axes
 
             poly_a_keep = dedup_robot_axes(np.asarray(jax.device_get(robot_wh)))
+
+        # Trajectory batches with NO rotation resolve every sample
+        # through the exact translation window: setting the effective
+        # ca_iters to 0 compiles the conservative-advancement loop out
+        # of the round program entirely (mc.moving / ops.mc_toi_pallas).
+        # One scalar readback, mirroring shape_noise above. The same
+        # readback steers 'auto' impl: the fused kernel wins only on
+        # translation-only batches (6.9e9 vs 5.4e9 samples/s on a v5e);
+        # for ROTATING batches the CA loop is trig-issue-bound in
+        # Mosaic and the XLA path is measurably faster (2.5e8 vs 1.5e8)
+        # — 'auto' therefore resolves rotating trajectory batches to
+        # 'jnp' (explicit impl='pallas' is honored either way).
+        ca_iters, ca_tol = cfg.ca_iters, cfg.ca_tol
+        from collide2d_tpu.mc.moving import MovingConfigs
+
+        if isinstance(configs, MovingConfigs) and ca_iters > 0:
+            if not bool(jax.device_get(jnp.any(configs.omega != 0.0))):
+                ca_iters = 0
+            elif impl == "pallas" and cfg.impl == "auto":
+                impl = "jnp"
+        self_ca = (ca_iters, ca_tol)
 
         # Device state: uids identify original rows through repacking (-1
         # = padding); labels freeze on device (see estimator._fused_round).
@@ -1078,6 +1090,7 @@ class AdaptiveRun:
                 key, configs, robot_wh, cfg, impl=impl,
                 shape_noise=shape_noise, c0=state.uids.shape[0],
                 acc_bins=acc_bins, bin_acc=bin_acc, poly_a_keep=poly_a_keep,
+                ca=self_ca,
             )
 
         checkpoint_write = None
@@ -1092,8 +1105,8 @@ class AdaptiveRun:
             key, state, outs, robot_wh, cfg,
             impl=impl, acc_bins=acc_bins, bin_acc=bin_acc,
             round_mesh=round_mesh, shape_noise=shape_noise,
-            poly_a_keep=poly_a_keep, shard=_shard, progress=progress,
-            checkpoint_write=checkpoint_write,
+            poly_a_keep=poly_a_keep, ca=self_ca, shard=_shard,
+            progress=progress, checkpoint_write=checkpoint_write,
         )
         self.scheduler = AdaptiveScheduler(
             cfg, self.ops,

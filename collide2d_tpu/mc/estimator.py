@@ -391,23 +391,21 @@ def mc_round(
     impl='auto': pallas on TPU, jnp elsewhere.
 
     `PolygonConfigs` batches dispatch to the fused polygon kernel
-    (ops.mc_polygon_pallas) on the pallas path, with the same stream
-    semantics as the rectangle kernel. `MovingConfigs` batches (the
-    trajectory predicate, mc.moving) run on the jnp path only:
-    'auto' resolves to jnp, explicit 'pallas' raises.
+    (ops.mc_polygon_pallas) on the pallas path; `MovingConfigs` batches
+    (the trajectory predicate, mc.moving) to the fused advancement
+    kernel (ops.mc_toi_pallas) — same stream semantics as the rectangle
+    kernel in both cases.
     """
     from collide2d_tpu.mc.moving import MovingConfigs
 
-    if isinstance(configs, MovingConfigs):
-        if impl == "pallas":
-            raise ValueError(
-                "impl='pallas' is not implemented for MovingConfigs "
-                "(the trajectory predicate runs on the jnp path; use "
-                "'jnp' or 'auto')"
-            )
-        impl = "jnp"
-    else:
-        impl = resolve_impl(impl, configs.position)
+    impl = resolve_impl(impl, configs.position)
+    if impl == "pallas" and isinstance(configs, MovingConfigs):
+        from collide2d_tpu.ops.mc_toi_pallas import mc_round_moving_pallas
+
+        return mc_round_moving_pallas(
+            key, configs, robot_wh, chunk_offset, n_batch=n_batch,
+            ca_iters=ca_iters, tol=ca_tol,
+        )
     if impl == "pallas" and isinstance(configs, PolygonConfigs):
         from collide2d_tpu.ops.mc_polygon_pallas import mc_round_polygons_pallas
 
@@ -550,6 +548,8 @@ def _pallas_sharded_counts(
     shape_noise: bool = True,
     poly_a_keep: tuple | None = None,
     interpret: bool = False,
+    ca_iters: int = 48,
+    ca_tol: float = 1e-4,
 ) -> Array:
     """The fused Pallas MC kernel under a (config, sample) mesh.
 
@@ -572,7 +572,16 @@ def _pallas_sharded_counts(
     """
     from jax.sharding import PartitionSpec as P
 
-    if isinstance(configs, PolygonConfigs):
+    from collide2d_tpu.mc.moving import MovingConfigs
+
+    if isinstance(configs, MovingConfigs):
+        from collide2d_tpu.ops.mc_toi_pallas import (
+            mc_round_moving_pallas as _round_fn,
+        )
+
+        kw = {"shape_noise": shape_noise, "ca_iters": ca_iters,
+              "tol": ca_tol}
+    elif isinstance(configs, PolygonConfigs):
         from collide2d_tpu.ops.mc_polygon_pallas import (
             mc_round_polygons_pallas as _round_fn,
         )
@@ -911,6 +920,19 @@ def _fused_round(
                     key, state.active, robot_wh, tag, n_steps,
                     sub=sub, mesh=mesh, shape_noise=shape_noise,
                     poly_a_keep=poly_a_keep,
+                    ca_iters=ca_iters, ca_tol=ca_tol,
+                )
+            from collide2d_tpu.mc.moving import MovingConfigs
+
+            if isinstance(state.active, MovingConfigs):
+                from collide2d_tpu.ops.mc_toi_pallas import (
+                    mc_round_moving_pallas,
+                )
+
+                return mc_round_moving_pallas(
+                    key, state.active, robot_wh, tag,
+                    n_steps=n_steps, sub=sub, shape_noise=shape_noise,
+                    ca_iters=ca_iters, tol=ca_tol,
                 )
             if isinstance(state.active, PolygonConfigs):
                 from collide2d_tpu.ops.mc_polygon_pallas import (

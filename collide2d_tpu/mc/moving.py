@@ -25,14 +25,23 @@ Design notes (all load-bearing for tests):
   degenerates to the static collision test — so on identical draws the
   counts equal the static jnp path's counts bit for bit (pinned by
   tests/test_moving.py).
-- Certified-hit contract (`ops.toi`): a sample counts as a collision
-  only when the advancement certifies contact (d(t) <= tol within the
-  horizon). Grazing trajectories that ``ca_iters`` steps cannot certify
-  are counted as misses — the conservative direction for a label used
-  to REJECT risky motions is debatable both ways; what this estimator
-  guarantees is a LOWER bound that converges to the true probability as
-  ``ca_iters`` grows (48 certifies everything but ~tangential contact;
-  the measure of motions needing more shrinks with the miss distance).
+- NON-ROTATING samples (omega == 0) are decided EXACTLY: under pure
+  translation the per-SAT-axis colliding-time set is a linear window
+  and the hit test is a closed-form interval intersection
+  (`ops.toi.obb_translation_toi_parts`) — no iteration, no tolerance
+  band. The adaptive driver detects translation-only batches with one
+  readback and compiles the advancement loop out entirely
+  (effective ``ca_iters = 0``).
+- ROTATING samples use conservative advancement with the certified-hit
+  contract (`ops.toi`): a sample counts as a collision only when the
+  advancement certifies contact (d(t) <= tol within the horizon).
+  Grazing trajectories that ``ca_iters`` steps cannot certify are
+  counted as misses — what this estimator guarantees is a LOWER bound
+  that converges to the true probability as ``ca_iters`` grows (the
+  uncertified measure concentrates near tangential contact; measured
+  on random rotating workloads the 48 -> 512 iteration shift is < 0.02
+  for ~99% of configurations with a tail of slow-graze motions — raise
+  ``ca_iters`` via AdaptiveConfig when the tail matters).
 - Per-config ``t_max`` folds into the motion (v*t_max, omega*t_max on a
   unit horizon), so one compiled program serves every horizon.
 """
@@ -46,7 +55,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from collide2d_tpu.ops.distance_pallas import obb_signed_distance_tile
-from collide2d_tpu.ops.toi import _advance
+from collide2d_tpu.ops.toi import _advance, obb_translation_toi_parts
 
 CA_ITERS = 48   # default advancement budget per sample
 # Default contact tolerance. MUST be positive for moving samples:
@@ -154,17 +163,36 @@ def counts_chunk_moving(
     th0 = configs.pose_theta[:, None]
     w = w_eff[:, None]
 
-    def dist_of_t(t):  # (C, S) -> (C, S)
-        a1 = th0 + t * w
-        dx = ox - (px + t * vx)  # obstacle minus robot: c2 - c1
-        dy = oy - (py + t * vy)
-        return obb_signed_distance_tile(
-            dx, dy, jnp.cos(a1), jnp.sin(a1), hx1, hy1,
-            c2_, s2_, hx2, hy2,
-        )
+    # Non-rotating lanes resolve EXACTLY (first-contact window over the
+    # 4 SAT axes — no iteration, no tolerance band; ops.toi). At zero
+    # motion every axis window degenerates to the static gap test, so
+    # the v = w = 0 bitwise-parity contract rides this path.
+    c1_, s1_ = jnp.cos(th0), jnp.sin(th0)
+    entry, exit_ = obb_translation_toi_parts(
+        ox - px, oy - py, c1_, s1_, hx1, hy1, c2_, s2_, hx2, hy2,
+        -vx, -vy,  # obstacle velocity relative to the robot
+    )
+    hit_exact = (entry <= exit_) & (entry <= 1.0) & (exit_ >= 0)
 
-    toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
-    return jnp.sum(jnp.isfinite(toi), axis=-1, dtype=jnp.int32)
+    rotating = w != 0  # (C, 1)
+    if ca_iters > 0:
+        def dist_of_t(t):  # (C, S) -> (C, S)
+            a1 = th0 + t * w
+            dx = ox - (px + t * vx)  # obstacle minus robot: c2 - c1
+            dy = oy - (py + t * vy)
+            return obb_signed_distance_tile(
+                dx, dy, jnp.cos(a1), jnp.sin(a1), hx1, hy1,
+                c2_, s2_, hx2, hy2,
+            )
+
+        toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
+        hit = jnp.where(rotating, jnp.isfinite(toi), hit_exact)
+    else:
+        # ca_iters == 0: the caller asserts the batch is translation-
+        # only (the adaptive driver auto-detects this) — skip the CA
+        # trace entirely.
+        hit = hit_exact
+    return jnp.sum(hit, axis=-1, dtype=jnp.int32)
 
 
 def trajectory_collision_probability(

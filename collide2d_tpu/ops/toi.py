@@ -19,7 +19,14 @@ evaluation, so the whole query is a fixed-length `lax.fori_loop` of
 VPU-friendly closed forms — no data-dependent control flow, jittable,
 vmappable, shard_map-safe.
 
-Contract (both entry points):
+Translation is special-cased EXACTLY: under pure relative translation
+the per-SAT-axis colliding-time set is a linear window, so the first
+contact time is a closed-form interval intersection — no iteration, no
+tolerance band (`rect_translation_toi`; `polygon_time_of_impact` is
+translation-only and always exact). Conservative advancement remains
+the engine for ROTATING motion, with this contract:
+
+Contract (CA entry points):
 - returns ``t`` in ``[0, t_max]`` with ``d(t) <= tol`` when an impact
   is found (initially overlapping pairs return exactly 0);
 - returns ``+inf`` when the pair provably cannot touch within
@@ -37,10 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from collide2d_tpu.ops.distance import (
-    polygon_signed_distance,
-    rect_signed_distance,
-)
+from collide2d_tpu.ops.distance import rect_signed_distance
 
 
 def _advance(dist_of_t, bound: Array, t_max: float, iters: int, tol: float):
@@ -59,6 +63,86 @@ def _advance(dist_of_t, bound: Array, t_max: float, iters: int, tol: float):
     return jnp.where(hit, t, jnp.float32(jnp.inf))
 
 
+def _axis_interval(p0, s, r):
+    """Per-axis hit window of ``|p0 + t s| <= r``: (lo, hi), branch-free.
+
+    s == 0 degenerates to all-t (|p0| <= r) or empty (encoded as
+    (+inf, -inf), which any max/min intersection keeps empty)."""
+    zero = s == 0
+    inv = 1.0 / jnp.where(zero, 1.0, s)
+    t1 = (-r - p0) * inv
+    t2 = (r - p0) * inv
+    inf = jnp.float32(jnp.inf)
+    inside = jnp.abs(p0) <= r
+    lo = jnp.where(zero, jnp.where(inside, -inf, inf), jnp.minimum(t1, t2))
+    hi = jnp.where(zero, jnp.where(inside, inf, -inf), jnp.maximum(t1, t2))
+    return lo, hi
+
+
+def obb_translation_toi_parts(
+    dx, dy, c1, s1, hx1, hy1, c2, s2, hx2, hy2, vx, vy,
+):
+    """(entry, exit) hit window of two oriented boxes under pure relative
+    translation, on elementwise tiles (shared with `ops.mc_toi_pallas`).
+
+    ``(dx, dy)`` = center2 - center1 at t=0; ``(vx, vy)`` = relative
+    velocity (of box 2); cos/sin are each box's FIXED angle; ``hxi/hyi``
+    are HALF extents. EXACT: under translation the pair collides at time
+    t iff the center offset projects inside the summed radius on all 4
+    unit SAT axes — these are the edge normals of the pair's Minkowski
+    sum, so SAT is exact at every t and each axis condition is linear in
+    t. The hit set is the intersection of 4 per-axis windows: no
+    iteration, no tolerance band (the CA loop's weakness on grazing
+    trajectories), ~60 flops. At v = 0 the window test degenerates
+    BITWISE to `sat.obb_collide`'s gap expressions.
+    """
+    cd = jnp.abs(c1 * c2 + s1 * s2)
+    sd = jnp.abs(s1 * c2 - c1 * s2)
+    lo, hi = _axis_interval(
+        dx * c1 + dy * s1, vx * c1 + vy * s1, hx1 + hx2 * cd + hy2 * sd
+    )
+    l2, h2 = _axis_interval(
+        -dx * s1 + dy * c1, -vx * s1 + vy * c1, hy1 + hx2 * sd + hy2 * cd
+    )
+    lo, hi = jnp.maximum(lo, l2), jnp.minimum(hi, h2)
+    l3, h3 = _axis_interval(
+        dx * c2 + dy * s2, vx * c2 + vy * s2, hx2 + hx1 * cd + hy1 * sd
+    )
+    lo, hi = jnp.maximum(lo, l3), jnp.minimum(hi, h3)
+    l4, h4 = _axis_interval(
+        -dx * s2 + dy * c2, -vx * s2 + vy * c2, hy2 + hx1 * sd + hy1 * cd
+    )
+    return jnp.maximum(lo, l4), jnp.minimum(hi, h4)
+
+
+def rect_translation_toi(
+    c1, ext1, th1, c2, ext2, th2, v_rel, *, t_max: float = 1.0,
+) -> Array:
+    """EXACT earliest impact time of two oriented boxes under pure
+    relative TRANSLATION (box 2 moves by ``t * v_rel`` relative to
+    box 1). float32 ``B``; t in [0, t_max] or +inf. Unlike the CA
+    entry points there is no iteration budget and no tolerance band —
+    grazing trajectories resolve exactly (see
+    `obb_translation_toi_parts`). Parameters as `sat.obb_collide`."""
+    c1 = jnp.asarray(c1, jnp.float32)
+    c2 = jnp.asarray(c2, jnp.float32)
+    ext1 = jnp.abs(jnp.asarray(ext1, jnp.float32))
+    ext2 = jnp.abs(jnp.asarray(ext2, jnp.float32))
+    th1 = jnp.asarray(th1, jnp.float32)
+    th2 = jnp.asarray(th2, jnp.float32)
+    v = jnp.broadcast_to(jnp.asarray(v_rel, jnp.float32), c2.shape)
+    co1, si1 = jnp.cos(th1), jnp.sin(th1)
+    co2, si2 = jnp.cos(th2), jnp.sin(th2)
+    entry, exit_ = obb_translation_toi_parts(
+        c2[..., 0] - c1[..., 0], c2[..., 1] - c1[..., 1],
+        co1, si1, 0.5 * ext1[..., 0], 0.5 * ext1[..., 1],
+        co2, si2, 0.5 * ext2[..., 0], 0.5 * ext2[..., 1],
+        v[..., 0], v[..., 1],
+    )
+    hit = (entry <= exit_) & (entry <= t_max) & (exit_ >= 0)
+    return jnp.where(hit, jnp.maximum(entry, 0.0), jnp.float32(jnp.inf))
+
+
 def rect_time_of_impact(
     c1, ext1, th1, v1, w1,
     c2, ext2, th2, v2, w2,
@@ -70,7 +154,13 @@ def rect_time_of_impact(
     `sat.obb_collide` parameterization) and moves rigidly: center
     ``ci + t*vi``, angle ``thi + t*wi`` (rotation about its own
     center). ``vi``: ``B+(2,)``; ``wi``: ``B`` (radians/unit time,
-    broadcastable). Returns the CA time (see module contract).
+    broadcastable).
+
+    Non-rotating lanes (w1 == w2 == 0) resolve through the EXACT
+    translation window test (`rect_translation_toi` — true first-contact
+    time, no tolerance band); rotating lanes run conservative
+    advancement (module contract). All-translation workloads should
+    call `rect_translation_toi` directly and skip the CA trace.
     """
     c1 = jnp.asarray(c1, jnp.float32)
     c2 = jnp.asarray(c2, jnp.float32)
@@ -100,7 +190,11 @@ def rect_time_of_impact(
             c2 + te * v2, ext2, th2 + t * w2,
         )
 
-    return _advance(dist_of_t, bound, t_max, iters, tol)
+    t_ca = _advance(dist_of_t, bound, t_max, iters, tol)
+    t_exact = rect_translation_toi(
+        c1, ext1, th1, c2, ext2, th2, v_rel, t_max=t_max
+    )
+    return jnp.where((w1 == 0) & (w2 == 0), t_exact, t_ca)
 
 
 def polygon_time_of_impact(
@@ -108,20 +202,48 @@ def polygon_time_of_impact(
     *, t_max: float = 1.0, iters: int = 64, tol: float = 1e-4,
     mask1: Array | None = None, mask2: Array | None = None,
 ) -> Array:
-    """Earliest impact time of convex k-gon pairs under relative
+    """EXACT earliest impact time of convex k-gon pairs under relative
     TRANSLATION: shape 2 moves by ``t * v_rel`` relative to shape 1
-    (``v_rel``: ``B+(2,)``). float32 ``B``; same contract as
-    `rect_time_of_impact` (here the CA bound ``|v_rel|`` is exact, and
-    d(t) is convex in t, so convergence is monotone from below). Same
-    padding contract as `sat.sat_polygons`.
+    (``v_rel``: ``B+(2,)``). float32 ``B``; t in [0, t_max] or +inf.
+
+    Under translation the colliding-time set per SAT axis (the true edge
+    normals of both polygons — together the Minkowski-sum normals, so
+    SAT is exact at every t) is a linear-inequality window; the hit set
+    is their intersection. No iteration, no tolerance band: ``iters``
+    and ``tol`` are accepted for backward compatibility with the
+    original conservative-advancement implementation and ignored (the
+    exact method strictly strengthens the old certified-impact contract
+    — every finite t is the true first-contact time, every +inf a proof
+    of no contact within the horizon). Same padding contract as
+    `sat.sat_polygons` (a zero padded axis never constrains the window).
     """
-    p1 = jnp.asarray(p1, jnp.float32)
-    p2 = jnp.asarray(p2, jnp.float32)
+    del iters, tol  # superseded by the exact window intersection
+    from collide2d_tpu.ops.sat import _normalize_padding
+
+    p1 = _normalize_padding(jnp.asarray(p1, jnp.float32), mask1)
+    p2 = _normalize_padding(jnp.asarray(p2, jnp.float32), mask2)
     v = jnp.broadcast_to(jnp.asarray(v_rel, jnp.float32), p1.shape[:-2] + (2,))
-    bound = jnp.sqrt(jnp.sum(v * v, axis=-1))
 
-    def dist_of_t(t):
-        shift = t[..., None, None] * v[..., None, :]
-        return polygon_signed_distance(p1, p2 + shift, mask1, mask2)
+    def edge_normals(p):
+        e = jnp.roll(p, -1, axis=-2) - p
+        return jnp.stack([e[..., 1], -e[..., 0]], axis=-1)  # (..., K, 2)
 
-    return _advance(dist_of_t, bound, t_max, iters, tol)
+    axes = jnp.concatenate([edge_normals(p1), edge_normals(p2)], axis=-2)
+    proj1 = jnp.einsum("...ad,...kd->...ak", axes, p1)
+    proj2 = jnp.einsum("...ad,...kd->...ak", axes, p2)
+    m1, M1 = jnp.min(proj1, -1), jnp.max(proj1, -1)  # (..., A)
+    m2, M2 = jnp.min(proj2, -1), jnp.max(proj2, -1)
+    s = jnp.einsum("...ad,...d->...a", axes, v)
+    # overlap on an axis at time t: m2 + t s <= M1  AND  m1 <= M2 + t s
+    zero = s == 0
+    inv = 1.0 / jnp.where(zero, 1.0, s)
+    ta = (M1 - m2) * inv
+    tb = (m1 - M2) * inv
+    inf = jnp.float32(jnp.inf)
+    inside = (m2 <= M1) & (m1 <= M2)  # also the zero padded-axis case
+    lo = jnp.where(zero, jnp.where(inside, -inf, inf), jnp.minimum(ta, tb))
+    hi = jnp.where(zero, jnp.where(inside, inf, -inf), jnp.maximum(ta, tb))
+    entry = jnp.max(lo, axis=-1)
+    exit_ = jnp.min(hi, axis=-1)
+    hit = (entry <= exit_) & (entry <= t_max) & (exit_ >= 0)
+    return jnp.where(hit, jnp.maximum(entry, 0.0), inf)

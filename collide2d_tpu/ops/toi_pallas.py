@@ -16,7 +16,10 @@ is "some lane in this tile is still advancing" — a tile whose 8*L pairs
 have all converged (hit, receded past the horizon, or stalled) stops
 issuing steps. `iters` stays the hard bound, so results are identical
 to the fixed-trip-count loop (each lane freezes at its own stop time;
-extra iterations are no-ops by construction).
+extra iterations are no-ops by construction). Non-rotating lanes never
+enter the loop at all: they resolve through the EXACT translation
+window (`ops.toi.obb_translation_toi_parts` — true first-contact time,
+no tolerance band), so an all-translation tile costs one window test.
 
 Same contract as `ops.toi` (finite t => certified impact with
 d(t) <= tol; +inf otherwise). Values can differ from the XLA path only
@@ -40,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from collide2d_tpu.ops.distance_pallas import obb_signed_distance_tile
 from collide2d_tpu.ops.sat_pallas import unpack_labels
+from collide2d_tpu.ops.toi import obb_translation_toi_parts
 
 # The while-loop early exit works per TILE (all 8*block lanes must
 # converge before a tile stops), so narrower tiles could let fast
@@ -105,6 +109,21 @@ def _make_toi_kernel(t_max: float, iters: int, tol: float):
                 jnp.cos(a2), jnp.sin(a2), hx2, hy2,
             )
 
+        # Non-rotating lanes resolve through the EXACT translation
+        # window (ops.toi) — true first contact, no per-step trig; they
+        # are marked done from the first CA iteration.
+        rotating = (w1 != 0) | (w2 != 0)
+        entry, exit_ = obb_translation_toi_parts(
+            cx2 - cx1, cy2 - cy1,
+            jnp.cos(th1), jnp.sin(th1), hx1, hy1,
+            jnp.cos(th2), jnp.sin(th2), hx2, hy2,
+            rvx, rvy,
+        )
+        hit_w = (entry <= exit_) & (entry <= t_hor) & (exit_ >= 0)
+        t_exact = jnp.where(
+            hit_w, jnp.maximum(entry, 0.0), jnp.float32(jnp.inf)
+        )
+
         def cond(carry):
             i, _, any_live = carry
             return jnp.logical_and(i < iters, any_live)
@@ -112,7 +131,7 @@ def _make_toi_kernel(t_max: float, iters: int, tol: float):
         def body(carry):
             i, t, _ = carry
             d = dist_at(t)
-            done = (d <= tol_f) | (t > t_hor)
+            done = jnp.logical_not(rotating) | (d <= tol_f) | (t > t_hor)
             t = jnp.where(done, t, t + jnp.maximum(d, 0.0) / bound)
             return i + 1, t, jnp.logical_not(jnp.all(done))
 
@@ -121,7 +140,9 @@ def _make_toi_kernel(t_max: float, iters: int, tol: float):
             (jnp.int32(0), jnp.zeros_like(bound), jnp.bool_(True)),
         )
         hit = (dist_at(t) <= tol_f) & (t <= t_hor)
-        out_ref[...] = jnp.where(hit, t, jnp.float32(jnp.inf))
+        out_ref[...] = jnp.where(
+            rotating, jnp.where(hit, t, jnp.float32(jnp.inf)), t_exact
+        )
 
     return kernel
 

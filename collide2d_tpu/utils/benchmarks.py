@@ -521,6 +521,106 @@ def bench_toi_pallas(pairs: int = 1 << 21, toi_iters: int = 64,
     }
 
 
+def _bench_moving_configs(configs: int, rotating: bool, seed: int = 5):
+    from collide2d_tpu.mc.moving import moving_configs
+
+    rng = np.random.default_rng(seed)
+    return moving_configs(
+        rng.uniform(-6, 6, (configs, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, configs).astype(np.float32),
+        rng.uniform(0.5, 5, (configs, 2)).astype(np.float32),
+        rng.uniform(0, 0.3, (configs, 5)).astype(np.float32),
+        rng.uniform(-2, 2, (configs, 2)).astype(np.float32),
+        (rng.uniform(-0.5, 0.5, configs)
+         * (1.0 if rotating else 0.0)).astype(np.float32),
+        rng.uniform(0.5, 3, configs).astype(np.float32),
+    )
+
+
+def bench_mc_moving_pallas(
+    configs: int = 8192, step_samples: int = 2048, iters: int = 20,
+    rotating: bool = False,
+) -> dict:
+    """Fused trajectory-MC kernel (ops/mc_toi_pallas.py): noise draw +
+    per-sample continuous-collision predicate. ``rotating=False`` (the
+    planner-common case) resolves every sample through the exact
+    translation window; ``rotating=True`` runs the conservative-
+    advancement loop (48 iterations, trig-bound)."""
+    from collide2d_tpu.ops.mc_toi_pallas import (
+        mc_toi_counts_pallas,
+        pack_mc_toi_params,
+    )
+
+    cfgs = _bench_moving_configs(configs, rotating)
+    params = jax.block_until_ready(
+        pack_mc_toi_params(cfgs, jnp.asarray([4.07, 1.74], jnp.float32))
+    )
+    ca = 48 if rotating else 0
+    sub = 16
+
+    @jax.jit
+    def loop(params, n):
+        def body(i, acc):
+            seed = jnp.stack([i, i ^ jnp.int32(0x5BD1E995)])
+            c = mc_toi_counts_pallas(
+                seed, params, jnp.int32(step_samples // sub), sub=sub,
+                ca_iters=ca, tol=1e-4,
+            )
+            return acc + jnp.sum(c)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    dt = _diff_time(
+        loop, (params, jnp.int32(1)), (params, jnp.int32(1 + iters)), iters
+    )
+    rate = configs * step_samples / dt
+    return {
+        "metric": ("mc_moving_samples_per_sec_pallas_rotating" if rotating
+                   else "mc_moving_samples_per_sec_pallas"),
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "configs": configs,
+        "ca_iters": ca,
+        "seconds_per_iter": dt,
+    }
+
+
+def bench_mc_moving(
+    configs: int = 8192, step_samples: int = 512, iters: int = 10,
+    rotating: bool = False,
+) -> dict:
+    """Trajectory-MC sampling on the threefry jnp path (mc.moving) —
+    the bitwise-reproducible reference the fused kernel is compared
+    against."""
+    from collide2d_tpu.mc.estimator import _mc_round_jnp
+
+    cfgs = _bench_moving_configs(configs, rotating)
+    cfgs = jax.tree.map(jax.block_until_ready, cfgs)
+    uids = jnp.arange(configs, dtype=jnp.int32)
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    ca = 48 if rotating else 0
+
+    def run(n_steps):
+        return jnp.sum(_mc_round_jnp(
+            jax.random.PRNGKey(3), uids, cfgs, robot, jnp.int32(0),
+            n_steps, step_samples=step_samples, ca_iters=ca,
+        ))
+
+    dt = _diff_time(run, (jnp.int32(1),), (jnp.int32(1 + iters),), iters)
+    rate = configs * step_samples / dt
+    return {
+        "metric": ("mc_moving_samples_per_sec_jnp_rotating" if rotating
+                   else "mc_moving_samples_per_sec_jnp"),
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "configs": configs,
+        "ca_iters": ca,
+        "seconds_per_iter": dt,
+    }
+
+
 def bench_sat_polygons_mxu(
     pairs: int = 1 << 20, k: int = 8, iters: int = 20, dtype: str = "f32"
 ) -> dict:

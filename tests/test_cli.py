@@ -17,6 +17,7 @@ def _parse(argv):
     cli._add_relabel(sub)
     cli._add_ztest(sub)
     cli._add_polylabel(sub)
+    cli._add_movelabel(sub)
     return parser.parse_args(argv)
 
 
@@ -95,6 +96,18 @@ def test_adaptive_extension_flag_parity():
                  "--schedule", "tuned"])
     assert p2.sample_parallel == 4 and p2.checkpoint_every == 2
     assert p2.schedule == "tuned"
+    m = _parse(["movelabel", "--data_in", "i.npz", "--data_out", "o.npz"])
+    assert m.schedule == "reference" and m.prune_sigma == 0.0
+    assert m.ladder == "eighth" and m.checkpoint_every == 0
+    assert m.sample_parallel == 0 and m.impl == "auto"
+    assert m.ca_iters == 48 and m.ca_tol == 1e-4
+    assert m.robot_width == 4.07 and m.robot_height == 1.74
+    m2 = _parse(["movelabel", "--data_in", "i", "--data_out", "o",
+                 "--ca_iters", "128", "--ca_tol", "2e-4", "-w", "2.0",
+                 "--sample_parallel", "4", "--schedule", "tuned"])
+    assert m2.ca_iters == 128 and m2.ca_tol == 2e-4
+    assert m2.robot_width == 2.0 and m2.sample_parallel == 4
+    assert m2.schedule == "tuned"
 
 
 def test_bool_flag_parsing():

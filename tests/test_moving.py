@@ -119,7 +119,7 @@ def test_adaptive_driver_and_motion_aware_prune(rng):
     assert (np.abs(cp - ref) <= 4 * se + 4e-2).all()
 
 
-def test_model_surface_and_impl_guard(rng):
+def test_model_surface_and_pallas_dispatch(rng, monkeypatch):
     from collide2d_tpu.models.collision_model import (
         CollisionProbabilityModel,
     )
@@ -135,12 +135,24 @@ def test_model_surface_and_impl_guard(rng):
         AdaptiveConfig(max_samples=40_000, bin_accuracy=(0.01, 0.01, 0.01)))
     assert done2.all() and ((0 <= cp2) & (cp2 <= 1)).all()
 
-    with pytest.raises(ValueError, match="pallas"):
-        mc_round(key, jnp.arange(16, dtype=jnp.int32), moving, ROBOT,
-                 jnp.int32(0), n_batch=512, impl="pallas")
-    with pytest.raises(ValueError, match="pallas"):
-        adaptive_collision_probabilities(
-            key, moving, ROBOT, AdaptiveConfig(impl="pallas"))
+    # explicit impl='pallas' routes a MovingConfigs round to the fused
+    # advancement kernel (ops.mc_toi_pallas) with the ca knobs intact
+    # (the kernel itself needs a TPU; interpret-mode math coverage lives
+    # in tests/test_pallas.py::test_mc_toi_kernel_math_interpret)
+    import collide2d_tpu.ops.mc_toi_pallas as mtp
+
+    calls = []
+
+    def fake_round(key, configs, robot_wh, tag, **kw):
+        calls.append(kw)
+        return jnp.zeros((configs.num,), jnp.int32)
+
+    monkeypatch.setattr(mtp, "mc_round_moving_pallas", fake_round)
+    out = mc_round(key, jnp.arange(16, dtype=jnp.int32), moving, ROBOT,
+                   jnp.int32(0), n_batch=512, impl="pallas", ca_iters=32,
+                   ca_tol=2e-4)
+    assert out.shape == (16,)
+    assert calls and calls[0]["ca_iters"] == 32 and calls[0]["tol"] == 2e-4
 
 
 def test_moving_configs_jit_and_fields(rng):
@@ -158,3 +170,81 @@ def test_moving_configs_jit_and_fields(rng):
     full = np.array(f(jnp.arange(8, dtype=jnp.int32), moving))
     part = np.array(f(idx, sub))
     np.testing.assert_array_equal(full[np.array(idx)], part)
+
+
+def test_translation_batches_are_exact_and_iter_independent(rng):
+    # omega == 0 everywhere: every sample resolves through the exact
+    # window, so counts are INDEPENDENT of the CA budget (the rotating
+    # path's convergence knob) and the adaptive driver's auto-detection
+    # (effective ca_iters = 0) changes nothing.
+    _, moving = _static_and_moving(rng, 48, v=(-0.8, 0.3), t_max=3.0)
+    key = jax.random.PRNGKey(21)
+    a = np.array(trajectory_collision_probability(key, moving, ROBOT, 4096,
+                                                  ca_iters=1))
+    b = np.array(trajectory_collision_probability(key, moving, ROBOT, 4096,
+                                                  ca_iters=512))
+    np.testing.assert_array_equal(a, b)
+
+    cfg_hi = AdaptiveConfig(max_samples=20_000,
+                            bin_accuracy=(0.01, 0.01, 0.01), ca_iters=48)
+    cfg_lo = cfg_hi.__class__(**{**cfg_hi.__dict__, "ca_iters": 3})
+    got_hi = adaptive_collision_probabilities(key, moving, ROBOT, cfg_hi)
+    got_lo = adaptive_collision_probabilities(key, moving, ROBOT, cfg_lo)
+    for x, y in zip(got_hi, got_lo):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_grazing_translation_counted(rng):
+    # a corner-graze the CA loop cannot certify at any sane budget is an
+    # exact-window hit: zero noise, robot 2x2 at y offset just under
+    # contact, passing by. cp must be exactly 1.
+    from collide2d_tpu.models.collision_model import (
+        CollisionProbabilityModel,
+    )
+
+    model = CollisionProbabilityModel(robot_wh=(2.0, 2.0))
+    cfgs = moving_configs(
+        np.array([[5.0, 1.9999]], np.float32), 0.0,
+        np.array([2.0, 2.0], np.float32), np.zeros(5, np.float32),
+        np.array([[-1.0, 0.0]], np.float32), 0.0, 10.0)
+    cp = np.array(model.trajectory_probability(
+        jax.random.PRNGKey(0), cfgs, 256))
+    np.testing.assert_array_equal(cp, [1.0])
+
+
+def test_movelabel_cli_roundtrip(tmp_path, rng):
+    # End-to-end CLI: npz in -> adaptive trajectory labels out.
+    # Zero-noise rows are deterministic: cp must equal the exact
+    # translation-window hit (ops.toi.rect_translation_toi) EXACTLY.
+    from collide2d_tpu.cli import main
+    from collide2d_tpu.ops.toi import rect_translation_toi
+
+    C = 32
+    pos = rng.uniform(-4, 4, (C, 2)).astype(np.float32)
+    th = rng.uniform(0, 7, C).astype(np.float32)
+    wh = rng.uniform(0.5, 4, (C, 2)).astype(np.float32)
+    sd = rng.uniform(0, 0.2, (C, 5)).astype(np.float32)
+    sd[: C // 2] = 0.0  # deterministic half
+    vel = rng.uniform(-2, 2, (C, 2)).astype(np.float32)
+    t_max = rng.uniform(0.5, 3, C).astype(np.float32)
+    inp, outp = tmp_path / "moving.npz", tmp_path / "labels.npz"
+    np.savez(inp, position=pos, pose_theta=th, obstacle_wh=wh,
+             std_dev=sd, velocity=vel, t_max=t_max)
+    rc = main([
+        "movelabel", "--data_in", str(inp), "--data_out", str(outp),
+        "--max_samples", "4000",
+        "--accuracy_bins", "0.0", "0.1", "1.0",
+        "--bin_accuracy", "0.02", "0.05",
+        "--impl", "jnp", "--seed", "7", "--verbose", "true",
+    ])
+    assert rc == 0
+    out = np.load(outp)
+    assert out["cp"].shape == (C,) and out["converged"].all()
+    # robot centered at `pos` moving by vel*t_max relative to the
+    # obstacle at the origin (obstacle frame; movelabel default robot)
+    toi = np.array(rect_translation_toi(
+        jnp.asarray(pos), jnp.broadcast_to(ROBOT, (C, 2)),
+        jnp.asarray(th), jnp.zeros((C, 2)), jnp.asarray(wh),
+        jnp.zeros(C), jnp.asarray(-vel * t_max[:, None]), t_max=1.0))
+    det = np.isfinite(toi).astype(np.float32)
+    np.testing.assert_array_equal(out["cp"][: C // 2], det[: C // 2])

@@ -704,3 +704,124 @@ def test_mc_polygon_axis_dedup_interpret(rng, monkeypatch):
             )
         )
     np.testing.assert_array_equal(counts["dedup"], counts["full"])
+
+
+def test_mc_toi_kernel_math_interpret(rng, monkeypatch):
+    """Off-TPU CI coverage of the fused trajectory kernel (mc_toi_pallas)
+    on a MIXED batch (half translation-only, half rotating):
+
+    1. WIRING: the same stubbed draws replayed through the module's own
+       draw fn and `_toi_hits_tile` must reproduce the kernel's counts —
+       bit-for-bit on the translation-only lanes (the exact window is a
+       short algebraic chain, stable across compilations, like the
+       static kernel's wiring contract); on rotating lanes within a
+       SMALL FLAT allowance (<=2 per lane, <=6 total). The conservative-
+       advancement loop converges to the contact tolerance
+       asymptotically, so a grazing sample's final distance can land
+       within an ulp of `tol` and legitimately decide differently
+       between the one-program kernel and the op-by-op eager replay
+       (XLA fuses/contracts differently); such samples resist exact
+       prediction (certified hits ALWAYS end in [0, tol] by the
+       conservative-step construction, so no final-state band separates
+       stable hits from grazes). A flat allowance still pins the
+       wiring: a real bug (wrong row, wrong draw order, wrong motion
+       fold) flips samples wholesale, not one or two per batch.
+    2. SEMANTICS: rotating-lane counts must match an independent
+       advancement over `ops.toi._advance` on the same closed-form
+       distance and noise, under the same allowance; translation-lane
+       counts must equal the PUBLIC exact entry point
+       `ops.toi.rect_translation_toi` on the same noise bit-for-bit
+       (CA is not the oracle there — it legitimately under-counts
+       grazing hits the exact window resolves).
+    """
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_toi_pallas as mtp
+    from collide2d_tpu.mc.moving import moving_configs
+    from collide2d_tpu.ops.distance_pallas import obb_signed_distance_tile
+    from collide2d_tpu.ops.toi import _advance, rect_translation_toi
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mtp.LANE_CONFIGS
+    sub = 16
+    omega = rng.uniform(-0.5, 0.5, C).astype(np.float32)
+    omega[: C // 2] = 0.0  # translation-only half: bitwise contract
+    cfgs = moving_configs(
+        rng.uniform(-6, 6, (C, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, C).astype(np.float32),
+        rng.uniform(0.5, 5, (C, 2)).astype(np.float32),
+        rng.uniform(0, 0.4, (C, 5)).astype(np.float32),
+        rng.uniform(-2, 2, (C, 2)).astype(np.float32),
+        omega,
+        rng.uniform(0.5, 3, C).astype(np.float32),
+    )
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    params = mtp.pack_mc_toi_params(cfgs, robot)
+    ca_iters, tol = 64, 1e-4
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    counts = np.array(mtp.mc_toi_counts_pallas(
+        jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
+        sub=sub, ca_iters=ca_iters, tol=tol, interpret=True,
+    ))
+
+    # replay the draws (stub depends only on (shape, call index))
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    half = (sub // 2, C)
+    cat = lambda p: jnp.concatenate(p, axis=0)
+    z_dx = cat(mcp._erfinv_pair(half))
+    z_dy = cat(mcp._erfinv_pair(half))
+    z_th = cat(mcp._erfinv_pair(half))
+    z_dw = cat(mcp._erfinv_pair(half))
+    z_dh = cat(mcp._erfinv_pair(half))
+
+    p = np.asarray(params)
+    prow = lambda i: jnp.asarray(p[i])[None, :]
+    ox = z_dx * prow(7)
+    oy = z_dy * prow(8)
+    phi = z_th * prow(9)
+    a = jnp.abs(prow(5) + z_dw * prow(10))
+    b = jnp.abs(prow(6) + z_dh * prow(11))
+    hit = mtp._toi_hits_tile(
+        ox, oy, jnp.cos(phi), jnp.sin(phi), a, b,
+        prow(0), prow(1), prow(2), prow(3), prow(4),
+        prow(12), prow(13), prow(14), prow(15), ca_iters, tol,
+    )
+    want_wiring = np.array(jnp.sum(hit.astype(jnp.int32), axis=0))
+
+    trans = p[14] == 0
+    np.testing.assert_array_equal(counts[trans], want_wiring[trans])
+    wiring_diff = np.abs(counts - want_wiring)[~trans]
+    assert wiring_diff.max(initial=0) <= 2 and wiring_diff.sum() <= 6
+
+    # independent semantic checks, one per decision path. Rotating
+    # lanes: ops.toi._advance over the same closed-form distance on the
+    # same per-sample noise, under the same grazing allowance.
+    def dist_of_t(t):
+        a1 = prow(2) + t * prow(14)
+        dx = ox - (prow(0) + t * prow(12))
+        dy = oy - (prow(1) + t * prow(13))
+        return obb_signed_distance_tile(
+            dx, dy, jnp.cos(a1), jnp.sin(a1), prow(3), prow(4),
+            jnp.cos(phi), jnp.sin(phi), a, b)
+
+    bound = jnp.broadcast_to(prow(15), ox.shape)
+    toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
+    want_rot = np.array(jnp.sum(jnp.isfinite(toi), axis=0, dtype=jnp.int32))
+    sem_diff = np.abs(counts - want_rot)[~trans]
+    assert sem_diff.max(initial=0) <= 2 and sem_diff.sum() <= 6
+
+    # Translation lanes: the public EXACT first-contact window on the
+    # same noise — bitwise (the window is the same short stable chain
+    # the wiring contract already relies on).
+    bc = lambda r: jnp.broadcast_to(r, ox.shape)
+    toi_tr = rect_translation_toi(
+        jnp.stack([bc(prow(0)), bc(prow(1))], -1),
+        jnp.stack([2.0 * bc(prow(3)), 2.0 * bc(prow(4))], -1),
+        bc(prow(2)),
+        jnp.stack([ox, oy], -1),
+        jnp.stack([2.0 * a, 2.0 * b], -1),
+        phi,
+        jnp.stack([-bc(prow(12)), -bc(prow(13))], -1),
+    )
+    want_tr = np.array(jnp.sum(jnp.isfinite(toi_tr), axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts[trans], want_tr[trans])

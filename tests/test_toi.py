@@ -162,3 +162,78 @@ def test_toi_jit_and_model_surfaces():
             p, t, jnp.asarray([2.0, 1.0]), v, t_max=10.0)
     )
     np.testing.assert_allclose(np.array(jitted(pos, th, vel)), toi, atol=1e-6)
+
+
+def test_rect_translation_toi_exact():
+    from collide2d_tpu.ops.toi import rect_translation_toi
+
+    # analytic: head-on, initial overlap, receding, lateral miss, and a
+    # GRAZING pass (corner just touches) — the case CA cannot certify
+    z2 = jnp.zeros((5, 2), jnp.float32)
+    zt = jnp.zeros(5, jnp.float32)
+    c2 = jnp.asarray([[5.0, 0.0], [0.5, 0.0], [5.0, 0.0], [5.0, 4.0],
+                      [5.0, 1.999]])
+    v = jnp.asarray([[-1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [-1.0, 0.0],
+                     [-1.0, 0.0]])
+    toi = np.array(rect_translation_toi(
+        z2, _sq(5), zt, c2, _sq(5), zt, v, t_max=10.0))
+    np.testing.assert_allclose(toi[0], 3.0, rtol=1e-6)
+    assert toi[1] == 0.0
+    assert np.isinf(toi[2]) and np.isinf(toi[3])
+    np.testing.assert_allclose(toi[4], 3.0, rtol=1e-5)  # graze resolves
+
+    # randomized: exact times agree with a dense grid of the static
+    # label to grid resolution, with NO iteration budget involved
+    rng = np.random.default_rng(3)
+    n = 64
+    c1 = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    c2 = jnp.asarray((rng.uniform(3, 5, (n, 2))
+                      * rng.choice([-1, 1], (n, 2))).astype(np.float32))
+    e1 = jnp.asarray(rng.uniform(0.5, 3, (n, 2)).astype(np.float32))
+    e2 = jnp.asarray(rng.uniform(0.5, 3, (n, 2)).astype(np.float32))
+    t1 = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    t2 = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    ap = -np.array(c2) / np.linalg.norm(c2, axis=1, keepdims=True)
+    ap[3::4] *= -1.0
+    v = jnp.asarray(ap.astype(np.float32))
+    t_max = 12.0
+    toi = np.array(rect_translation_toi(c1, e1, t1, c2, e2, t2, v,
+                                        t_max=t_max))
+    from collide2d_tpu.ops.sat import obb_collide
+
+    grid = np.linspace(0, t_max, 4001, dtype=np.float32)
+    shift = grid[:, None, None] * np.array(v)[None]  # (T, n, 2)
+    lab = np.array(obb_collide(
+        jnp.broadcast_to(c1, (grid.size, n, 2)), e1,
+        jnp.broadcast_to(t1, (grid.size, n)),
+        jnp.asarray(np.array(c2)[None] + shift), e2,
+        jnp.broadcast_to(t2, (grid.size, n))))  # (T, n)
+    first = np.where(lab.any(0), grid[np.argmax(lab > 0, 0)], np.inf)
+    m = np.isfinite(toi)
+    np.testing.assert_array_equal(m, np.isfinite(first))
+    np.testing.assert_allclose(toi[m], first[m], atol=grid[1] + 1e-5)
+    assert m.any() and (~m).any()
+
+    # v = 0 degenerates bitwise to the static obb label
+    static = np.array(obb_collide(c1, e1, t1, c2, e2, t2))
+    toi0 = np.array(rect_translation_toi(c1, e1, t1, c2, e2, t2,
+                                         jnp.zeros((n, 2))))
+    np.testing.assert_array_equal(np.isfinite(toi0), static.astype(bool))
+    assert (toi0[np.isfinite(toi0)] == 0).all()
+
+
+def test_rect_time_of_impact_translation_lanes_exact():
+    # w == 0 lanes of the general entry point ride the exact window:
+    # a grazing translation that CA-at-64-iters misses resolves finite.
+    from collide2d_tpu.ops.toi import rect_translation_toi
+
+    c2 = jnp.asarray([[5.0, 1.9999]])
+    v = jnp.asarray([[-1.0, 0.0]])
+    args = (jnp.zeros((1, 2)), _sq(1), jnp.zeros(1), jnp.zeros((1, 2)),
+            jnp.zeros(1), c2, _sq(1), jnp.zeros(1), v, jnp.zeros(1))
+    got = np.array(rect_time_of_impact(*args, t_max=10.0, iters=64))
+    want = np.array(rect_translation_toi(
+        jnp.zeros((1, 2)), _sq(1), jnp.zeros(1), c2, _sq(1), jnp.zeros(1),
+        v, t_max=10.0))
+    np.testing.assert_array_equal(got, want)
+    assert np.isfinite(got[0])
