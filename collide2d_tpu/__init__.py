@@ -43,6 +43,7 @@ from collide2d_tpu.ops.distance import (
 )
 from collide2d_tpu.ops.toi import (
     polygon_time_of_impact,
+    polygon_translation_toi_parts,
     rect_time_of_impact,
     rect_translation_toi,
 )
@@ -65,7 +66,9 @@ from collide2d_tpu.mc.estimator import (
 )
 from collide2d_tpu.mc.moving import (
     MovingConfigs,
+    MovingPolygonConfigs,
     moving_configs,
+    moving_polygon_configs,
     trajectory_collision_probability,
 )
 from collide2d_tpu.models.collision_model import (
@@ -107,6 +110,7 @@ __all__ = [
     "rect_closest_points",
     "rect_signed_distance",
     "polygon_time_of_impact",
+    "polygon_translation_toi_parts",
     "rect_time_of_impact",
     "rect_translation_toi",
     "aabb_overlap",
@@ -123,7 +127,9 @@ __all__ = [
     "Configs",
     "PolygonConfigs",
     "MovingConfigs",
+    "MovingPolygonConfigs",
     "moving_configs",
+    "moving_polygon_configs",
     "trajectory_collision_probability",
     "adaptive_collision_probabilities",
     "CollisionProbabilityModel",

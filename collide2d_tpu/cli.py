@@ -544,7 +544,11 @@ def _add_movelabel(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--data_in", required=True,
                    help=".npz with position (C,2), pose_theta (C,), "
                         "obstacle_wh (C,2), std_dev (C,5), velocity (C,2) "
-                        "[optional omega (C,), t_max (C,), robot_wh (2,)]")
+                        "[optional omega (C,), t_max (C,), robot_wh (2,)]. "
+                        "POLYGON trajectories: provide obstacle_verts "
+                        "(C,K,2) + robot_verts (K2,2) instead of "
+                        "obstacle_wh/robot_wh, with std_dev (C,3) pose "
+                        "noise (k-gon batches run the jnp path)")
     p.add_argument("--data_out", required=True,
                    help="output .npz: cp (C,), n_samples (C,), converged (C,)")
     p.add_argument("--robot_width", "-w", type=float, default=4.07,
@@ -601,21 +605,45 @@ def _add_movelabel(sub: argparse._SubParsersAction) -> None:
         from collide2d_tpu.mc.moving import moving_configs
 
         data = np.load(args.data_in)
-        for field in ("position", "pose_theta", "obstacle_wh", "std_dev",
+        poly = "obstacle_verts" in data
+        obstacle_field = "obstacle_verts" if poly else "obstacle_wh"
+        for field in ("position", "pose_theta", obstacle_field, "std_dev",
                       "velocity"):
             if field not in data:
                 raise SystemExit(f"movelabel: {args.data_in} missing "
                                  f"'{field}'")
-        cfgs = moving_configs(
-            data["position"], data["pose_theta"], data["obstacle_wh"],
-            data["std_dev"], data["velocity"],
-            omega=data["omega"] if "omega" in data else 0.0,
-            t_max=data["t_max"] if "t_max" in data else 1.0,
-        )
-        robot_wh = (np.asarray(data["robot_wh"], np.float32)
-                    if "robot_wh" in data
-                    else np.asarray([args.robot_width, args.robot_height],
-                                    np.float32))
+        if poly:
+            from collide2d_tpu.mc.moving import moving_polygon_configs
+
+            if "robot_verts" not in data:
+                raise SystemExit(
+                    "movelabel: polygon input (obstacle_verts present) "
+                    "requires 'robot_verts' (K2, 2)"
+                )
+            if args.impl == "pallas":
+                raise SystemExit(
+                    "movelabel: --impl pallas is not available for "
+                    "polygon trajectory batches (use auto or jnp)"
+                )
+            cfgs = moving_polygon_configs(
+                data["position"], data["pose_theta"],
+                data["obstacle_verts"], data["std_dev"], data["velocity"],
+                omega=data["omega"] if "omega" in data else 0.0,
+                t_max=data["t_max"] if "t_max" in data else 1.0,
+            )
+            robot_wh = np.asarray(data["robot_verts"], np.float32)
+        else:
+            cfgs = moving_configs(
+                data["position"], data["pose_theta"], data["obstacle_wh"],
+                data["std_dev"], data["velocity"],
+                omega=data["omega"] if "omega" in data else 0.0,
+                t_max=data["t_max"] if "t_max" in data else 1.0,
+            )
+            robot_wh = (np.asarray(data["robot_wh"], np.float32)
+                        if "robot_wh" in data
+                        else np.asarray(
+                            [args.robot_width, args.robot_height],
+                            np.float32))
         cfg = AdaptiveConfig(
             accuracy_bins=tuple(args.accuracy_bins),
             bin_accuracy=tuple(args.bin_accuracy),

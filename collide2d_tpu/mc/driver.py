@@ -955,12 +955,28 @@ class AdaptiveRun:
         # — 'auto' therefore resolves rotating trajectory batches to
         # 'jnp' (explicit impl='pallas' is honored either way).
         ca_iters, ca_tol = cfg.ca_iters, cfg.ca_tol
-        from collide2d_tpu.mc.moving import MovingConfigs
+        from collide2d_tpu.mc.moving import MovingConfigs, MovingPolygonConfigs
 
-        if isinstance(configs, MovingConfigs) and ca_iters > 0:
+        if isinstance(configs, MovingPolygonConfigs):
+            # Trajectory k-gons: jnp path only (no fused kernel; the
+            # rotating CA loop over the exact polygon distance is a
+            # deep-trace XLA program, mc.moving). Explicit 'pallas' is a
+            # user error surfaced here rather than a silent wrong kernel.
+            if cfg.impl == "pallas":
+                raise ValueError(
+                    "impl='pallas' is not implemented for "
+                    "MovingPolygonConfigs (trajectory k-gon batches run "
+                    "the jnp path; use 'jnp' or 'auto')"
+                )
+            impl = "jnp"
+            shape_noise = True
+            poly_a_keep = None
+        if (isinstance(configs, (MovingConfigs, MovingPolygonConfigs))
+                and ca_iters > 0):
             if not bool(jax.device_get(jnp.any(configs.omega != 0.0))):
                 ca_iters = 0
-            elif impl == "pallas" and cfg.impl == "auto":
+            elif (isinstance(configs, MovingConfigs)
+                  and impl == "pallas" and cfg.impl == "auto"):
                 impl = "jnp"
         self_ca = (ca_iters, ca_tol)
 

@@ -297,12 +297,21 @@ def _counts_chunk(
 ) -> Array:
     """Collision count over ``n_lanes`` samples for each configuration.
 
-    ``ca_iters``/``ca_tol`` apply only to `MovingConfigs` batches (the
+    ``ca_iters``/``ca_tol`` apply only to trajectory batches (the
     conservative-advancement budget of the per-sample TOI predicate)."""
-    from collide2d_tpu.mc.moving import MovingConfigs, counts_chunk_moving
+    from collide2d_tpu.mc.moving import (
+        MovingConfigs,
+        MovingPolygonConfigs,
+        counts_chunk_moving,
+        counts_chunk_moving_polygons,
+    )
 
     if isinstance(configs, MovingConfigs):
         return counts_chunk_moving(
+            keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol
+        )
+    if isinstance(configs, MovingPolygonConfigs):
+        return counts_chunk_moving_polygons(
             keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol
         )
     if isinstance(configs, PolygonConfigs):
@@ -394,11 +403,22 @@ def mc_round(
     (ops.mc_polygon_pallas) on the pallas path; `MovingConfigs` batches
     (the trajectory predicate, mc.moving) to the fused advancement
     kernel (ops.mc_toi_pallas) — same stream semantics as the rectangle
-    kernel in both cases.
+    kernel in both cases. `MovingPolygonConfigs` batches (trajectory
+    k-gons) run the jnp path only: 'auto' resolves to jnp, explicit
+    'pallas' raises.
     """
-    from collide2d_tpu.mc.moving import MovingConfigs
+    from collide2d_tpu.mc.moving import MovingConfigs, MovingPolygonConfigs
 
-    impl = resolve_impl(impl, configs.position)
+    if isinstance(configs, MovingPolygonConfigs):
+        if impl == "pallas":
+            raise ValueError(
+                "impl='pallas' is not implemented for MovingPolygonConfigs "
+                "(trajectory k-gon batches run the jnp path; use 'jnp' or "
+                "'auto')"
+            )
+        impl = "jnp"
+    else:
+        impl = resolve_impl(impl, configs.position)
     if impl == "pallas" and isinstance(configs, MovingConfigs):
         from collide2d_tpu.ops.mc_toi_pallas import mc_round_moving_pallas
 

@@ -196,7 +196,7 @@ def counts_chunk_moving(
 
 
 def trajectory_collision_probability(
-    key: Array, configs: MovingConfigs, robot_wh, n_samples: int,
+    key: Array, configs, robot, n_samples: int,
     *, step_samples: int = 0, ca_iters: int = CA_ITERS, tol: float = CA_TOL,
 ) -> Array:
     """Fixed-budget MC estimate of P(the motion collides). float32 (C,).
@@ -204,12 +204,173 @@ def trajectory_collision_probability(
     The moving-robot analogue of `estimator.collision_probability`
     (identical uid-keyed threefry streams; adaptive-precision labeling
     goes through `adaptive_collision_probabilities`, which accepts
-    `MovingConfigs` batches directly).
+    trajectory batches directly). ``configs``: `MovingConfigs` (``robot``
+    = (2,) width/height) or `MovingPolygonConfigs` (``robot`` = (K2, 2)
+    CCW vertices in the robot frame).
     """
     from collide2d_tpu.mc import estimator
 
     return estimator.collision_probability(
-        key, configs, robot_wh, n_samples,
+        key, configs, robot, n_samples,
         step_samples=step_samples, impl="jnp",
         ca_iters=ca_iters, ca_tol=tol,
     )
+
+
+class MovingPolygonConfigs(NamedTuple):
+    """A batch of C trajectory configurations with convex-k-gon shapes —
+    the {moving} x {polygon} corner of the label matrix (the reference
+    covers only {static} x {rectangle}; see `MovingConfigs` and
+    `estimator.PolygonConfigs` for the other two extensions this one
+    composes).
+
+    Noise model = `PolygonConfigs`' (POSE noise (x, y, theta) on the
+    obstacle, std_dev (C, 3) — additive width/height noise has no k-gon
+    analogue); motion model = `MovingConfigs`' (the robot k-gon
+    translates at ``velocity`` and rotates at ``omega`` about its own
+    origin through ``t in [0, t_max]``; the noisy obstacle is static
+    during the motion). The robot is passed where rectangle calls pass
+    ``robot_wh``: a (K2, 2) CCW vertex array in the robot frame.
+
+    position:       (C, 2)    robot origin at t=0, obstacle frame
+    pose_theta:     (C,)      robot orientation at t=0
+    obstacle_verts: (C, K, 2) CCW convex vertices, obstacle frame
+                              (fixed-K; repeat-pad like PolygonConfigs)
+    std_dev:        (C, 3)    noise sigmas (x, y, theta)
+    velocity:       (C, 2)    robot origin velocity (units / unit time)
+    omega:          (C,)      robot angular rate about its origin
+    t_max:          (C,)      motion horizon per configuration
+
+    Per-sample predicate (`counts_chunk_moving_polygons`): non-rotating
+    samples resolve through the EXACT translation window over the true
+    edge normals (`ops.toi.polygon_translation_toi_parts`); rotating
+    samples run certified conservative advancement on
+    `ops.distance.polygon_signed_distance`. jnp path only ('auto'
+    resolves to jnp; explicit impl='pallas' raises) — every rectangle-
+    path guarantee holds: uid-keyed streams, compaction invariance,
+    bitwise config-DP, pruning, checkpointing.
+    """
+
+    position: Array
+    pose_theta: Array
+    obstacle_verts: Array
+    std_dev: Array
+    velocity: Array
+    omega: Array
+    t_max: Array
+
+    @property
+    def num(self) -> int:
+        return self.position.shape[0]
+
+
+def moving_polygon_configs(
+    position, pose_theta, obstacle_verts, std_dev, velocity,
+    omega=0.0, t_max=1.0,
+) -> MovingPolygonConfigs:
+    """Broadcasting constructor: scalars/row vectors expand to (C, ...)."""
+    position = jnp.asarray(position, jnp.float32)
+    obstacle_verts = jnp.asarray(obstacle_verts, jnp.float32)
+    c = position.shape[0]
+    if obstacle_verts.ndim != 3 or obstacle_verts.shape[0] != c:
+        raise ValueError(
+            "moving_polygon_configs: obstacle_verts must be (C, K, 2) "
+            f"with C={c}, got {obstacle_verts.shape}"
+        )
+    return MovingPolygonConfigs(
+        position=position,
+        pose_theta=jnp.broadcast_to(
+            jnp.asarray(pose_theta, jnp.float32), (c,)),
+        obstacle_verts=obstacle_verts,
+        std_dev=jnp.broadcast_to(jnp.asarray(std_dev, jnp.float32), (c, 3)),
+        velocity=jnp.broadcast_to(
+            jnp.asarray(velocity, jnp.float32), (c, 2)),
+        omega=jnp.broadcast_to(jnp.asarray(omega, jnp.float32), (c,)),
+        t_max=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (c,)),
+    )
+
+
+def counts_chunk_moving_polygons(
+    keys: Array, configs: MovingPolygonConfigs, robot_verts: Array,
+    n_lanes: int, *, ca_iters: int = CA_ITERS, tol: float = CA_TOL,
+) -> Array:
+    """Motion-collision count over ``n_lanes`` samples per configuration
+    for k-gon pairs. Drop-in for `estimator._counts_chunk_polygons`:
+    SAME key schedule, SAME (n_lanes, 3) normal draws in the same order
+    (so a zero-motion batch reproduces the static polygon counts bit for
+    bit), then one continuous-collision test per sample instead of one
+    static SAT.
+    """
+    from collide2d_tpu.ops.distance import polygon_signed_distance
+    from collide2d_tpu.ops.geometry import transform_vertices
+    from collide2d_tpu.ops.toi import polygon_translation_toi_parts
+
+    z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 3), jnp.float32))(
+        keys
+    )
+    d = z * configs.std_dev[:, None, :]  # (C, S, 3)
+
+    # Noisy obstacle (static during the motion) and the robot at t=0 —
+    # the exact expressions of _counts_chunk_polygons (rotate about the
+    # origin by the theta draw, then translate; utils.cu:132-142 order).
+    rv = jnp.asarray(robot_verts, jnp.float32)
+    robot0 = transform_vertices(
+        rv[None], configs.position[:, 0], configs.position[:, 1],
+        configs.pose_theta,
+    )[:, None]  # (C, 1, K2, 2)
+    obstacle = transform_vertices(
+        configs.obstacle_verts[:, None], d[..., 0], d[..., 1], d[..., 2]
+    )  # (C, S, K, 2)
+    s_ = obstacle.shape[1]
+    robot0_b = jnp.broadcast_to(
+        robot0, robot0.shape[:1] + (s_,) + robot0.shape[2:]
+    )
+
+    # Motion with the horizon folded to 1 (`MovingConfigs` convention).
+    v_eff = configs.velocity * configs.t_max[:, None]  # (C, 2)
+    w_eff = configs.omega * configs.t_max  # (C,)
+
+    # Non-rotating lanes: EXACT first-contact window over the true edge
+    # normals of both k-gons (the Minkowski-sum normals — SAT is exact
+    # at every t). At zero motion each axis window degenerates to the
+    # static sat_polygons interval test on the same separately-rounded
+    # projections: bitwise zero-motion parity.
+    v_obs = jnp.broadcast_to(
+        -v_eff[:, None, :], obstacle.shape[:2] + (2,)
+    )  # obstacle velocity relative to the robot
+    entry, exit_ = polygon_translation_toi_parts(robot0_b, obstacle, v_obs)
+    hit_exact = (entry <= exit_) & (entry <= 1.0) & (exit_ >= 0)
+
+    rotating = (w_eff != 0)[:, None]  # (C, 1)
+    if ca_iters > 0:
+        # Rotating lanes: conservative advancement on the exact convex
+        # signed distance. Boundary-speed bound: |v| + |omega| * R with
+        # R the robot's circumscribed radius about its rotation center
+        # (the frame origin).
+        r_rob = jnp.max(jnp.hypot(rv[..., 0], rv[..., 1]))
+        bound = jnp.hypot(v_eff[:, 0], v_eff[:, 1]) + jnp.abs(w_eff) * r_rob
+        # += 0*draws (NOT 0*entry: the window's entry is +-inf on
+        # zero-velocity axes and 0*inf = NaN): under shard_map the
+        # advancement carry must share the draws' varying mesh axes.
+        bound = (jnp.maximum(bound, jnp.float32(1e-30))[:, None]
+                 + 0.0 * d[..., 0])
+
+        px = configs.position[:, 0:1]
+        py = configs.position[:, 1:2]
+        th0 = configs.pose_theta[:, None]
+        w = w_eff[:, None]
+        vx, vy = v_eff[:, 0:1], v_eff[:, 1:2]
+
+        def dist_of_t(t):  # (C, S) -> (C, S)
+            robot_t = transform_vertices(
+                rv[None, None], px + t * vx, py + t * vy, th0 + t * w
+            )  # (C, S, K2, 2)
+            return polygon_signed_distance(robot_t, obstacle)
+
+        toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
+        hit = jnp.where(rotating, jnp.isfinite(toi), hit_exact)
+    else:
+        # ca_iters == 0: the caller asserts the batch is translation-
+        # only (the adaptive driver auto-detects this).
+        hit = hit_exact
+    return jnp.sum(hit, axis=-1, dtype=jnp.int32)

@@ -372,13 +372,32 @@ class PolygonCollisionProbabilityModel:
         )
 
     def label(
-        self, key: Array, configs: PolygonConfigs,
+        self, key: Array, configs,
         cfg: AdaptiveConfig = AdaptiveConfig(),
     ):
         """Adaptive labeling to per-bin CI accuracy. Returns (cp,
-        n_samples, converged) numpy arrays."""
+        n_samples, converged) numpy arrays. Accepts `PolygonConfigs`
+        (static labels) and `MovingPolygonConfigs` (trajectory labels)."""
         return adaptive_collision_probabilities(
             key, configs, self.robot_verts, cfg
+        )
+
+    def trajectory_probability(
+        self, key: Array, configs, n_samples: int, *,
+        ca_iters: int = 48, tol: float = 1e-4,
+    ) -> Array:
+        """Fixed-budget P(the motion collides) for a
+        `MovingPolygonConfigs` batch (mc.moving): the robot k-gon starts
+        at each row's (position, pose_theta) and moves with (velocity,
+        omega) for t_max. Same noise model and threefry streams as
+        `forward` — at zero motion the per-sample decisions are bitwise
+        `forward`'s (non-rotating samples resolve through the exact
+        translation window, which degenerates to the static SAT test)."""
+        from collide2d_tpu.mc.moving import trajectory_collision_probability
+
+        return trajectory_collision_probability(
+            key, configs, self.robot_verts, n_samples,
+            ca_iters=ca_iters, tol=tol,
         )
 
 

@@ -223,17 +223,38 @@ def polygon_time_of_impact(
     p1 = _normalize_padding(jnp.asarray(p1, jnp.float32), mask1)
     p2 = _normalize_padding(jnp.asarray(p2, jnp.float32), mask2)
     v = jnp.broadcast_to(jnp.asarray(v_rel, jnp.float32), p1.shape[:-2] + (2,))
+    entry, exit_ = polygon_translation_toi_parts(p1, p2, v)
+    hit = (entry <= exit_) & (entry <= t_max) & (exit_ >= 0)
+    return jnp.where(hit, jnp.maximum(entry, 0.0), jnp.float32(jnp.inf))
+
+
+def polygon_translation_toi_parts(p1: Array, p2: Array, v: Array):
+    """(entry, exit) hit window of convex k-gon pairs under pure relative
+    translation (shape 2 moves by ``t * v``); shared by
+    `polygon_time_of_impact` and the trajectory sampler
+    (`mc.moving.counts_chunk_moving_polygons`). Inputs pre-normalized:
+    ``p1``/``p2`` ``B + (k, 2)`` float32 CCW (repeat-padded), ``v``
+    ``B + (2,)``. EXACT — see `polygon_time_of_impact`.
+
+    Projections are explicit mul+add (`sat._project_all`), NOT einsum:
+    at ``v = 0`` every axis window degenerates to
+    ``(m2 <= M1) & (m1 <= M2)`` on the SAME separately-rounded
+    projections as `sat.sat_polygons`, so a zero-motion trajectory
+    sample reproduces the static SAT label bit for bit (the k-gon
+    analogue of `obb_translation_toi_parts`' parity contract).
+    """
+    from collide2d_tpu.ops.sat import _project_all
 
     def edge_normals(p):
         e = jnp.roll(p, -1, axis=-2) - p
         return jnp.stack([e[..., 1], -e[..., 0]], axis=-1)  # (..., K, 2)
 
     axes = jnp.concatenate([edge_normals(p1), edge_normals(p2)], axis=-2)
-    proj1 = jnp.einsum("...ad,...kd->...ak", axes, p1)
-    proj2 = jnp.einsum("...ad,...kd->...ak", axes, p2)
+    proj1 = _project_all(axes, p1)  # (..., A, K1)
+    proj2 = _project_all(axes, p2)
     m1, M1 = jnp.min(proj1, -1), jnp.max(proj1, -1)  # (..., A)
     m2, M2 = jnp.min(proj2, -1), jnp.max(proj2, -1)
-    s = jnp.einsum("...ad,...d->...a", axes, v)
+    s = axes[..., 0] * v[..., None, 0] + axes[..., 1] * v[..., None, 1]
     # overlap on an axis at time t: m2 + t s <= M1  AND  m1 <= M2 + t s
     zero = s == 0
     inv = 1.0 / jnp.where(zero, 1.0, s)
@@ -243,7 +264,4 @@ def polygon_time_of_impact(
     inside = (m2 <= M1) & (m1 <= M2)  # also the zero padded-axis case
     lo = jnp.where(zero, jnp.where(inside, -inf, inf), jnp.minimum(ta, tb))
     hi = jnp.where(zero, jnp.where(inside, inf, -inf), jnp.maximum(ta, tb))
-    entry = jnp.max(lo, axis=-1)
-    exit_ = jnp.min(hi, axis=-1)
-    hit = (entry <= exit_) & (entry <= t_max) & (exit_ >= 0)
-    return jnp.where(hit, jnp.maximum(entry, 0.0), inf)
+    return jnp.max(lo, axis=-1), jnp.min(hi, axis=-1)
