@@ -152,6 +152,49 @@ def test_grazing_translation_counted():
     np.testing.assert_array_equal(cp, [1.0])
 
 
+def test_rect_as_4gon_agrees_with_rect_trajectory_family(rng):
+    # Cross-FAMILY oracle: the same physical problem — a rectangle robot
+    # moving past a noisy rectangle obstacle — labeled by the rectangle
+    # trajectory family (`MovingConfigs`, closed-form OBB predicates) and
+    # by the polygon family with the rectangles passed as centered
+    # 4-gons. The obstacle noise models coincide exactly for a centered
+    # box (rotate-about-origin == rotate-about-center), both families
+    # decide translation samples exactly and rotating samples by CA on
+    # the same (mathematically equal) signed distance, so two
+    # independent-key fixed-budget estimates must agree to MC noise.
+    from collide2d_tpu.mc.moving import moving_configs
+
+    C, n = 48, 8192
+    pos = rng.uniform(-4, 4, (C, 2)).astype(np.float32)
+    th = rng.uniform(0, 7, C).astype(np.float32)
+    wh = rng.uniform(0.5, 3.0, (C, 2)).astype(np.float32)
+    sd3 = rng.uniform(0, 0.3, (C, 3)).astype(np.float32)
+    sd5 = np.concatenate([sd3, np.zeros((C, 2), np.float32)], axis=1)
+    vel = rng.uniform(-1.5, 1.5, (C, 2)).astype(np.float32)
+    omega = rng.uniform(-0.8, 0.8, C).astype(np.float32)
+    omega[: C // 3] = 0.0  # a translation-only (exact-exact) stripe
+    t_max = rng.uniform(0.5, 2.5, C).astype(np.float32)
+
+    hw, hh = wh[:, 0] / 2, wh[:, 1] / 2
+    corners = np.stack([
+        np.stack([-hw, -hh], -1), np.stack([hw, -hh], -1),
+        np.stack([hw, hh], -1), np.stack([-hw, hh], -1),
+    ], axis=1).astype(np.float32)  # (C, 4, 2) CCW, create_rect layout
+
+    rect = moving_configs(pos, th, wh, sd5, vel, omega, t_max)
+    poly = moving_polygon_configs(pos, th, corners, sd3, vel, omega, t_max)
+    a = np.array(trajectory_collision_probability(
+        jax.random.PRNGKey(101), rect, jnp.asarray([4.07, 1.74]), n,
+        ca_iters=64))
+    b = np.array(trajectory_collision_probability(
+        jax.random.PRNGKey(202), poly, ROBOT, n, ca_iters=64))
+    pbar = np.clip((a + b) / 2, 1e-6, 1 - 1e-6)
+    z = np.abs(a - b) / np.sqrt(pbar * (1 - pbar) * 2 / n)
+    assert z.max() < 6.0, (z.max(), np.abs(a - b).max())
+    assert np.abs(a - b).mean() < 0.01
+    assert (a > 0).any() and (a < 1).any()  # the workload is non-trivial
+
+
 def test_adaptive_driver_prune_and_guard(rng):
     _, moving = _static_and_moving(rng, 48, v=(0.6, -0.4), w=0.3,
                                    t_max=2.0)
