@@ -145,12 +145,16 @@ def main() -> int:
     from collide2d_tpu.utils.benchmarks import (
         bench_mc_moving,
         bench_mc_moving_pallas,
+        bench_mc_moving_polygons,
     )
 
     moving_rot = functools.partial(bench_mc_moving_pallas, rotating=True)
     moving_rot.__name__ = "bench_mc_moving_pallas_rotating"
     moving_jnp_rot = functools.partial(bench_mc_moving, rotating=True)
     moving_jnp_rot.__name__ = "bench_mc_moving_jnp_rotating"
+    moving_poly_rot = functools.partial(bench_mc_moving_polygons,
+                                        rotating=True)
+    moving_poly_rot.__name__ = "bench_mc_moving_polygons_rotating"
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
     # A/B record of the round-3 normal-draw change (erfinv is the
@@ -201,6 +205,9 @@ def main() -> int:
         bench_mc_moving,
         moving_rot,
         moving_jnp_rot,
+        # trajectory k-gons (MovingPolygonConfigs): jnp path by design
+        bench_mc_moving_polygons,
+        moving_poly_rot,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
         poly_bf16,

@@ -621,6 +621,60 @@ def bench_mc_moving(
     }
 
 
+def bench_mc_moving_polygons(
+    configs: int = 4096, step_samples: int = 256, iters: int = 10,
+    rotating: bool = False, k: int = 6,
+) -> dict:
+    """Trajectory-MC sampling for convex k-gon pairs
+    (`MovingPolygonConfigs`, mc.moving) — the {moving} x {polygon}
+    corner of the label matrix. jnp path by design ('auto' resolves
+    these batches to jnp; there is no fused kernel): ``rotating=False``
+    resolves every sample through the exact k-gon translation window,
+    ``rotating=True`` runs conservative advancement on the exact convex
+    signed distance (48 iterations)."""
+    from collide2d_tpu.mc.estimator import _mc_round_jnp
+    from collide2d_tpu.mc.moving import moving_polygon_configs
+
+    rng = np.random.default_rng(7)
+    cfgs = moving_polygon_configs(
+        rng.uniform(-6, 6, (configs, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, configs).astype(np.float32),
+        np.asarray(_random_convex_polygons(configs, k, 2, 10.0)),
+        rng.uniform(0, 0.3, (configs, 3)).astype(np.float32),
+        rng.uniform(-2, 2, (configs, 2)).astype(np.float32),
+        (rng.uniform(-0.5, 0.5, configs)
+         * (1.0 if rotating else 0.0)).astype(np.float32),
+        rng.uniform(0.5, 3, configs).astype(np.float32),
+    )
+    cfgs = jax.tree.map(jax.block_until_ready, cfgs)
+    uids = jnp.arange(configs, dtype=jnp.int32)
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    ca = 48 if rotating else 0
+
+    def run(n_steps):
+        return jnp.sum(_mc_round_jnp(
+            jax.random.PRNGKey(3), uids, cfgs, robot, jnp.int32(0),
+            n_steps, step_samples=step_samples, ca_iters=ca,
+        ))
+
+    dt = _diff_time(run, (jnp.int32(1),), (jnp.int32(1 + iters),), iters)
+    rate = configs * step_samples / dt
+    return {
+        "metric": ("mc_moving_polygon_samples_per_sec_jnp_rotating"
+                   if rotating else "mc_moving_polygon_samples_per_sec_jnp"),
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "configs": configs,
+        "k": k,
+        "ca_iters": ca,
+        "seconds_per_iter": dt,
+    }
+
+
 def bench_sat_polygons_mxu(
     pairs: int = 1 << 20, k: int = 8, iters: int = 20, dtype: str = "f32"
 ) -> dict:
