@@ -75,3 +75,29 @@ cp, n_used, done = model.label(key, batch, cfg)
 pruned = int((n_used == 0).sum())
 print(f"labeled {n} edges: {done.mean():.0%} converged, {pruned} pruned "
       f"without sampling, mean P(collide) {cp.mean():.3f}")
+
+# --- 4. the same, with convex k-gon shapes ---------------------------------
+# Trajectories are not rectangle-only: `MovingPolygonConfigs` runs a
+# k-gon robot past k-gon obstacles through the same adaptive machinery
+# (pose noise (x, y, theta); jnp path — 'auto' resolves it).
+from collide2d_tpu.mc.moving import moving_polygon_configs
+from collide2d_tpu.models.collision_model import (
+    PolygonCollisionProbabilityModel,
+    example_polygon_configs,
+)
+
+hexes = example_polygon_configs(n=64, k=6, seed=3)
+pbatch = moving_polygon_configs(
+    np.asarray(hexes.position), np.asarray(hexes.pose_theta),
+    np.asarray(hexes.obstacle_verts), np.asarray(hexes.std_dev),
+    velocity=rng.uniform(-1, 1, (64, 2)).astype(np.float32),
+    omega=0.3, t_max=2.0,
+)
+pmodel = PolygonCollisionProbabilityModel(
+    np.array([[-2.035, -0.87], [2.035, -0.87],
+              [2.035, 0.87], [-2.035, 0.87]], np.float32))
+cp_p, _, done_p = pmodel.label(
+    key, pbatch, AdaptiveConfig(max_samples=50_000, ca_iters=32,
+                                bin_accuracy=(0.01, 0.01, 0.02)))
+print(f"k-gon trajectories: {done_p.mean():.0%} converged, "
+      f"mean P(collide) {cp_p.mean():.3f}")
