@@ -958,23 +958,36 @@ class AdaptiveRun:
         from collide2d_tpu.mc.moving import MovingConfigs, MovingPolygonConfigs
 
         if isinstance(configs, MovingPolygonConfigs):
-            # Trajectory k-gons: jnp path only (no fused kernel; the
-            # rotating CA loop over the exact polygon distance is a
-            # deep-trace XLA program, mc.moving). Explicit 'pallas' is a
-            # user error surfaced here rather than a silent wrong kernel.
-            if cfg.impl == "pallas":
-                raise ValueError(
-                    "impl='pallas' is not implemented for "
-                    "MovingPolygonConfigs (trajectory k-gon batches run "
-                    "the jnp path; use 'jnp' or 'auto')"
-                )
-            impl = "jnp"
+            # Trajectory k-gons: 'auto' stays on the threefry jnp path
+            # (uid-keyed streams, compaction-invariant); EXPLICIT
+            # 'pallas' opts into the fused translation-window kernel
+            # (ops.mc_moving_polygon_pallas) and is valid only for
+            # translation-only batches — the omega readback below
+            # surfaces rotating rows as an error rather than a silent
+            # wrong kernel (the fused kernel has no CA loop).
+            impl = "pallas" if cfg.impl == "pallas" else "jnp"
             shape_noise = True
             poly_a_keep = None
+            if impl == "pallas":
+                from collide2d_tpu.ops.mc_polygon_pallas import (
+                    dedup_robot_axes,
+                )
+
+                poly_a_keep = dedup_robot_axes(
+                    np.asarray(jax.device_get(robot_wh))
+                )
         if (isinstance(configs, (MovingConfigs, MovingPolygonConfigs))
                 and ca_iters > 0):
             if not bool(jax.device_get(jnp.any(configs.omega != 0.0))):
                 ca_iters = 0
+            elif isinstance(configs, MovingPolygonConfigs):
+                if cfg.impl == "pallas":
+                    raise ValueError(
+                        "impl='pallas' supports only translation-only "
+                        "MovingPolygonConfigs batches (this batch has "
+                        "rotating rows; rotating trajectory k-gons run "
+                        "the jnp CA path — use 'jnp' or 'auto')"
+                    )
             elif (isinstance(configs, MovingConfigs)
                   and impl == "pallas" and cfg.impl == "auto"):
                 impl = "jnp"

@@ -404,21 +404,35 @@ def mc_round(
     (the trajectory predicate, mc.moving) to the fused advancement
     kernel (ops.mc_toi_pallas) — same stream semantics as the rectangle
     kernel in both cases. `MovingPolygonConfigs` batches (trajectory
-    k-gons) run the jnp path only: 'auto' resolves to jnp, explicit
-    'pallas' raises.
+    k-gons): 'auto' resolves to jnp; explicit 'pallas' dispatches the
+    fused translation-window kernel (ops.mc_moving_polygon_pallas) and
+    requires ``ca_iters=0`` — the caller asserts the batch is
+    translation-only, exactly as the jnp path's ``ca_iters=0`` contract.
     """
     from collide2d_tpu.mc.moving import MovingConfigs, MovingPolygonConfigs
 
     if isinstance(configs, MovingPolygonConfigs):
         if impl == "pallas":
-            raise ValueError(
-                "impl='pallas' is not implemented for MovingPolygonConfigs "
-                "(trajectory k-gon batches run the jnp path; use 'jnp' or "
-                "'auto')"
-            )
-        impl = "jnp"
+            if ca_iters > 0:
+                raise ValueError(
+                    "impl='pallas' supports only TRANSLATION-ONLY "
+                    "MovingPolygonConfigs batches (pass ca_iters=0 after "
+                    "verifying omega == 0 everywhere, as the adaptive "
+                    "driver does; rotating trajectory k-gons run the jnp "
+                    "CA path — use 'jnp' or 'auto')"
+                )
+        else:
+            impl = "jnp"  # 'auto' stays on the threefry path
     else:
         impl = resolve_impl(impl, configs.position)
+    if impl == "pallas" and isinstance(configs, MovingPolygonConfigs):
+        from collide2d_tpu.ops.mc_moving_polygon_pallas import (
+            mc_round_moving_polygons_pallas,
+        )
+
+        return mc_round_moving_polygons_pallas(
+            key, configs, robot_wh, chunk_offset, n_batch=n_batch
+        )
     if impl == "pallas" and isinstance(configs, MovingConfigs):
         from collide2d_tpu.ops.mc_toi_pallas import mc_round_moving_pallas
 
@@ -592,7 +606,7 @@ def _pallas_sharded_counts(
     """
     from jax.sharding import PartitionSpec as P
 
-    from collide2d_tpu.mc.moving import MovingConfigs
+    from collide2d_tpu.mc.moving import MovingConfigs, MovingPolygonConfigs
 
     if isinstance(configs, MovingConfigs):
         from collide2d_tpu.ops.mc_toi_pallas import (
@@ -601,6 +615,12 @@ def _pallas_sharded_counts(
 
         kw = {"shape_noise": shape_noise, "ca_iters": ca_iters,
               "tol": ca_tol}
+    elif isinstance(configs, MovingPolygonConfigs):
+        from collide2d_tpu.ops.mc_moving_polygon_pallas import (
+            mc_round_moving_polygons_pallas as _round_fn,
+        )
+
+        kw = {"a_keep": poly_a_keep}
     elif isinstance(configs, PolygonConfigs):
         from collide2d_tpu.ops.mc_polygon_pallas import (
             mc_round_polygons_pallas as _round_fn,
@@ -942,7 +962,10 @@ def _fused_round(
                     poly_a_keep=poly_a_keep,
                     ca_iters=ca_iters, ca_tol=ca_tol,
                 )
-            from collide2d_tpu.mc.moving import MovingConfigs
+            from collide2d_tpu.mc.moving import (
+                MovingConfigs,
+                MovingPolygonConfigs,
+            )
 
             if isinstance(state.active, MovingConfigs):
                 from collide2d_tpu.ops.mc_toi_pallas import (
@@ -953,6 +976,15 @@ def _fused_round(
                     key, state.active, robot_wh, tag,
                     n_steps=n_steps, sub=sub, shape_noise=shape_noise,
                     ca_iters=ca_iters, tol=ca_tol,
+                )
+            if isinstance(state.active, MovingPolygonConfigs):
+                from collide2d_tpu.ops.mc_moving_polygon_pallas import (
+                    mc_round_moving_polygons_pallas,
+                )
+
+                return mc_round_moving_polygons_pallas(
+                    key, state.active, robot_wh, tag,
+                    n_steps=n_steps, sub=sub, a_keep=poly_a_keep,
                 )
             if isinstance(state.active, PolygonConfigs):
                 from collide2d_tpu.ops.mc_polygon_pallas import (

@@ -825,3 +825,162 @@ def test_mc_toi_kernel_math_interpret(rng, monkeypatch):
     )
     want_tr = np.array(jnp.sum(jnp.isfinite(toi_tr), axis=0, dtype=jnp.int32))
     np.testing.assert_array_equal(counts[trans], want_tr[trans])
+
+
+def test_mc_moving_polygon_kernel_math_interpret(rng, monkeypatch):
+    """Off-TPU CI coverage of the fused trajectory k-gon kernel
+    (ops.mc_moving_polygon_pallas), translation-only by contract:
+
+    1. WIRING, bit-for-bit: stubbed draws replayed through the module's
+       own `_poly_window_hit` on the packed rows must reproduce the
+       kernel's counts exactly — pins the moving layout (static rows +
+       two velocity rows), offsets, draw order, and accumulation.
+    2. SEMANTICS: counts must equal the EXACT public window
+       `ops.toi.polygon_translation_toi_parts` on explicitly
+       rigid-transformed vertices with the same noise (deterministic
+       generic draws — no grazing boundary cases).
+    3. ZERO-MOTION PARITY, bitwise: a zero-velocity pack consumes the
+       identical stub stream as the static polygon kernel and its
+       windows degenerate to the static interval test — counts must
+       equal `mc_poly_counts_pallas` on the static pack bit for bit.
+    """
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    import collide2d_tpu.ops.mc_moving_polygon_pallas as mmpp
+    from collide2d_tpu.mc.moving import moving_polygon_configs
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from collide2d_tpu.ops.toi import polygon_translation_toi_parts
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mpp.LANE_CONFIGS
+    sub, K, K2 = 16, 6, 4
+    static = example_polygon_configs(C, k=K, seed=19)
+    vel = rng.uniform(-2, 2, (C, 2)).astype(np.float32)
+    t_max = rng.uniform(0.5, 3, C).astype(np.float32)
+    cfgs = moving_polygon_configs(
+        static.position, static.pose_theta, static.obstacle_verts,
+        static.std_dev, vel, 0.0, t_max,
+    )
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    params = mmpp.pack_moving_polygon_mc_params(cfgs, robot)
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    counts = np.array(
+        mmpp.mc_moving_poly_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params, jnp.int32(1),
+            sub=sub, k=K, k2=K2, interpret=True,
+        )
+    )
+
+    # --- 1. wiring replay through the module's own tile function
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    shape = (sub // 2, C)
+    za_dx, zb_dx = mcp._erfinv_pair(shape)
+    za_dy, zb_dy = mcp._erfinv_pair(shape)
+    za_th, zb_th = mcp._erfinv_pair(shape)
+    p = np.asarray(params)
+    rows = lambda i: jnp.asarray(p[i])[None, :]
+    hit_a = mmpp._poly_window_hit(rows, K, K2, za_dx, za_dy, za_th)
+    hit_b = mmpp._poly_window_hit(rows, K, K2, zb_dx, zb_dy, zb_th)
+    hits = hit_a.astype(jnp.int32) + hit_b.astype(jnp.int32)
+    np.testing.assert_array_equal(
+        counts, np.array(jnp.sum(hits, axis=0, dtype=jnp.int32))
+    )
+
+    # --- 2. semantics vs the exact public window on transformed verts
+    ca = jnp.cos(cfgs.pose_theta)[:, None]
+    sa = jnp.sin(cfgs.pose_theta)[:, None]
+    rx, ry = robot[..., 0], robot[..., 1]
+    rob_world = jnp.stack(
+        [
+            ca * rx - sa * ry + cfgs.position[:, 0:1],
+            sa * rx + ca * ry + cfgs.position[:, 1:2],
+        ],
+        axis=-1,
+    )  # (C, K2, 2)
+    sd = cfgs.std_dev
+    v_obs = -(cfgs.velocity * cfgs.t_max[:, None])  # (C, 2)
+    want = np.zeros((C,), np.int64)
+    rows_n = sub // 2
+    for z_dx, z_dy, z_th in ((za_dx, za_dy, za_th), (zb_dx, zb_dy, zb_th)):
+        dx = (z_dx * sd[None, :, 0])[..., None]   # (S, C, 1)
+        dy = (z_dy * sd[None, :, 1])[..., None]
+        th = z_th * sd[None, :, 2]
+        ct, st = jnp.cos(th)[..., None], jnp.sin(th)[..., None]
+        ox = cfgs.obstacle_verts[None, :, :, 0]   # (1, C, K)
+        oy = cfgs.obstacle_verts[None, :, :, 1]
+        obstacle = jnp.stack(
+            [ct * ox - st * oy + dx, st * ox + ct * oy + dy], axis=-1
+        )  # (S, C, K, 2)
+        entry, exit_ = polygon_translation_toi_parts(
+            jnp.broadcast_to(rob_world, (rows_n,) + rob_world.shape),
+            obstacle,
+            jnp.broadcast_to(v_obs, (rows_n,) + v_obs.shape),
+        )
+        hit = (entry <= exit_) & (entry <= 1.0) & (exit_ >= 0.0)
+        want += np.array(jnp.sum(hit, axis=0, dtype=jnp.int32))
+    np.testing.assert_array_equal(counts, want)
+
+    # --- 3. zero-motion bitwise parity with the static polygon kernel
+    cfgs0 = cfgs._replace(velocity=jnp.zeros_like(cfgs.velocity))
+    params0 = mmpp.pack_moving_polygon_mc_params(cfgs0, robot)
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    moving0 = np.array(
+        mmpp.mc_moving_poly_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params0, jnp.int32(2),
+            sub=sub, k=K, k2=K2, interpret=True,
+        )
+    )
+    params_s = mpp.pack_polygon_mc_params(static, robot)
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    static_c = np.array(
+        mpp.mc_poly_counts_pallas(
+            jnp.asarray([1, 2], jnp.int32), params_s, jnp.int32(2),
+            sub=sub, k=K, k2=K2, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(moving0, static_c)
+
+
+def test_mc_moving_polygon_axis_dedup_interpret(rng, monkeypatch):
+    """Dedup'd robot axes must leave the trajectory counts BITWISE
+    unchanged (the noise stream does not depend on the axis count, and
+    a dropped (anti-)parallel duplicate spans the same window)."""
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    import collide2d_tpu.ops.mc_moving_polygon_pallas as mmpp
+    from collide2d_tpu.mc.moving import moving_polygon_configs
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from tests.conftest import deterministic_uniform_stub
+
+    C = mpp.LANE_CONFIGS
+    sub, K = 16, 6
+    static = example_polygon_configs(C, k=K, seed=23)
+    cfgs = moving_polygon_configs(
+        static.position, static.pose_theta, static.obstacle_verts,
+        static.std_dev, rng.uniform(-2, 2, (C, 2)).astype(np.float32),
+        0.0, rng.uniform(0.5, 3, C).astype(np.float32),
+    )
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    keep = mpp.dedup_robot_axes(robot)
+    assert keep == (0, 1)
+
+    counts = {}
+    for label, a_keep in (("full", tuple(range(4))), ("dedup", keep)):
+        params = mmpp.pack_moving_polygon_mc_params(cfgs, robot, a_keep)
+        monkeypatch.setattr(
+            mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub()
+        )
+        counts[label] = np.array(
+            mmpp.mc_moving_poly_counts_pallas(
+                jnp.asarray([1, 2], jnp.int32), params, jnp.int32(2),
+                sub=sub, k=K, k2=4, k2_axes=len(a_keep), interpret=True,
+            )
+        )
+    np.testing.assert_array_equal(counts["dedup"], counts["full"])
