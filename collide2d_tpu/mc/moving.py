@@ -245,8 +245,10 @@ class MovingPolygonConfigs(NamedTuple):
     samples resolve through the EXACT translation window over the true
     edge normals (`ops.toi.polygon_translation_toi_parts`); rotating
     samples run certified conservative advancement on
-    `ops.distance.polygon_signed_distance`. jnp path only ('auto'
-    resolves to jnp; explicit impl='pallas' raises) — every rectangle-
+    `ops.distance.polygon_signed_distance`. 'auto' resolves to the jnp
+    path; explicit impl='pallas' opts translation-only batches into the
+    fused window kernel (`ops.mc_moving_polygon_pallas`) and raises on
+    rotating rows. Either way every rectangle-
     path guarantee holds: uid-keyed streams, compaction invariance,
     bitwise config-DP, pruning, checkpointing.
     """
