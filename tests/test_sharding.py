@@ -309,6 +309,47 @@ def test_pallas_sharded_counts_polygons_smoke_interpret(rng, devices, monkeypatc
     assert counts.max() > 0
 
 
+def test_pallas_sharded_counts_moving_polygons_smoke_interpret(
+    rng, devices, monkeypatch
+):
+    # Same shard_map smoke for the fused TRAJECTORY k-gon kernel:
+    # translation-only MovingPolygonConfigs shards dispatch to
+    # ops.mc_moving_polygon_pallas with per-shard seeds.
+    import collide2d_tpu.ops.mc_pallas as mcp
+    import collide2d_tpu.ops.mc_polygon_pallas as mpp
+    from collide2d_tpu.mc.estimator import _pallas_sharded_counts
+    from collide2d_tpu.mc.moving import moving_polygon_configs
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+    from tests.conftest import deterministic_uniform_stub
+
+    monkeypatch.setattr(mcp, "_TEST_UNIFORM_FN", deterministic_uniform_stub())
+    C = 8 * mpp.LANE_CONFIGS
+    static = example_polygon_configs(C, k=6, seed=9)
+    np_rng = np.random.default_rng(3)
+    cfgs = moving_polygon_configs(
+        static.position, static.pose_theta, static.obstacle_verts,
+        static.std_dev,
+        np_rng.uniform(-2, 2, (C, 2)).astype(np.float32),
+        0.0,
+        np_rng.uniform(0.5, 3, C).astype(np.float32),
+    )
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    mesh = make_mesh(devices)
+    counts = np.array(
+        _pallas_sharded_counts(
+            jax.random.PRNGKey(5), cfgs,
+            robot, jnp.int32(0), jnp.int32(4),
+            sub=16, mesh=mesh, interpret=True,
+        )
+    )
+    assert counts.shape == (C,)
+    assert (counts >= 0).all() and (counts <= 64).all()
+    assert counts.max() > 0
+
+
 def test_adaptive_sharded_bitwise_matches_unsharded(rng, devices):
     # DP labeling over the mesh must be a value-level no-op: uid-keyed
     # threefry streams are position-independent.
