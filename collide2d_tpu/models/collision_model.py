@@ -172,6 +172,27 @@ class CollisionProbabilityModel:
             jnp.zeros_like(pose_theta),
         )
 
+    def contact_manifold(self, position: Array, pose_theta: Array,
+                         obstacle_wh: Array, *, margin: float = 0.0):
+        """Contact manifold for the `distance` scene: up to two contact
+        points with per-point depths and a shared normal (robot =
+        body 1, obstacle = body 2; reference/incident face clip —
+        `ops.manifold.polygon_contact_manifold` contract). ``margin > 0``
+        keeps speculative near-contacts."""
+        from collide2d_tpu.ops.manifold import rect_contact_manifold
+
+        position = jnp.asarray(position, jnp.float32)
+        pose_theta = jnp.broadcast_to(
+            jnp.asarray(pose_theta, jnp.float32), position.shape[:-1]
+        )
+        return rect_contact_manifold(
+            position, jnp.broadcast_to(self.robot_wh, position.shape),
+            pose_theta, jnp.zeros_like(position),
+            jnp.broadcast_to(jnp.asarray(obstacle_wh, jnp.float32),
+                             position.shape),
+            jnp.zeros_like(pose_theta), margin=margin,
+        )
+
     def time_of_impact(self, position: Array, pose_theta: Array,
                        obstacle_wh: Array, velocity: Array, omega=0.0,
                        *, t_max: float = 1.0, iters: int = 64,
@@ -353,6 +374,22 @@ class PolygonCollisionProbabilityModel:
             configs.pose_theta,
         )
         return polygon_closest_points(robot, configs.obstacle_verts)
+
+    def contact_manifold(self, configs: PolygonConfigs, *,
+                         margin: float = 0.0):
+        """Contact manifold per configuration: ``(count, points, depths,
+        normal)`` with the placed robot as body 1 and the obstacle as
+        body 2 (`ops.manifold.polygon_contact_manifold` contract)."""
+        from collide2d_tpu.ops.manifold import polygon_contact_manifold
+
+        robot = transform_vertices(
+            self.robot_verts[None],
+            configs.position[:, 0], configs.position[:, 1],
+            configs.pose_theta,
+        )
+        return polygon_contact_manifold(
+            robot, configs.obstacle_verts, margin=margin
+        )
 
     def forward(self, key: Array, configs: PolygonConfigs, n_samples: int) -> Array:
         """Fixed-budget MC collision probabilities; jittable. f32 (C,)."""

@@ -1,0 +1,239 @@
+"""Contact-manifold tests: closed forms, penetration consistency,
+boundary membership, padding/mask invariance, margin semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collide2d_tpu.ops.distance import polygon_signed_distance
+from collide2d_tpu.ops.manifold import (
+    polygon_contact_manifold,
+    rect_contact_manifold,
+)
+from collide2d_tpu.ops.geometry import rects_from_params
+from tests.test_distance import _point_to_boundary, _random_pair_batch
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260819)
+
+
+def _square(cx, cy, half):
+    return np.array(
+        [
+            [cx - half, cy - half],
+            [cx + half, cy - half],
+            [cx + half, cy + half],
+            [cx - half, cy + half],
+        ],
+        np.float32,
+    )
+
+
+def test_axis_aligned_face_contact_closed_form():
+    # [0,4]x[0,2] vs [3,7]x[0,2]: x-overlap of 1, full y face contact.
+    a = np.array([[0, 0], [4, 0], [4, 2], [0, 2]], np.float32)
+    b = np.array([[3, 0], [7, 0], [7, 2], [3, 2]], np.float32)
+    count, pts, dep, nrm = map(
+        np.array, polygon_contact_manifold(jnp.asarray(a), jnp.asarray(b))
+    )
+    assert count == 2
+    np.testing.assert_allclose(nrm, [1.0, 0.0], atol=1e-6)
+    # Contact points: the incident (-x) face of b at x=3, clipped to
+    # y in [0,2]; depths = 4 - 3 = 1 at both.
+    got = pts[np.argsort(pts[:, 1])]
+    np.testing.assert_allclose(got, [[3, 0], [3, 2]], atol=1e-6)
+    np.testing.assert_allclose(dep, [1.0, 1.0], atol=1e-6)
+
+
+def test_side_clipping_limits_face_extent():
+    # Small box resting mid-face on a wide box, overlapping by 0.25:
+    # clip must NOT extend past the small box's own face.
+    big = _square(0.0, 0.0, 4.0)  # top face at y = 4
+    # half=1 centered (1.0, 4.75): bottom face y = 3.75, overlapping
+    # big's top face by 0.25, spanning x in [0, 2] (inside big's face).
+    small = _square(1.0, 4.75, 1.0)
+    count, pts, dep, nrm = map(
+        np.array,
+        polygon_contact_manifold(jnp.asarray(big), jnp.asarray(small)),
+    )
+    assert count == 2
+    np.testing.assert_allclose(nrm, [0.0, 1.0], atol=1e-6)
+    got = pts[np.argsort(pts[:, 0])]
+    np.testing.assert_allclose(got, [[0.0, 3.75], [2.0, 3.75]], atol=1e-5)
+    np.testing.assert_allclose(dep, [0.25, 0.25], atol=1e-6)
+
+
+def test_disjoint_pairs_have_empty_manifolds(rng):
+    p1, p2 = _random_pair_batch(rng)
+    d = np.array(polygon_signed_distance(p1, p2))
+    count, _, _, _ = map(np.array, polygon_contact_manifold(p1, p2))
+    assert (count[d > 1e-4] == 0).all()
+    assert (count[d < -1e-4] >= 1).all()
+
+
+def test_resolution_and_boundary_properties(rng):
+    p1, p2 = _random_pair_batch(rng, n=128)
+    d = np.array(polygon_signed_distance(p1, p2))
+    count, pts, dep, nrm = map(np.array, polygon_contact_manifold(p1, p2))
+    p1n, p2n = np.array(p1), np.array(p2)
+    checked = 0
+    for i in range(len(d)):
+        if d[i] >= -1e-4 or count[i] == 0:
+            continue
+        checked += 1
+        assert abs(np.linalg.norm(nrm[i]) - 1.0) < 1e-5
+        pen = -d[i]
+        dmax = dep[i][: count[i]].max()
+        # Clipped manifold depth never exceeds the true penetration and
+        # reaches it for face-dominated contacts (checked in aggregate
+        # below via the shallow subset).
+        assert dmax <= pen + 1e-4
+        # Every valid contact point lies on the incident body's boundary
+        # (one of the two bodies).
+        for p in pts[i][: count[i]]:
+            b1 = _point_to_boundary(p, p1n[i])
+            b2 = _point_to_boundary(p, p2n[i])
+            assert min(b1, b2) < 1e-4
+        # Translating body 2 by dmax * normal reduces the penetration to
+        # (at most) the clipped-away remainder; for shallow contacts it
+        # resolves to ~touching.
+        if pen < 0.15:
+            moved = p2n[i] + dmax * nrm[i]
+            d_after = float(
+                polygon_signed_distance(
+                    jnp.asarray(p1n[i]), jnp.asarray(moved)
+                )
+            )
+            assert d_after > -0.02
+    assert checked >= 10  # the batch genuinely exercised overlaps
+
+
+def test_shallow_face_contact_matches_penetration(rng):
+    # Pairs constructed to touch face-on with small overlap: depth must
+    # equal the signed-distance penetration tightly.
+    for trial in range(16):
+        w = float(rng.uniform(1.0, 3.0))
+        overlap = float(rng.uniform(0.01, 0.2))
+        th = float(rng.uniform(0, 2 * np.pi))
+        c, s = np.cos(th), np.sin(th)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        a = _square(0, 0, 1.0) @ rot.T
+        b = (_square(0, 0, w) + np.array([0, 1.0 + w - overlap])) @ rot.T
+        d = float(polygon_signed_distance(jnp.asarray(a), jnp.asarray(b)))
+        count, pts, dep, nrm = map(
+            np.array,
+            polygon_contact_manifold(jnp.asarray(a), jnp.asarray(b)),
+        )
+        assert count == 2
+        np.testing.assert_allclose(dep[:count].max(), -d, atol=1e-5)
+        # Normal maps to the rotated +y direction (from a into b).
+        np.testing.assert_allclose(
+            np.abs(nrm @ rot[:, 1]), 1.0, atol=1e-5
+        )
+
+
+def test_margin_keeps_speculative_contacts():
+    a = _square(0, 0, 1.0)
+    b = _square(0, 2.05, 1.0)  # gap of 0.05 along y
+    count0, _, _, _ = map(
+        np.array, polygon_contact_manifold(jnp.asarray(a), jnp.asarray(b))
+    )
+    assert count0 == 0
+    count, pts, dep, nrm = map(
+        np.array,
+        polygon_contact_manifold(
+            jnp.asarray(a), jnp.asarray(b), margin=0.1
+        ),
+    )
+    assert count == 2
+    np.testing.assert_allclose(dep, [-0.05, -0.05], atol=1e-6)
+    np.testing.assert_allclose(nrm, [0.0, 1.0], atol=1e-6)
+
+
+def test_padding_and_mask_invariance(rng):
+    from tests.test_sat import _regular_polygon
+
+    p1 = _regular_polygon(5, 1.2, 0.0, 0.0, 0.3)
+    p2 = _regular_polygon(6, 1.0, 0.9, 0.4, 1.1)
+    base = polygon_contact_manifold(jnp.asarray(p1), jnp.asarray(p2))
+    pad1 = np.concatenate([p1, np.repeat(p1[-1:], 3, 0)])
+    pad2 = np.concatenate([p2, np.repeat(p2[-1:], 2, 0)])
+    padded = polygon_contact_manifold(jnp.asarray(pad1), jnp.asarray(pad2))
+    arb1 = np.concatenate([p1, np.zeros((3, 2), np.float32)])
+    arb2 = np.concatenate([p2, np.full((2, 2), 7.0, np.float32)])
+    m1 = jnp.asarray([True] * 5 + [False] * 3)
+    m2 = jnp.asarray([True] * 6 + [False] * 2)
+    masked = polygon_contact_manifold(
+        jnp.asarray(arb1), jnp.asarray(arb2), mask1=m1, mask2=m2
+    )
+    for other in (padded, masked):
+        for x, y in zip(base, other):
+            np.testing.assert_allclose(
+                np.array(x), np.array(y), atol=1e-6
+            )
+
+
+def test_rect_param_form_matches_vertex_path(rng):
+    n = 64
+    c1 = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    c2 = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    e1 = rng.uniform(0.5, 3, (n, 2)).astype(np.float32)
+    e2 = rng.uniform(0.5, 3, (n, 2)).astype(np.float32)
+    t1 = rng.uniform(0, 7, n).astype(np.float32)
+    t2 = rng.uniform(0, 7, n).astype(np.float32)
+    got = rect_contact_manifold(c1, e1, t1, c2, e2, t2)
+    want = polygon_contact_manifold(
+        rects_from_params(jnp.asarray(c1), jnp.asarray(e1), jnp.asarray(t1)),
+        rects_from_params(jnp.asarray(c2), jnp.asarray(e2), jnp.asarray(t2)),
+    )
+    for x, y in zip(got, want):
+        np.testing.assert_array_equal(np.array(x), np.array(y))
+
+
+def test_jit_vmap_grad_safety(rng):
+    p1, p2 = _random_pair_batch(rng, n=16)
+    eager = polygon_contact_manifold(p1, p2)
+    jitted = jax.jit(polygon_contact_manifold)(p1, p2)
+    vmapped = jax.vmap(polygon_contact_manifold)(p1, p2)
+    for a, b, c in zip(eager, jitted, vmapped):
+        np.testing.assert_allclose(
+            np.array(a), np.array(b), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.array(a), np.array(c), atol=1e-6
+        )
+
+
+def test_model_facade_surfaces(rng):
+    from collide2d_tpu.models.collision_model import (
+        CollisionProbabilityModel,
+        PolygonCollisionProbabilityModel,
+        example_polygon_configs,
+    )
+
+    n = 96
+    model = CollisionProbabilityModel()
+    position = jnp.asarray(rng.uniform(-5, 5, (n, 2)).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(0, 7, n).astype(np.float32))
+    wh = jnp.asarray([3.0, 2.0])
+    count, pts, dep, nrm = map(
+        np.array, model.contact_manifold(position, theta, wh)
+    )
+    d = np.array(model.distance(position, theta, wh))
+    assert (count[d > 1e-4] == 0).all()
+    assert (count[d < -1e-4] >= 1).all()
+    for i in range(n):
+        if d[i] < -1e-4:
+            assert dep[i][: count[i]].max() <= -d[i] + 1e-4
+
+    b = example_polygon_configs(48, k=6, seed=5)
+    pmodel = PolygonCollisionProbabilityModel(
+        jnp.asarray([[-1.0, -0.5], [1.0, -0.5], [1.0, 0.5], [-1.0, 0.5]])
+    )
+    pc, _, pdep, _ = map(np.array, pmodel.contact_manifold(b))
+    pd = np.array(pmodel.distance(b))
+    assert (pc[pd > 1e-4] == 0).all()
+    assert (pc[pd < -1e-4] >= 1).all()
