@@ -180,8 +180,10 @@ def main() -> int:
     from collide2d_tpu.utils.benchmarks import (
         bench_distance,
         bench_distance_pallas,
+        bench_manifold,
         bench_polygon_distance,
         bench_polygon_distance_pallas,
+        bench_scene,
         bench_toi_pallas,
     )
 
@@ -192,6 +194,8 @@ def main() -> int:
         bench_distance_pallas,
         bench_polygon_distance,
         bench_polygon_distance_pallas,
+        bench_manifold,
+        bench_scene,
         bench_toi_pallas,
         bench_mc,
         bench_mc_pallas,

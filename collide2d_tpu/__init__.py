@@ -47,6 +47,14 @@ from collide2d_tpu.ops.toi import (
     rect_time_of_impact,
     rect_translation_toi,
 )
+from collide2d_tpu.ops.manifold import (
+    polygon_contact_manifold,
+    rect_contact_manifold,
+)
+from collide2d_tpu.ops.scene import (
+    scene_collision_matrix,
+    scene_colliding_pairs,
+)
 from collide2d_tpu.ops.broad_phase import (
     aabb_overlap,
     candidate_mask,

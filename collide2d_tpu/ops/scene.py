@@ -1,0 +1,116 @@
+"""N-body scene queries — all colliding pairs among N convex shapes.
+
+The reference (and this framework's core) tests PAIRED batches: row i of
+body 1 against row i of body 2 (`generate_dataset.cu:238-242` — one
+thread per configuration). A scene query answers the other question a
+collision engine gets asked: given ONE set of N shapes, which pairs
+collide?
+
+TPU-native shape of the answer (`ops/broad_phase.py`'s measured reality
+check applies even more strongly at N^2 scale: element-level compaction
+costs an order of magnitude more than the ~1e2-flop/pair narrow phase it
+would skip, so dense masked execution wins):
+
+- `scene_collision_matrix` — the full (N, N) boolean matrix, computed in
+  row tiles under `lax.map` so peak memory stays O(tile * N * k^2)
+  instead of O(N^2 * k^2). Every tile is a plain batched `sat_polygons`
+  broadcast: the MXU/VPU stream at full occupancy, no data-dependent
+  control flow, jit/shard-safe (shard the row axis across chips; each
+  shard needs only its row block plus the replicated vertex table).
+- `scene_colliding_pairs` — the fixed-capacity (i, j) pair list
+  extracted from the matrix's upper triangle: the TPU-shaped form of a
+  dynamic contact list (static ``capacity`` slots + a count + an
+  overflow flag instead of a variable-length vector).
+
+Padding follows `sat.sat_polygons` (repeat-last or per-shape ``mask``);
+shapes of different vertex counts share one table by padding to a
+common k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from collide2d_tpu.ops.sat import _normalize_padding, sat_polygons
+
+
+def _row_tiled_matrix(polys: Array, row_tile: int) -> Array:
+    """(N, k, 2) -> (N, N) int32 SAT labels, tiled over row blocks."""
+    n = polys.shape[0]
+    pad = (-n) % row_tile
+    rows = polys
+    if pad:
+        rows = jnp.concatenate(
+            [polys, jnp.broadcast_to(polys[-1:], (pad,) + polys.shape[1:])],
+            axis=0,
+        )
+    tiles = rows.reshape(-1, row_tile, *polys.shape[1:])
+
+    def one_tile(tile):
+        # (T, 1, k, 2) vs (1, N, k, 2): batched SAT over the full row
+        # block — dense masked execution, the measured TPU optimum.
+        return sat_polygons(tile[:, None], polys[None])
+
+    out = jax.lax.map(one_tile, tiles).reshape(-1, n)[:n]
+    return out
+
+
+def scene_collision_matrix(
+    polys: Array,
+    mask: Array | None = None,
+    *,
+    row_tile: int = 64,
+) -> Array:
+    """All-pairs collision matrix of one set of convex shapes.
+
+    ``polys``: ``(N, k, 2)`` CCW convex vertices (repeat-last padded, or
+    pass ``mask``: ``(N, k)`` bool). Returns bool ``(N, N)``, symmetric,
+    diagonal False (a shape does not collide with itself), entry (i, j)
+    True iff shapes i and j overlap (touching counts, the narrow phase's
+    convention — utils.cu:178 strict <).
+
+    ``row_tile`` bounds peak memory at O(row_tile * N * k^2) without
+    changing results; any value >= 1 works, powers of two tile best.
+    """
+    polys = _normalize_padding(jnp.asarray(polys, jnp.float32), mask)
+    n = polys.shape[0]
+    hit = _row_tiled_matrix(polys, min(row_tile, n))
+    eye = jnp.eye(n, dtype=bool)
+    return (hit == 1) & ~eye
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "row_tile"))
+def scene_colliding_pairs(
+    polys: Array,
+    mask: Array | None = None,
+    *,
+    capacity: int,
+    row_tile: int = 64,
+) -> tuple[Array, Array, Array]:
+    """Fixed-capacity list of colliding index pairs in one shape set.
+
+    Returns ``(pairs, count, overflow)``: ``pairs`` int32 ``(capacity,
+    2)`` with each row ``(i, j)``, ``i < j``, in row-major order; rows
+    past ``count`` are zero-filled. ``count`` int32 = total colliding
+    pairs found, clamped to ``capacity`` in ``pairs``; ``overflow`` bool
+    = True when the true count exceeds ``capacity`` (the returned list
+    is then the first ``capacity`` pairs in row-major order — re-call
+    with a larger capacity for the rest).
+
+    Jittable end to end (``capacity`` is a static shape); one extra
+    O(N^2) pass over the matrix, no host sync.
+    """
+    m = scene_collision_matrix(polys, mask, row_tile=row_tile)
+    n = m.shape[0]
+    upper = m & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+    flat = upper.reshape(-1)
+    total = jnp.sum(flat, dtype=jnp.int32)
+    idx = jnp.flatnonzero(flat, size=capacity, fill_value=0)
+    valid = jnp.arange(capacity) < total
+    pairs = jnp.stack([idx // n, idx % n], axis=-1).astype(jnp.int32)
+    pairs = jnp.where(valid[:, None], pairs, 0)
+    return pairs, jnp.minimum(total, capacity), total > capacity

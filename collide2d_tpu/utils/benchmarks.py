@@ -1388,6 +1388,73 @@ def bench_learned_train(
     }
 
 
+def bench_manifold(pairs: int = 1 << 20, k: int = 8, iters: int = 20) -> dict:
+    """Contact-manifold throughput on convex k-gon pairs
+    (ops/manifold.py: per-face separations + incident clip, O(k^2)
+    elementwise — the same cost class as the signed-distance query)."""
+    from collide2d_tpu.ops.manifold import polygon_contact_manifold
+
+    p1 = jax.block_until_ready(_random_convex_polygons(pairs, k, 0, 10.0))
+    p2 = jax.block_until_ready(_random_convex_polygons(pairs, k, 1, 10.0))
+
+    @jax.jit
+    def loop(p1, p2, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            count, pts, dep, nrm = polygon_contact_manifold(p1, p2 + shift)
+            return acc + jnp.sum(count) + jnp.sum(dep).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    dt = _diff_time(
+        loop, (p1, p2, jnp.int32(1)), (p1, p2, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "manifold_pairs_per_sec",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "k": k,
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+    }
+
+
+def bench_scene(n: int = 2048, k: int = 8, iters: int = 10,
+                row_tile: int = 64) -> dict:
+    """N-body scene-query throughput (ops/scene.py): effective SAT
+    pairs/s through the row-tiled all-pairs matrix (N^2 pairs per
+    evaluation; the lax.map tiling bounds memory, not math)."""
+    from collide2d_tpu.ops.scene import scene_collision_matrix
+
+    polys = jax.block_until_ready(_random_convex_polygons(n, k, 0, 40.0))
+
+    @jax.jit
+    def loop(polys, reps):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            m = scene_collision_matrix(polys + shift, row_tile=row_tile)
+            return acc + jnp.sum(m, dtype=jnp.int32)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    dt = _diff_time(
+        loop, (polys, jnp.int32(1)), (polys, jnp.int32(1 + iters)), iters
+    )
+    rate = n * n / dt
+    return {
+        "metric": "scene_pairs_per_sec",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "n_shapes": n,
+        "k": k,
+        "row_tile": row_tile,
+        "seconds_per_iter": dt,
+    }
+
+
 def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     # Pallas kernels need TPU hardware (no CPU lowering for the TPU
     # memory spaces / PRNG); keep `collide2d bench` usable on CPU-only
@@ -1399,6 +1466,9 @@ def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     if on_tpu:
         out.append(json.dumps(bench_sat_pallas(pairs=pairs, iters=iters)))
     out.append(json.dumps(bench_sat(pairs=pairs, iters=iters)))
+    out.append(json.dumps(bench_manifold(
+        pairs=1 << 20 if on_tpu else 1 << 14)))
+    out.append(json.dumps(bench_scene(n=2048 if on_tpu else 256)))
     out.append(json.dumps(bench_mc()))
     if on_tpu:
         try:

@@ -1,0 +1,126 @@
+"""Scene-query tests: all-pairs matrix vs the pairwise oracle, tiling
+invariance, fixed-capacity pair extraction, padding, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collide2d_tpu.ops.sat import sat_polygons
+from collide2d_tpu.ops.scene import (
+    scene_collision_matrix,
+    scene_colliding_pairs,
+)
+from tests.test_sat import _regular_polygon
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260820)
+
+
+def _random_scene(rng, n=48, spread=6.0, kmax=8):
+    polys = []
+    for _ in range(n):
+        k = int(rng.integers(3, kmax + 1))
+        p = _regular_polygon(
+            k, rng.uniform(0.3, 1.6), rng.uniform(-spread, spread),
+            rng.uniform(-spread, spread), rng.uniform(0, 7))
+        polys.append(np.concatenate([p, np.repeat(p[-1:], kmax - k, 0)]))
+    return jnp.asarray(np.stack(polys))
+
+
+def test_matrix_matches_pairwise_oracle(rng):
+    polys = _random_scene(rng)
+    n = polys.shape[0]
+    m = np.array(scene_collision_matrix(polys))
+    # Oracle: the existing pairwise SAT on every (i, j).
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    want = np.array(
+        sat_polygons(polys[i.reshape(-1)], polys[j.reshape(-1)])
+    ).reshape(n, n).astype(bool)
+    np.fill_diagonal(want, False)
+    np.testing.assert_array_equal(m, want)
+    assert (m == m.T).all()
+    assert not m.diagonal().any()
+    assert m.any()  # the random scene genuinely collides somewhere
+
+
+def test_row_tiling_is_invariant(rng):
+    polys = _random_scene(rng, n=37)  # deliberately not a tile multiple
+    base = np.array(scene_collision_matrix(polys, row_tile=64))
+    for tile in (1, 5, 16, 37, 200):
+        np.testing.assert_array_equal(
+            base, np.array(scene_collision_matrix(polys, row_tile=tile))
+        )
+
+
+def test_pairs_match_matrix(rng):
+    polys = _random_scene(rng)
+    m = np.array(scene_collision_matrix(polys))
+    want = np.argwhere(np.triu(m, k=1))
+    pairs, count, overflow = map(
+        np.array, scene_colliding_pairs(polys, capacity=256)
+    )
+    assert not overflow
+    assert count == len(want)
+    np.testing.assert_array_equal(pairs[:count], want)
+    assert (pairs[count:] == 0).all()
+
+
+def test_pair_overflow_contract(rng):
+    polys = _random_scene(rng)
+    m = np.array(scene_collision_matrix(polys))
+    total = int(np.triu(m, k=1).sum())
+    assert total >= 3
+    cap = total - 1
+    pairs, count, overflow = map(
+        np.array, scene_colliding_pairs(polys, capacity=cap)
+    )
+    assert overflow
+    assert count == cap
+    want = np.argwhere(np.triu(m, k=1))[:cap]
+    np.testing.assert_array_equal(pairs, want)
+
+
+def test_padding_mask_and_touching(rng):
+    # Mixed-k scene via mask == repeat-padding; touching squares collide.
+    sq = np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1]], np.float32
+    )
+    scene = np.stack([
+        np.concatenate([sq, sq[-1:]]),                    # k=4 padded to 5
+        np.concatenate([sq + [1.0, 0.0], (sq + [1.0, 0.0])[-1:]]),  # touching
+        np.concatenate([sq + [5.0, 5.0], (sq + [5.0, 5.0])[-1:]]),  # far away
+    ])
+    m = np.array(scene_collision_matrix(jnp.asarray(scene)))
+    assert m[0, 1] and m[1, 0]  # touching counts (strict < separation)
+    assert not m[0, 2] and not m[1, 2]
+
+    arb = scene.copy()
+    arb[:, -1] = 99.0  # garbage padding slot, masked out
+    mask = jnp.asarray(np.array([[True] * 4 + [False]] * 3))
+    m2 = np.array(scene_collision_matrix(jnp.asarray(arb), mask))
+    np.testing.assert_array_equal(m, m2)
+
+
+def test_jit_and_row_sharding(rng):
+    polys = _random_scene(rng, n=64)
+    base = np.array(scene_collision_matrix(polys))
+    jitted = jax.jit(scene_collision_matrix)(polys)
+    np.testing.assert_array_equal(base, np.array(jitted))
+
+    # Row-sharded input under a config mesh: GSPMD partitions the row
+    # tiles, output matches unsharded bitwise.
+    from tests.conftest import cpu_devices
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = cpu_devices()[:8]
+    mesh = Mesh(np.array(devs), ("config",))
+    sharded = jax.device_put(
+        polys, NamedSharding(mesh, P("config", None, None))
+    )
+    out = jax.jit(
+        lambda p: scene_collision_matrix(p, row_tile=8)
+    )(sharded)
+    np.testing.assert_array_equal(base, np.array(out))
