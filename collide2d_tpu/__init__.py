@@ -54,6 +54,7 @@ from collide2d_tpu.ops.manifold import (
 from collide2d_tpu.ops.scene import (
     scene_collision_matrix,
     scene_colliding_pairs,
+    scene_contact_manifolds,
 )
 from collide2d_tpu.ops.broad_phase import (
     aabb_overlap,

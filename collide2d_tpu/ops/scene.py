@@ -114,3 +114,38 @@ def scene_colliding_pairs(
     pairs = jnp.stack([idx // n, idx % n], axis=-1).astype(jnp.int32)
     pairs = jnp.where(valid[:, None], pairs, 0)
     return pairs, jnp.minimum(total, capacity), total > capacity
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "row_tile"))
+def scene_contact_manifolds(
+    polys: Array,
+    mask: Array | None = None,
+    *,
+    capacity: int,
+    row_tile: int = 64,
+) -> tuple[Array, Array, Array, Array, Array, Array]:
+    """Contact manifolds for every colliding pair in one shape set.
+
+    The contact-solver front end: `scene_colliding_pairs` finds the
+    pairs, `ops.manifold.polygon_contact_manifold` runs batched on the
+    gathered (capacity,)-shaped pair buffers. Returns ``(pairs, count,
+    n_contacts, points, depths, normals)``: ``pairs``/``count`` as
+    `scene_colliding_pairs` (count clamps at ``capacity``; re-call
+    larger when more pairs exist), ``n_contacts`` int32 ``(capacity,)``
+    = contact points per pair (0..2), ``points`` float32 ``(capacity,
+    2, 2)``, ``depths`` ``(capacity, 2)``, ``normals`` ``(capacity,
+    2)`` — the normal of row r points FROM shape ``pairs[r, 0]`` INTO
+    shape ``pairs[r, 1]``. Rows past ``count`` are computed on the
+    zero-fill gather (shape 0 vs itself) — filter by ``count``. One
+    jit-compiled program; all shapes static.
+    """
+    from collide2d_tpu.ops.manifold import polygon_contact_manifold
+
+    polys = _normalize_padding(jnp.asarray(polys, jnp.float32), mask)
+    pairs, count, _ = scene_colliding_pairs(
+        polys, capacity=capacity, row_tile=row_tile
+    )
+    p1 = jnp.take(polys, pairs[:, 0], axis=0)
+    p2 = jnp.take(polys, pairs[:, 1], axis=0)
+    n_contacts, points, depths, normals = polygon_contact_manifold(p1, p2)
+    return pairs, count, n_contacts, points, depths, normals

@@ -124,3 +124,31 @@ def test_jit_and_row_sharding(rng):
         lambda p: scene_collision_matrix(p, row_tile=8)
     )(sharded)
     np.testing.assert_array_equal(base, np.array(out))
+
+
+def test_scene_contact_manifolds(rng):
+    from collide2d_tpu.ops.manifold import polygon_contact_manifold
+    from collide2d_tpu.ops.scene import scene_contact_manifolds
+
+    polys = _random_scene(rng)
+    pairs, count, n_c, pts, dep, nrm = map(
+        np.array, scene_contact_manifolds(polys, capacity=256)
+    )
+    m = np.array(scene_collision_matrix(polys))
+    want = np.argwhere(np.triu(m, k=1))
+    assert count == len(want)
+    np.testing.assert_array_equal(pairs[:count], want)
+    pn = np.array(polys)
+    for r in range(int(count)):
+        i, j = pairs[r]
+        wc, wp, wd, wn = map(
+            np.array,
+            polygon_contact_manifold(
+                jnp.asarray(pn[i]), jnp.asarray(pn[j])
+            ),
+        )
+        assert n_c[r] == wc
+        np.testing.assert_allclose(pts[r], wp, atol=1e-6)
+        np.testing.assert_allclose(dep[r], wd, atol=1e-6)
+        np.testing.assert_allclose(nrm[r], wn, atol=1e-6)
+        assert wc >= 1  # every listed pair genuinely collides
