@@ -932,7 +932,17 @@ class AdaptiveRun:
         # scalar readback at driver start.
         shape_noise = True
         poly_a_keep = None
-        if impl == "pallas" and not is_poly:
+        # std_dev carries w/h sigmas only for the RECTANGLE config types
+        # (Configs/MovingConfigs, (C, 5)); MovingPolygonConfigs is not a
+        # PolygonConfigs subclass but its (C, 3) std_dev has no shape
+        # sigmas either — without the exclusion this branch would issue a
+        # blocking tunnel readback of an empty slice whose result the
+        # MovingPolygonConfigs block below unconditionally overwrites.
+        if (
+            impl == "pallas"
+            and not is_poly
+            and configs.std_dev.shape[-1] >= 5
+        ):
             shape_noise = bool(
                 jax.device_get(jnp.any(configs.std_dev[:, 3:] != 0.0))
             )
@@ -1092,10 +1102,14 @@ class AdaptiveRun:
                 chunk_offset = int(ckpt["chunk_offset"])
                 # Recompute exactly (the stored count may be the
                 # provisional overestimate the async repack pipeline runs
-                # on).
-                num_real = int(
-                    ((ckpt["uids"] >= 0) & ~ckpt["done"].astype(bool)).sum()
-                )
+                # on). num_real counts REAL (non-padding) buffer rows —
+                # including done-but-unemitted ones: the scheduler's
+                # est_active = num_real - num_done subtracts the done
+                # count itself, so excluding done rows here would
+                # double-subtract and size the next repack bucket too
+                # small, silently DROPPING still-active rows (they'd
+                # finish with n=0 labels).
+                num_real = int((ckpt["uids"] >= 0).sum())
                 rnd = int(ckpt["round"])
 
         # Overlap the ladder's program compilations with the first rounds'
@@ -1315,10 +1329,12 @@ def _save_checkpoint(
         key_data=key_data,
         n_configs=n_configs,
         cfg_type=np.str_(cfg_type),
-        active_position=active[0],
-        active_pose_theta=active[1],
-        active_obstacle_wh=active[2],
-        active_std_dev=active[3],
+        # EVERY config field, by position: trajectory types
+        # (MovingConfigs / MovingPolygonConfigs) carry 7 fields, not the
+        # rectangle Configs' 4 — a fixed-name subset would silently drop
+        # the motion fields and crash the resume reconstruction.
+        active_len=np.int64(len(active)),
+        **{f"active_{i}": a for i, a in enumerate(active)},
         **state,
     )
     os.replace(tmp, path)  # atomic publish
@@ -1354,12 +1370,22 @@ def _load_checkpoint(path, key_data, n_configs, cfg_type: str = "Configs"):
                 "done": z["done"],
                 "k_frozen": z["k_frozen"],
                 "n_frozen": z["n_frozen"],
-                "active": [
-                    z["active_position"],
-                    z["active_pose_theta"],
-                    z["active_obstacle_wh"],
-                    z["active_std_dev"],
-                ],
+                "active": (
+                    [
+                        z[f"active_{i}"]
+                        for i in range(int(z["active_len"]))
+                    ]
+                    if "active_len" in z
+                    # Pre-trajectory checkpoint format (4 fixed names);
+                    # only 4-field config types ever wrote it, so the
+                    # positional reconstruction stays correct.
+                    else [
+                        z["active_position"],
+                        z["active_pose_theta"],
+                        z["active_obstacle_wh"],
+                        z["active_std_dev"],
+                    ]
+                ),
                 "n_samples": z["n_samples"],
                 "chunk_offset": z["chunk_offset"],
                 "num_real": z["num_real"],

@@ -176,8 +176,19 @@ def polygon_closest_points(
     k1, k2 = p1.shape[-2], p2.shape[-2]
 
     # Scalar distance: the exact `polygon_signed_distance` computation,
-    # with the candidate tables kept for the witness gathers below.
-    gap = _support_gap_over_normals(p1, p2)
+    # with the candidate tables kept for the witness gathers below. The
+    # per-orientation gap table `g` is built once (same expressions, same
+    # op order as `_support_gap_over_normals`, so `gap` is bitwise that
+    # function's value) and reused by the overlap-witness argmax.
+    axes = jnp.concatenate([edge_normals(p1), edge_normals(p2)], axis=-2)
+    nrm = jnp.sqrt(jnp.sum(axes * axes, axis=-1))
+    proj1 = _project_all(axes, p1)
+    proj2 = _project_all(axes, p2)
+    g_pos = jnp.min(proj2, -1) - jnp.max(proj1, -1)  # gap along +axis
+    g_neg = jnp.min(proj1, -1) - jnp.max(proj2, -1)  # gap along -axis
+    g = jnp.maximum(g_pos, g_neg) / jnp.where(nrm > 0, nrm, 1.0)
+    g = jnp.where(nrm > 0, g, -jnp.inf)
+    gap = jnp.max(g, axis=-1)
     d2_12, on2 = _vertex_segment_candidates(p1, p2)  # A-vertex vs B-edge
     d2_21, on1 = _vertex_segment_candidates(p2, p1)  # B-vertex vs A-edge
     s12 = jnp.sqrt(jnp.min(d2_12, axis=(-2, -1)))
@@ -199,17 +210,7 @@ def polygon_closest_points(
     n_dis = (pb_dis - pa_dis) / jnp.where(sep > 0, sep, 1.0)[..., None]
 
     # Overlap witness: the maximizing SAT axis (the MTV direction) and
-    # B's support vertex along its negation. Recomputes the same gap
-    # table as `_support_gap_over_normals`, keeping per-orientation terms
-    # so the winning direction's sign is known.
-    axes = jnp.concatenate([edge_normals(p1), edge_normals(p2)], axis=-2)
-    nrm = jnp.sqrt(jnp.sum(axes * axes, axis=-1))
-    proj1 = _project_all(axes, p1)
-    proj2 = _project_all(axes, p2)
-    g_pos = jnp.min(proj2, -1) - jnp.max(proj1, -1)  # gap along +axis
-    g_neg = jnp.min(proj1, -1) - jnp.max(proj2, -1)  # gap along -axis
-    g = jnp.maximum(g_pos, g_neg) / jnp.where(nrm > 0, nrm, 1.0)
-    g = jnp.where(nrm > 0, g, -jnp.inf)
+    # B's support vertex along its negation, from the gap table above.
     ia = jnp.argmax(g, axis=-1)
 
     def at_ia(x):

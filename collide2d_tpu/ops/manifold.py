@@ -41,6 +41,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
+from collide2d_tpu.ops.distance import _gather_rows
 from collide2d_tpu.ops.geometry import edge_normals, rects_from_params
 from collide2d_tpu.ops.sat import _normalize_padding
 
@@ -76,11 +77,6 @@ def _face_separations(p_ref: Array, p_inc: Array) -> tuple[Array, Array, Array]:
     )
     sep = jnp.min(proj, axis=-1) - off
     return jnp.where(valid, sep, -jnp.inf), n, valid
-
-
-def _gather_rows(x: Array, idx: Array) -> Array:
-    """Gather one row along axis -2: ``B+(n,2), B -> B+(2,)``."""
-    return jnp.take_along_axis(x, idx[..., None, None], axis=-2)[..., 0, :]
 
 
 def _clip_segment(v1: Array, v2: Array, n: Array, off: Array):
@@ -146,7 +142,10 @@ def polygon_contact_manifold(
     input to a sequential-impulse solver's speculative phase.
 
     Same padding contract as `sat.sat_polygons` (repeat-last or
-    ``mask``); degenerate all-zero-edge inputs return ``count=0``.
+    ``mask``). Degenerate inputs: when BOTH bodies have no valid face
+    (all zero-length edges) the manifold is empty (``count=0``); a
+    degenerate point against a real polygon still contacts through the
+    polygon's faces (the incident segment collapses to the point).
     """
     p1 = _normalize_padding(jnp.asarray(p1, jnp.float32), mask1)
     p2 = _normalize_padding(jnp.asarray(p2, jnp.float32), mask2)
@@ -211,7 +210,10 @@ def polygon_contact_manifold(
     keep1 = d1 >= -margin
     keep2 = d2 >= -margin
     # The whole pair is disjoint beyond the margin -> empty manifold.
-    pair_ok = best_sep <= margin
+    # best_sep == -inf means NO valid face existed on either body (fully
+    # degenerate all-zero-edge input): the documented contract is an
+    # empty manifold, not count=2 along a zero normal.
+    pair_ok = (best_sep <= margin) & jnp.isfinite(best_sep)
     keep1 &= pair_ok
     keep2 &= pair_ok
     # Pack valid points first (slot order is otherwise arbitrary).

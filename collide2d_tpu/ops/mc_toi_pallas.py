@@ -144,9 +144,12 @@ def _toi_hits_tile(
         t = jnp.where(done, t, t + jnp.maximum(d, 0.0) / bound)
         return i + 1, t, jnp.logical_not(jnp.all(done))
 
+    # Seed liveness with the actual rotating mask so a translation-only
+    # sample step skips the CA body outright (its lanes are decided by
+    # hit_exact below).
     _, t, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.zeros(ox.shape, jnp.float32), jnp.bool_(True)),
+        (jnp.int32(0), jnp.zeros(ox.shape, jnp.float32), jnp.any(rotating)),
     )
     hit_ca = (dist_at(t) <= tol_f) & (t <= 1.0)
     # boolean select spelled as logic ops: Mosaic's select_n on i1

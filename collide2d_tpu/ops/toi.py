@@ -243,11 +243,8 @@ def polygon_translation_toi_parts(p1: Array, p2: Array, v: Array):
     sample reproduces the static SAT label bit for bit (the k-gon
     analogue of `obb_translation_toi_parts`' parity contract).
     """
+    from collide2d_tpu.ops.geometry import edge_normals
     from collide2d_tpu.ops.sat import _project_all
-
-    def edge_normals(p):
-        e = jnp.roll(p, -1, axis=-2) - p
-        return jnp.stack([e[..., 1], -e[..., 0]], axis=-1)  # (..., K, 2)
 
     axes = jnp.concatenate([edge_normals(p1), edge_normals(p2)], axis=-2)
     proj1 = _project_all(axes, p1)  # (..., A, K1)

@@ -135,9 +135,12 @@ def _make_toi_kernel(t_max: float, iters: int, tol: float):
             t = jnp.where(done, t, t + jnp.maximum(d, 0.0) / bound)
             return i + 1, t, jnp.logical_not(jnp.all(done))
 
+        # Seed liveness with the actual rotating mask: an all-translation
+        # tile must never enter the trig-heavy CA body (its lanes are
+        # fully decided by t_exact below).
         _, t, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.zeros_like(bound), jnp.bool_(True)),
+            (jnp.int32(0), jnp.zeros_like(bound), jnp.any(rotating)),
         )
         hit = (dist_at(t) <= tol_f) & (t <= t_hor)
         out_ref[...] = jnp.where(

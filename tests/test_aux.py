@@ -316,7 +316,9 @@ def test_run_all_survives_missing_optax(monkeypatch):
 
     from collide2d_tpu.utils import benchmarks as bm
 
-    for name in ("bench_sat", "bench_mc", "bench_e2e"):
+    legs = ("bench_sat", "bench_manifold", "bench_scene", "bench_mc",
+            "bench_e2e")
+    for name in legs:
         monkeypatch.setattr(
             bm, name, lambda *a, _n=name, **k: {"metric": _n, "value": 1.0}
         )
@@ -330,5 +332,51 @@ def test_run_all_survives_missing_optax(monkeypatch):
 
     monkeypatch.setattr(builtins, "__import__", no_optax)
     out = [json.loads(s) for s in bm.run_all(pairs=8, iters=1)]
-    assert [o["metric"] for o in out[:-1]] == ["bench_sat", "bench_mc", "bench_e2e"]
+    assert [o["metric"] for o in out[:-1]] == list(legs)
     assert out[-1]["metric"] == "learned_train" and "skipped" in out[-1]
+
+
+def test_checkpoint_resume_with_unemitted_done_rows(tmp_path):
+    # Regression (round-3 review): a checkpoint captured BEFORE any
+    # repack holds done-but-unemitted rows; the resume recompute of
+    # num_real must count REAL buffer rows, not not-done rows, or
+    # est_active = num_real - num_done double-subtracts and the next
+    # repack bucket silently DROPS still-active rows (they ended with
+    # n_used = 0). This seed reproduced the drop pre-fix.
+    rng = np.random.default_rng(4)
+    n = 48
+    cfgs = Configs(
+        jnp.asarray(rng.uniform(-4, 4, (n, 2)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 7, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.5, 4, (n, 2)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 0.3, (n, 5)).astype(np.float32)),
+    )
+    cfg = AdaptiveConfig(max_samples=20_000)
+    key = jax.random.PRNGKey(5)
+    base = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg)
+
+    ckpt = tmp_path / "ckpt.npz"
+
+    class Stop(Exception):
+        pass
+
+    def bomb(round, **kw):
+        if round >= 3:
+            raise Stop
+
+    try:
+        adaptive_collision_probabilities(
+            key, cfgs, ROBOT, cfg,
+            progress=lambda **kw: bomb(**kw),
+            checkpoint_path=str(ckpt), checkpoint_every=1,
+        )
+    except Stop:
+        pass
+    assert ckpt.exists()
+    out = adaptive_collision_probabilities(
+        key, cfgs, ROBOT, cfg,
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    for got, want in zip(out, base):
+        np.testing.assert_array_equal(np.array(got), np.array(want))
+    assert (np.array(out[1]) > 0).all()  # no row lost its sample budget

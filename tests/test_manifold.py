@@ -237,3 +237,32 @@ def test_model_facade_surfaces(rng):
     pd = np.array(pmodel.distance(b))
     assert (pc[pd > 1e-4] == 0).all()
     assert (pc[pd < -1e-4] >= 1).all()
+
+
+def test_degenerate_all_zero_edges_empty_manifold():
+    # Regression (round-3 review): BOTH bodies fully degenerate (one
+    # vertex repeated k times — every face invalid, best separation
+    # -inf) must return the documented empty manifold, not count=2
+    # along a zero normal.
+    pt = np.tile(np.array([[0.5, 0.5]], np.float32), (4, 1))
+    count, _, _, _ = map(
+        np.array, polygon_contact_manifold(jnp.asarray(pt), jnp.asarray(pt))
+    )
+    assert count == 0
+
+    # A degenerate point against a REAL polygon still has valid faces on
+    # one side: the point inside the square is a legitimate contact
+    # (reference face on the square, incident face collapses to the
+    # point), with a unit normal and the point's true face depth.
+    sq = _square(0.0, 0.0, 1.0)
+    for a, b, sgn in ((pt, sq, -1.0), (sq, pt, 1.0)):
+        count, pts, dep, nrm = map(
+            np.array,
+            polygon_contact_manifold(jnp.asarray(a), jnp.asarray(b)),
+        )
+        assert count >= 1
+        np.testing.assert_allclose(np.linalg.norm(nrm), 1.0, atol=1e-6)
+        for p in pts[:count]:
+            np.testing.assert_allclose(p, [0.5, 0.5], atol=1e-6)
+        # Depth = distance from the point to the square's nearest face.
+        np.testing.assert_allclose(dep[:count], 0.5, atol=1e-6)

@@ -248,3 +248,49 @@ def test_movelabel_cli_roundtrip(tmp_path, rng):
         jnp.zeros(C), jnp.asarray(-vel * t_max[:, None]), t_max=1.0))
     det = np.isfinite(toi).astype(np.float32)
     np.testing.assert_array_equal(out["cp"][: C // 2], det[: C // 2])
+
+
+def test_trajectory_checkpoint_resume_identical(rng, tmp_path):
+    # Regression: _save_checkpoint must persist ALL 7 MovingConfigs
+    # fields (motion included) — the pre-fix 4-field format crashed the
+    # resume reconstruction with TypeError and lost velocity/omega/t_max.
+    from collide2d_tpu.mc.estimator import adaptive_collision_probabilities
+
+    _, cfgs = _static_and_moving(rng, 48, v=0.6, w=0.4, t_max=1.0)
+    cfg = AdaptiveConfig(max_samples=20_000)
+    key = jax.random.PRNGKey(5)
+    base = adaptive_collision_probabilities(key, cfgs, ROBOT, cfg)
+
+    ckpt = tmp_path / "moving_ckpt.npz"
+
+    class Stop(Exception):
+        pass
+
+    def bomb(round, **kw):
+        if round >= 3:
+            raise Stop
+
+    try:
+        adaptive_collision_probabilities(
+            key, cfgs, ROBOT, cfg,
+            progress=lambda **kw: bomb(**kw),
+            checkpoint_path=str(ckpt), checkpoint_every=1,
+        )
+    except Stop:
+        pass
+    assert ckpt.exists()
+    with np.load(ckpt) as z:  # the full 7-field layout is on disk
+        assert int(z["active_len"]) == 7
+        assert str(z["cfg_type"]) == "MovingConfigs"
+
+    seen = []
+    cp, n_used, done = adaptive_collision_probabilities(
+        key, cfgs, ROBOT, cfg,
+        progress=lambda **kw: seen.append(kw["n_samples"]),
+        checkpoint_path=str(ckpt), checkpoint_every=1,
+    )
+    assert seen and min(seen) > 1000, seen  # resumed, not restarted
+    np.testing.assert_array_equal(cp, base[0])
+    np.testing.assert_array_equal(n_used, base[1])
+    np.testing.assert_array_equal(done, base[2])
+    assert not ckpt.exists()
