@@ -181,6 +181,7 @@ def main() -> int:
         bench_distance,
         bench_distance_pallas,
         bench_manifold,
+        bench_manifold_pallas,
         bench_polygon_distance,
         bench_polygon_distance_pallas,
         bench_scene,
@@ -195,6 +196,7 @@ def main() -> int:
         bench_polygon_distance,
         bench_polygon_distance_pallas,
         bench_manifold,
+        bench_manifold_pallas,
         bench_scene,
         bench_toi_pallas,
         bench_mc,

@@ -173,18 +173,43 @@ class CollisionProbabilityModel:
         )
 
     def contact_manifold(self, position: Array, pose_theta: Array,
-                         obstacle_wh: Array, *, margin: float = 0.0):
+                         obstacle_wh: Array, *, margin: float = 0.0,
+                         impl: str = "auto"):
         """Contact manifold for the `distance` scene: up to two contact
         points with per-point depths and a shared normal (robot =
         body 1, obstacle = body 2; reference/incident face clip —
         `ops.manifold.polygon_contact_manifold` contract). ``margin > 0``
-        keeps speculative near-contacts."""
+        keeps speculative near-contacts.
+
+        ``impl``: 'jnp' (XLA path), 'pallas' (the fused
+        `ops.manifold_pallas` kernel — ~150x on TPU; values to f32
+        rounding, face choice at exact separation ties may differ), or
+        'auto' (pallas on TPU data)."""
+        from collide2d_tpu.mc.estimator import resolve_impl
+        from collide2d_tpu.ops.geometry import rects_from_params
         from collide2d_tpu.ops.manifold import rect_contact_manifold
 
         position = jnp.asarray(position, jnp.float32)
         pose_theta = jnp.broadcast_to(
             jnp.asarray(pose_theta, jnp.float32), position.shape[:-1]
         )
+        if resolve_impl(impl, position) == "pallas":
+            from collide2d_tpu.ops.manifold_pallas import (
+                polygon_manifold_pallas,
+            )
+
+            r1 = rects_from_params(
+                position, jnp.broadcast_to(self.robot_wh, position.shape),
+                pose_theta,
+            )
+            r2 = rects_from_params(
+                jnp.zeros_like(position),
+                jnp.broadcast_to(jnp.abs(jnp.asarray(obstacle_wh,
+                                                     jnp.float32)),
+                                 position.shape),
+                jnp.zeros_like(pose_theta),
+            )
+            return polygon_manifold_pallas(r1, r2, margin=margin)
         return rect_contact_manifold(
             position, jnp.broadcast_to(self.robot_wh, position.shape),
             pose_theta, jnp.zeros_like(position),
@@ -376,10 +401,14 @@ class PolygonCollisionProbabilityModel:
         return polygon_closest_points(robot, configs.obstacle_verts)
 
     def contact_manifold(self, configs: PolygonConfigs, *,
-                         margin: float = 0.0):
+                         margin: float = 0.0, impl: str = "auto"):
         """Contact manifold per configuration: ``(count, points, depths,
         normal)`` with the placed robot as body 1 and the obstacle as
-        body 2 (`ops.manifold.polygon_contact_manifold` contract)."""
+        body 2 (`ops.manifold.polygon_contact_manifold` contract).
+
+        ``impl``: 'jnp', 'pallas' (fused `ops.manifold_pallas` kernel),
+        or 'auto' (pallas on TPU data)."""
+        from collide2d_tpu.mc.estimator import resolve_impl
         from collide2d_tpu.ops.manifold import polygon_contact_manifold
 
         robot = transform_vertices(
@@ -387,6 +416,14 @@ class PolygonCollisionProbabilityModel:
             configs.position[:, 0], configs.position[:, 1],
             configs.pose_theta,
         )
+        if resolve_impl(impl, robot) == "pallas":
+            from collide2d_tpu.ops.manifold_pallas import (
+                polygon_manifold_pallas,
+            )
+
+            return polygon_manifold_pallas(
+                robot, configs.obstacle_verts, margin=margin
+            )
         return polygon_contact_manifold(
             robot, configs.obstacle_verts, margin=margin
         )

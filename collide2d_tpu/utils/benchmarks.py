@@ -1421,6 +1421,45 @@ def bench_manifold(pairs: int = 1 << 20, k: int = 8, iters: int = 20) -> dict:
     }
 
 
+def bench_manifold_pallas(
+    pairs: int = 1 << 22, k: int = 8, iters: int = 50
+) -> dict:
+    """Fused contact-manifold kernel (ops/manifold_pallas.py) — the
+    gather-free select-carried clip, ~800 flops/pair at k=8 (cheaper
+    than the distance kernel: one-sided separations + a 2-segment
+    clip)."""
+    from collide2d_tpu.ops.manifold_pallas import polygon_manifold_pallas_t
+    from collide2d_tpu.ops.polygon_pallas import pack_polygons
+
+    p1 = _random_convex_polygons(pairs, k, 0, 10.0)
+    p2 = _random_convex_polygons(pairs, k, 1, 10.0)
+    t1 = jax.block_until_ready(pack_polygons(p1))
+    t2 = jax.block_until_ready(pack_polygons(p2))
+
+    @jax.jit
+    def loop(t1, t2, n):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            out = polygon_manifold_pallas_t(t1, t2 + shift, k1=k, k2=k)
+            return acc + jnp.sum(out[0]) + jnp.sum(out[5])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (t1, t2, jnp.int32(1)), (t1, t2, jnp.int32(1 + iters)), iters
+    )
+    rate = pairs / dt
+    return {
+        "metric": "manifold_pairs_per_sec_pallas",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "k": k,
+        "pairs": pairs,
+        "seconds_per_iter": dt,
+    }
+
+
 def bench_scene(n: int = 2048, k: int = 8, iters: int = 10,
                 row_tile: int = 64) -> dict:
     """N-body scene-query throughput (ops/scene.py): effective SAT
@@ -1468,6 +1507,8 @@ def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     out.append(json.dumps(bench_sat(pairs=pairs, iters=iters)))
     out.append(json.dumps(bench_manifold(
         pairs=1 << 20 if on_tpu else 1 << 14)))
+    if on_tpu:
+        out.append(json.dumps(bench_manifold_pallas()))
     out.append(json.dumps(bench_scene(n=2048 if on_tpu else 256)))
     out.append(json.dumps(bench_mc()))
     if on_tpu:

@@ -266,3 +266,96 @@ def test_degenerate_all_zero_edges_empty_manifold():
             np.testing.assert_allclose(p, [0.5, 0.5], atol=1e-6)
         # Depth = distance from the point to the square's nearest face.
         np.testing.assert_allclose(dep[:count], 0.5, atol=1e-6)
+
+
+def test_pallas_kernel_matches_xla_interpret(rng):
+    from collide2d_tpu.ops.manifold_pallas import polygon_manifold_pallas
+
+    p1, p2 = _random_pair_batch(rng, n=160)
+    want = [np.array(a) for a in polygon_contact_manifold(p1, p2)]
+    got = [
+        np.array(a) for a in polygon_manifold_pallas(p1, p2, interpret=True)
+    ]
+    np.testing.assert_array_equal(got[0], want[0])  # counts exact
+    assert (want[0] > 0).sum() >= 8  # the batch has real contacts
+    for i in range(len(want[0])):
+        c = int(want[0][i])
+        if c == 0:
+            continue
+        np.testing.assert_allclose(got[1][i][:c], want[1][i][:c], atol=2e-5)
+        np.testing.assert_allclose(got[2][i][:c], want[2][i][:c], atol=2e-5)
+        np.testing.assert_allclose(got[3][i], want[3][i], atol=2e-5)
+
+
+def test_pallas_kernel_margin_and_degenerate(rng):
+    from collide2d_tpu.ops.manifold_pallas import polygon_manifold_pallas
+
+    # Speculative margin: mirror the XLA margin test through the kernel.
+    a = np.broadcast_to(_square(0, 0, 1.0), (8, 4, 2)).copy()
+    b = np.broadcast_to(_square(0, 2.05, 1.0), (8, 4, 2)).copy()
+    count, pts, dep, nrm = map(
+        np.array,
+        polygon_manifold_pallas(
+            jnp.asarray(a), jnp.asarray(b), margin=0.1, interpret=True
+        ),
+    )
+    assert (count == 2).all()
+    np.testing.assert_allclose(dep, -0.05, atol=1e-6)
+    np.testing.assert_allclose(
+        nrm, np.broadcast_to([0.0, 1.0], nrm.shape), atol=1e-6
+    )
+
+    # Both-degenerate rows -> empty manifold, same as the XLA fix.
+    pt = np.tile(np.array([[0.5, 0.5]], np.float32), (8, 4, 1))
+    count, _, _, _ = map(
+        np.array,
+        polygon_manifold_pallas(
+            jnp.asarray(pt), jnp.asarray(pt), interpret=True
+        ),
+    )
+    assert (count == 0).all()
+
+
+def test_pallas_kernel_non_aligned_n_and_mixed_k(rng):
+    from collide2d_tpu.ops.manifold_pallas import polygon_manifold_pallas
+
+    # n not a multiple of 8*block exercises the pair padding; k1 != k2
+    # exercises the in-kernel common-k incident loop.
+    p1, p2 = _random_pair_batch(rng, n=96)
+    p1 = p1[:41, :5]  # k=5 slice of repeat-padded 8-gons stays convex?
+    # no: slicing vertices breaks convex closure — instead repeat-pad a
+    # true pentagon batch.
+    from tests.test_sat import _regular_polygon
+
+    P1 = np.stack([
+        _regular_polygon(5, 1.0 + 0.1 * i, 0.1 * i, -0.05 * i, 0.3 * i)
+        for i in range(41)
+    ])
+    P2 = np.stack([
+        np.concatenate([
+            (g := _regular_polygon(7, 0.8 + 0.05 * i, 0.6, 0.2 * i - 2.0,
+                                   0.1 * i)),
+            np.repeat(g[-1:], 1, 0),
+        ])
+        for i in range(41)
+    ])  # k=8 repeat-padded 7-gons
+    want = [
+        np.array(a)
+        for a in polygon_contact_manifold(jnp.asarray(P1), jnp.asarray(P2))
+    ]
+    got = [
+        np.array(a)
+        for a in polygon_manifold_pallas(
+            jnp.asarray(P1), jnp.asarray(P2), interpret=True, block=8
+        )
+    ]
+    np.testing.assert_array_equal(got[0], want[0])
+    for i in range(41):
+        c = int(want[0][i])
+        if c:
+            np.testing.assert_allclose(
+                got[1][i][:c], want[1][i][:c], atol=2e-5
+            )
+            np.testing.assert_allclose(
+                got[3][i], want[3][i], atol=2e-5
+            )
