@@ -17,10 +17,11 @@ would skip, so dense masked execution wins):
   broadcast: the MXU/VPU stream at full occupancy, no data-dependent
   control flow, jit/shard-safe (shard the row axis across chips; each
   shard needs only its row block plus the replicated vertex table).
-- `scene_colliding_pairs` — the fixed-capacity (i, j) pair list
-  extracted from the matrix's upper triangle: the TPU-shaped form of a
-  dynamic contact list (static ``capacity`` slots + a count + an
-  overflow flag instead of a variable-length vector).
+- `scene_colliding_pairs` — the fixed-capacity (i, j) pair list: the
+  TPU-shaped form of a dynamic contact list (static ``capacity`` slots
+  + a count + an overflow flag instead of a variable-length vector).
+  Streams row tiles through a `lax.scan` WITHOUT materializing the
+  matrix, so it scales to scenes where (N, N) booleans would not fit.
 
 Padding follows `sat.sat_polygons` (repeat-last or per-shape ``mask``);
 shapes of different vertex counts share one table by padding to a
@@ -101,17 +102,62 @@ def scene_colliding_pairs(
     is then the first ``capacity`` pairs in row-major order — re-call
     with a larger capacity for the rest).
 
-    Jittable end to end (``capacity`` is a static shape); one extra
-    O(N^2) pass over the matrix, no host sync.
+    Jittable end to end (``capacity`` is a static shape), no host sync,
+    and the (N, N) matrix is never materialized: row tiles stream
+    through a `lax.scan` whose carry is the pair buffer, so peak memory
+    is O(row_tile * N) — 10^5-shape scenes fit where the dense matrix
+    would need gigabytes. Extraction costs O(n_tiles * capacity)
+    scatter work on top of the O(N^2) narrow phase; very large
+    ``capacity`` with tiny ``row_tile`` shifts the balance — raise
+    ``row_tile`` if extraction ever dominates.
     """
-    m = scene_collision_matrix(polys, mask, row_tile=row_tile)
-    n = m.shape[0]
-    upper = m & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
-    flat = upper.reshape(-1)
-    total = jnp.sum(flat, dtype=jnp.int32)
-    idx = jnp.flatnonzero(flat, size=capacity, fill_value=0)
-    valid = jnp.arange(capacity) < total
-    pairs = jnp.stack([idx // n, idx % n], axis=-1).astype(jnp.int32)
+    # Streaming extraction: one row tile at a time, pairs accumulated
+    # into the fixed-capacity buffer inside a lax.scan carry — the
+    # (N, N) matrix is NEVER materialized, so the memory wall moves from
+    # O(N^2) to O(row_tile * N) and N = 10^5-scale scenes fit on-chip.
+    polys = _normalize_padding(jnp.asarray(polys, jnp.float32), mask)
+    n = polys.shape[0]
+    tile = min(row_tile, n)
+    pad = (-n) % tile
+    rows = polys
+    if pad:
+        rows = jnp.concatenate(
+            [polys, jnp.broadcast_to(polys[-1:], (pad,) + polys.shape[1:])],
+            axis=0,
+        )
+    tiles = rows.reshape(-1, tile, *polys.shape[1:])
+    n_tiles = tiles.shape[0]
+    col = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+
+    def body(carry, inp):
+        buf, cnt = carry
+        t_idx, block = inp
+        row = t_idx * tile + jnp.arange(tile, dtype=jnp.int32)
+        hit = sat_polygons(block[:, None], polys[None]) == 1  # (tile, N)
+        upper = hit & (row[:, None] < col[None, :]) & (row[:, None] < n)
+        flat = upper.reshape(-1)
+        t_total = jnp.sum(flat, dtype=jnp.int32)
+        # First `capacity` hits of this tile in row-major order — enough
+        # to preserve the global first-`capacity` prefix (a tile that
+        # truncates here necessarily overflows the whole query).
+        idx = jnp.flatnonzero(flat, size=capacity, fill_value=0)
+        pi = row[0] + (idx // n).astype(jnp.int32)
+        pj = (idx % n).astype(jnp.int32)
+        dst = jnp.where(slot < t_total, cnt + slot, capacity)  # drop o.o.b.
+        buf = buf.at[dst].set(
+            jnp.stack([pi, pj], axis=-1), mode="drop"
+        )
+        return (buf, cnt + t_total), None
+
+    buf0 = jnp.zeros((capacity, 2), jnp.int32)
+    (pairs, total), _ = jax.lax.scan(
+        body, (buf0, jnp.int32(0)),
+        (jnp.arange(n_tiles, dtype=jnp.int32), tiles),
+    )
+    # Rows past the final count keep whatever a dropped write left —
+    # zero them to honor the zero-fill contract.
+    valid = slot < total
     pairs = jnp.where(valid[:, None], pairs, 0)
     return pairs, jnp.minimum(total, capacity), total > capacity
 

@@ -152,3 +152,20 @@ def test_scene_contact_manifolds(rng):
         np.testing.assert_allclose(dep[r], wd, atol=1e-6)
         np.testing.assert_allclose(nrm[r], wn, atol=1e-6)
         assert wc >= 1  # every listed pair genuinely collides
+
+
+def test_streaming_pairs_match_matrix_large(rng):
+    # The streaming extractor (no materialized matrix) must agree with
+    # the matrix path across tile boundaries and odd N.
+    polys = _random_scene(rng, n=203, spread=10.0)
+    m = np.array(scene_collision_matrix(polys))
+    want = np.argwhere(np.triu(m, k=1))
+    for tile in (8, 64, 203):
+        pairs, count, overflow = map(
+            np.array,
+            scene_colliding_pairs(polys, capacity=1024, row_tile=tile),
+        )
+        assert not overflow
+        assert count == len(want), (tile, count, len(want))
+        np.testing.assert_array_equal(pairs[: len(want)], want)
+        assert (pairs[len(want):] == 0).all()
