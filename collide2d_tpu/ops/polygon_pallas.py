@@ -1,7 +1,7 @@
 """Pallas TPU kernel: batched convex k-gon SAT (true edge normals).
 
 The general-shape narrow phase of BASELINE.json config #4, as a
-fixed-shape kernel: polygons are padded to a static K (<= 8) by
+fixed-shape kernel: polygons are padded to a static K by
 REPEATING their last real vertex — a convention that makes vertex masks
 unnecessary inside the kernel:
 

@@ -359,3 +359,50 @@ def test_pallas_kernel_non_aligned_n_and_mixed_k(rng):
             np.testing.assert_allclose(
                 got[3][i], want[3][i], atol=2e-5
             )
+
+
+def test_fused_kernels_beyond_k8(rng):
+    # The documented fixed-k contract is k <= 8, but the kernels are
+    # generically unrolled: pin k = 12 so the wider-k capability (and
+    # its parity with the XLA paths) doesn't silently regress.
+    from collide2d_tpu.ops.distance import polygon_signed_distance
+    from collide2d_tpu.ops.distance_pallas import polygon_distance_pallas
+    from collide2d_tpu.ops.manifold_pallas import polygon_manifold_pallas
+    from collide2d_tpu.ops.polygon_pallas import sat_polygons_pallas
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    k, n = 12, 64
+    ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        a = ang[None] + r.uniform(0, 7, n)[:, None]
+        rad = r.uniform(0.5, 2, n)[:, None]
+        return jnp.asarray(np.stack([
+            r.uniform(-3, 3, n)[:, None] + rad * np.cos(a),
+            r.uniform(-3, 3, n)[:, None] + rad * np.sin(a),
+        ], -1).astype(np.float32))
+
+    p1, p2 = batch(0), batch(1)
+    np.testing.assert_array_equal(
+        np.array(sat_polygons_pallas(p1, p2, interpret=True, block=8)),
+        np.array(sat_polygons(p1, p2)),
+    )
+    np.testing.assert_allclose(
+        np.array(polygon_distance_pallas(p1, p2, interpret=True, block=8)),
+        np.array(polygon_signed_distance(p1, p2)),
+        atol=2e-5,
+    )
+    want = [np.array(a) for a in polygon_contact_manifold(p1, p2)]
+    got = [
+        np.array(a)
+        for a in polygon_manifold_pallas(p1, p2, interpret=True, block=8)
+    ]
+    np.testing.assert_array_equal(got[0], want[0])
+    assert (want[0] > 0).sum() >= 5
+    for i in range(n):
+        c = int(want[0][i])
+        if c:
+            np.testing.assert_allclose(
+                got[1][i][:c], want[1][i][:c], atol=3e-5
+            )
