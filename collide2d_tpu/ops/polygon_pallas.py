@@ -19,6 +19,12 @@ projections, strict `<` separation).
 
 Layout mirrors ops.sat_pallas: a K-gon batch is (2K, 8, N/8) float32,
 rows [x0..x_{K-1}, y0..y_{K-1}], pair p at (s, l) = (p // (N/8), p % (N/8)).
+
+Practical K range: the framework's production surfaces use k <= 8, but
+the kernels here (and the distance/manifold siblings built on this
+layout) are generically unrolled — k = 12/16 are pinned correct against
+the XLA paths (tests/test_manifold.py::test_fused_kernels_beyond_k8).
+Trace size and flops grow O(K^2); very large K wants the XLA path.
 """
 
 from __future__ import annotations
