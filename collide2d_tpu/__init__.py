@@ -51,6 +51,11 @@ from collide2d_tpu.ops.manifold import (
     polygon_contact_manifold,
     rect_contact_manifold,
 )
+from collide2d_tpu.ops.raycast import (
+    polygon_raycast,
+    rect_raycast,
+    scene_raycast,
+)
 from collide2d_tpu.ops.scene import (
     scene_collision_matrix,
     scene_colliding_pairs,

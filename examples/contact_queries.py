@@ -79,4 +79,13 @@ c, p, dpt, nv = polygon_contact_manifold(
     jnp.asarray(scene[i]), jnp.asarray(scene[j])
 )
 assert int(c) == int(n_contacts[r])
+
+# 5. Ray casting: where does a ray first hit? (per-shape or whole-scene)
+from collide2d_tpu import scene_raycast
+
+t_hit, hit_idx, hit_normal = scene_raycast(
+    jnp.asarray([-6.0, 0.0]), jnp.asarray([1.0, 0.0]), jnp.asarray(scene)
+)
+print(f"ray from (-6,0) along +x: hits shape {int(hit_idx)} at t="
+      f"{float(t_hit):.3f}, normal {np.asarray(hit_normal).round(3).tolist()}")
 print("done.")
