@@ -28,6 +28,7 @@ from collide2d_tpu.ops.geometry import (
     transform_vertices,
     rects_from_params,
     polygon_aabb,
+    convex_hull,
 )
 from collide2d_tpu.ops.sat import (
     sat_rects_reference,

@@ -14,6 +14,7 @@ jit/vmap-safe (static shapes, no Python control flow on traced values).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -113,3 +114,89 @@ def edge_normals(vertices: Array) -> Array:
     """
     e = polygon_edges(vertices)
     return jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
+
+
+def convex_hull(points: Array, k_out: int | None = None,
+                mask: Array | None = None) -> Array:
+    """Batched convex hull — gift wrapping (Jarvis march), branch-free.
+
+    ``points``: ``B + (n, 2)`` float32. Returns ``B + (k_out, 2)`` CCW
+    hull vertices starting from the lowest point (ties toward smaller
+    x), REPEAT-LAST padded when the hull has fewer than ``k_out``
+    vertices — i.e. the exact polygon convention every query in this
+    framework consumes (`sat.sat_polygons` padding contract), so
+    ``sat_polygons(convex_hull(a), convex_hull(b))`` just works.
+    ``k_out`` defaults to ``n`` (always enough); ``mask`` (``B+(n,)``
+    bool) excludes padding points from the input set.
+
+    Fixed shapes throughout: ``k_out`` steps of one angular argmin over
+    n candidates (O(k_out * n) per element, jit/vmap/shard-safe, no
+    data-dependent control flow). Contract notes: duplicate points are
+    fine; exactly-collinear hull-edge points may appear as (harmless)
+    collinear vertices — the polygon is still convex, CCW, and every
+    input point lies inside it. If ``k_out`` is smaller than the true
+    hull size the first ``k_out`` hull vertices are returned (a convex
+    subset boundary, NOT a superset of the points).
+
+    A TPU-native replacement for the usual stack-based monotone chain,
+    whose data-dependent pops don't vectorize.
+    """
+    p = jnp.asarray(points, jnp.float32)
+    n = p.shape[-2]
+    if k_out is None:
+        k_out = n
+    valid_in = (
+        jnp.ones(p.shape[:-1], bool) if mask is None
+        else jnp.broadcast_to(mask, p.shape[:-1])
+    )
+    inf = jnp.float32(jnp.inf)
+    x, y = p[..., 0], p[..., 1]
+
+    # Start: lowest point, ties toward smaller x (guaranteed on hull).
+    ymin = jnp.min(jnp.where(valid_in, y, inf), axis=-1, keepdims=True)
+    xkey = jnp.where(valid_in & (y == ymin), x, inf)
+    i0 = jnp.argmin(xkey, axis=-1)  # B
+
+    def take(idx):
+        return jnp.take_along_axis(p, idx[..., None, None], axis=-2)[
+            ..., 0, :
+        ]
+
+    c0 = take(i0)
+    two_pi = jnp.float32(2.0 * jnp.pi)
+
+    def body(step, carry):
+        out, c, dref, done = carry
+        out = jax.lax.dynamic_update_index_in_dim(
+            out, c, step, axis=out.ndim - 2
+        )
+        v = p - c[..., None, :]  # B+(n,2)
+        vv = jnp.sum(v * v, axis=-1)
+        cand = valid_in & (vv > 0)
+        # CCW turn angle from the incoming edge direction, in [0, 2pi).
+        ang = jnp.arctan2(
+            dref[..., 0][..., None] * v[..., 1]
+            - dref[..., 1][..., None] * v[..., 0],
+            dref[..., 0][..., None] * v[..., 0]
+            + dref[..., 1][..., None] * v[..., 1],
+        )
+        ang = jnp.where(ang < 0, ang + two_pi, ang)
+        score = jnp.where(cand, ang, inf)
+        j = jnp.argmin(score, axis=-1)
+        nxt = take(j)
+        # Wrap: back at the start, or no candidate left (all duplicates).
+        done = done | (j == i0) | ~jnp.any(cand, axis=-1)
+        keep = done[..., None]
+        new_dref = jnp.where(keep, dref, nxt - c)
+        c = jnp.where(keep, c, nxt)
+        return out, c, new_dref, done
+
+    out0 = jnp.zeros(p.shape[:-2] + (k_out, 2), jnp.float32)
+    dref0 = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0], jnp.float32), c0.shape
+    )
+    done0 = jnp.zeros(p.shape[:-2], bool)
+    out, _, _, _ = jax.lax.fori_loop(
+        0, k_out, body, (out0, c0, dref0, done0)
+    )
+    return out

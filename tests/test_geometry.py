@@ -1,6 +1,7 @@
 """Geometry layer vs the reference vertex-layout contract (utils.cu:119-142)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import SAT
@@ -69,3 +70,93 @@ def test_edge_normals_perpendicular():
     e = np.roll(np.array(v), -1, axis=-2) - np.array(v)
     dots = (n * e).sum(-1)
     np.testing.assert_allclose(dots, 0.0, atol=1e-6)
+
+
+def _hull_oracle(pts):
+    """Andrew monotone chain (float64), CCW, no collinear vertices."""
+    pts = sorted(map(tuple, np.asarray(pts, np.float64)))
+    pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+    if len(pts) <= 2:
+        return np.array(pts, np.float64)
+
+    def half(seq):
+        out = []
+        for q in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (q[1] - oy) - (ay - oy) * (q[0] - ox) > 0:
+                    break
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return np.array(lower[:-1] + upper[:-1], np.float64)
+
+
+def test_convex_hull_matches_oracle_and_feeds_queries():
+    from collide2d_tpu.ops.geometry import convex_hull
+    from collide2d_tpu.ops.sat import sat_polygons
+
+    rng = np.random.default_rng(11)
+    B, n = 48, 24
+    pts = rng.uniform(-3, 3, (B, n, 2)).astype(np.float32)
+    hull = np.array(convex_hull(jnp.asarray(pts)))
+    assert hull.shape == (B, n, 2)
+    for b in range(B):
+        want = _hull_oracle(pts[b])
+        # Unique vertices of ours == the oracle's vertex set (random
+        # floats: no exact collinearity, so the sets coincide).
+        got = np.unique(hull[b], axis=0)
+        np.testing.assert_allclose(
+            got, np.unique(want.astype(np.float32), axis=0), atol=0
+        )
+        # CCW order: positive signed area.
+        x, y = hull[b, :, 0], hull[b, :, 1]
+        area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        assert area2 > 0
+        # Repeat-last padding: after the wrap, rows repeat the last
+        # hull vertex.
+        h = len(want)
+        assert (hull[b, h:] == hull[b, h - 1]).all()
+    # The output feeds the query layer directly: every source point
+    # (as a degenerate repeat-padded point polygon) collides with —
+    # i.e. lies inside — its own hull.
+    hulls_rep = np.repeat(hull, n, axis=0)  # (B*n, n, 2)
+    point_polys = np.repeat(
+        pts.reshape(B * n, 1, 2), 4, axis=1
+    )  # (B*n, 4, 2)
+    lab = np.array(
+        sat_polygons(jnp.asarray(hulls_rep), jnp.asarray(point_polys))
+    )
+    assert (lab == 1).all()
+
+
+def test_convex_hull_edge_cases():
+    from collide2d_tpu.ops.geometry import convex_hull
+
+    # All points identical -> that point repeated.
+    pt = np.full((6, 2), 1.5, np.float32)
+    h = np.array(convex_hull(jnp.asarray(pt)))
+    assert (h == 1.5).all()
+    # Mask excludes outliers.
+    pts = np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1], [9, 9]], np.float32
+    )
+    m = jnp.asarray([True, True, True, True, False])
+    h = np.array(convex_hull(jnp.asarray(pts), mask=m))
+    assert h.max() <= 1.0
+    # k_out smaller than n still returns hull vertices only.
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (32, 2)).astype(np.float32)
+    h8 = np.array(convex_hull(jnp.asarray(pts), k_out=8))
+    want = _hull_oracle(pts).astype(np.float32)
+    for row in h8:
+        assert any((row == w).all() for w in want)
+    # jit/vmap compose.
+    batch = jnp.asarray(rng.uniform(-1, 1, (4, 16, 2)).astype(np.float32))
+    a = np.array(jax.jit(convex_hull)(batch))
+    b = np.array(jax.vmap(lambda q: convex_hull(q))(batch))
+    np.testing.assert_array_equal(a, b)
