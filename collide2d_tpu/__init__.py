@@ -116,6 +116,7 @@ __all__ = [
     "transform_vertices",
     "rects_from_params",
     "polygon_aabb",
+    "convex_hull",
     "sat_rects_reference",
     "sat_rects",
     "sat_polygons",
@@ -128,6 +129,14 @@ __all__ = [
     "polygon_translation_toi_parts",
     "rect_time_of_impact",
     "rect_translation_toi",
+    "polygon_contact_manifold",
+    "rect_contact_manifold",
+    "polygon_raycast",
+    "rect_raycast",
+    "scene_raycast",
+    "scene_collision_matrix",
+    "scene_colliding_pairs",
+    "scene_contact_manifolds",
     "aabb_overlap",
     "candidate_mask",
     "collide_candidates",
