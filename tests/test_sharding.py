@@ -486,3 +486,43 @@ def test_moving_sample_axis_bitwise(rng, devices):
         jnp.int32(8), step_samples=64, use_vertices=False, mesh=mesh,
     ))
     np.testing.assert_array_equal(got, base)
+
+
+def test_query_layer_config_dp_bitwise(rng, devices):
+    # The round-3 query layer (manifold, raycast, hull) under config-axis
+    # DP: sharding the batch must be a value-level no-op (GSPMD inserts
+    # no value-changing collectives for elementwise batch ops).
+    from jax.sharding import Mesh
+
+    from collide2d_tpu.ops.geometry import convex_hull
+    from collide2d_tpu.ops.manifold import polygon_contact_manifold
+    from collide2d_tpu.ops.raycast import polygon_raycast
+    from tests.test_distance import _random_pair_batch
+
+    p1, p2 = _random_pair_batch(rng, n=96)
+    o = jnp.asarray(rng.uniform(-6, 6, (96, 2)).astype(np.float32))
+    d = jnp.asarray(rng.uniform(-1, 1, (96, 2)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-2, 2, (96, 12, 2)).astype(np.float32))
+
+    # jit both sides: eager-vs-jit fusion differences are rounding
+    # noise unrelated to sharding; the DP claim is jit vs jit.
+    base_m = [np.array(a) for a in jax.jit(polygon_contact_manifold)(p1, p2)]
+    base_r = [np.array(a) for a in jax.jit(polygon_raycast)(o, d, p1)]
+    base_h = np.array(jax.jit(convex_hull)(pts))
+
+    mesh = Mesh(np.array(devices[:8]), ("config",))
+    sh = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    p1s = sh(p1, P("config", None, None))
+    p2s = sh(p2, P("config", None, None))
+    os_ = sh(o, P("config", None))
+    ds = sh(d, P("config", None))
+    ptss = sh(pts, P("config", None, None))
+
+    got_m = [np.array(a) for a in jax.jit(polygon_contact_manifold)(p1s, p2s)]
+    got_r = [np.array(a) for a in jax.jit(polygon_raycast)(os_, ds, p1s)]
+    got_h = np.array(jax.jit(convex_hull)(ptss))
+    for a, b in zip(base_m, got_m):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(base_r, got_r):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(base_h, got_h)
