@@ -185,6 +185,8 @@ def main() -> int:
         bench_polygon_distance,
         bench_polygon_distance_pallas,
         bench_scene,
+        bench_scene_raycast,
+        bench_scene_raycast_pallas,
         bench_toi_pallas,
     )
 
@@ -198,6 +200,8 @@ def main() -> int:
         bench_manifold,
         bench_manifold_pallas,
         bench_scene,
+        bench_scene_raycast,
+        bench_scene_raycast_pallas,
         bench_toi_pallas,
         bench_mc,
         bench_mc_pallas,

@@ -127,6 +127,7 @@ def scene_raycast(
     mask: Array | None = None,
     *,
     t_max: float = jnp.inf,
+    impl: str = "jnp",
 ) -> tuple[Array, Array, Array]:
     """First hit of ONE ray (or a batch of rays) against a SET of
     shapes: broadcast `polygon_raycast` over the shape axis and argmin.
@@ -137,9 +138,26 @@ def scene_raycast(
     (0 when nothing hit — check ``t``), and its entry normal. The
     raycast analogue of `scene.scene_collision_matrix`'s all-pairs
     broadcast; O(N k) per ray, dense and branch-free.
+
+    ``impl``: 'jnp' (default — differentiable XLA path), 'pallas' (the
+    fused `ops.raycast_pallas` kernel: scene tables VMEM-resident, rays
+    streamed; values to f32 rounding of the same window math), or
+    'auto' (pallas on TPU data). The fused kernel takes 1-D ray batches
+    — other shapes fall back to the XLA path.
     """
     origin = jnp.asarray(origin, jnp.float32)
     direction = jnp.asarray(direction, jnp.float32)
+    if origin.ndim == 2 and direction.ndim == 2 and jnp.ndim(polys) == 3:
+        from collide2d_tpu.mc.estimator import resolve_impl
+
+        if resolve_impl(impl, origin) == "pallas":
+            from collide2d_tpu.ops.raycast_pallas import (
+                scene_raycast_pallas,
+            )
+
+            return scene_raycast_pallas(
+                origin, direction, polys, mask, t_max=t_max
+            )
     ts, normals = polygon_raycast(
         origin[..., None, :], direction[..., None, :], polys, mask,
         t_max=t_max,

@@ -1494,6 +1494,88 @@ def bench_scene(n: int = 2048, k: int = 8, iters: int = 10,
     }
 
 
+def bench_scene_raycast(
+    rays: int = 1 << 18, n_shapes: int = 64, k: int = 8, iters: int = 10
+) -> dict:
+    """Scene raycast, XLA path (ops/raycast.py): R rays x N shapes
+    broadcast + argmin — the (R, N, k) face-window intermediates all
+    round-trip HBM, which is what the fused kernel removes."""
+    from collide2d_tpu.ops.raycast import scene_raycast
+
+    polys = jax.block_until_ready(
+        _random_convex_polygons(n_shapes, k, 3, 40.0))
+    key = jax.random.PRNGKey(11)
+    o = jax.random.uniform(key, (rays, 2), jnp.float32, -50, 50)
+    d = jax.random.normal(jax.random.fold_in(key, 1), (rays, 2))
+    o, d = jax.block_until_ready((o, d))
+
+    @jax.jit
+    def loop(o, d, polys, reps):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            t, idx, nrm = scene_raycast(o + shift, d, polys)
+            return acc + jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (o, d, polys, jnp.int32(1)),
+        (o, d, polys, jnp.int32(1 + iters)), iters
+    )
+    rate = rays / dt
+    return {
+        "metric": "scene_rays_per_sec",
+        "value": rate,
+        "unit": "rays/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "rays": rays,
+        "n_shapes": n_shapes,
+        "k": k,
+        "seconds_per_iter": dt,
+    }
+
+
+def bench_scene_raycast_pallas(
+    rays: int = 1 << 22, n_shapes: int = 64, k: int = 8, iters: int = 20
+) -> dict:
+    """Fused scene-raycast kernel (ops/raycast_pallas.py): the scene's
+    half-plane tables stay VMEM-resident, rays stream at 16 bytes in /
+    20 out — the lidar workload at VPU speed instead of HBM speed."""
+    from collide2d_tpu.ops.raycast_pallas import scene_raycast_pallas
+
+    polys = jax.block_until_ready(
+        _random_convex_polygons(n_shapes, k, 3, 40.0))
+    key = jax.random.PRNGKey(11)
+    o = jax.random.uniform(key, (rays, 2), jnp.float32, -50, 50)
+    d = jax.random.normal(jax.random.fold_in(key, 1), (rays, 2))
+    o, d = jax.block_until_ready((o, d))
+
+    @jax.jit
+    def loop(o, d, polys, reps):
+        def body(i, acc):
+            shift = i.astype(jnp.float32) * jnp.float32(1e-7)
+            t, idx, nrm = scene_raycast_pallas(o + shift, d, polys)
+            return acc + jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = _diff_time(
+        loop, (o, d, polys, jnp.int32(1)),
+        (o, d, polys, jnp.int32(1 + iters)), iters
+    )
+    rate = rays / dt
+    return {
+        "metric": "scene_rays_per_sec_pallas",
+        "value": rate,
+        "unit": "rays/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "rays": rays,
+        "n_shapes": n_shapes,
+        "k": k,
+        "seconds_per_iter": dt,
+    }
+
+
 def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     # Pallas kernels need TPU hardware (no CPU lowering for the TPU
     # memory spaces / PRNG); keep `collide2d bench` usable on CPU-only
@@ -1510,6 +1592,11 @@ def run_all(pairs: int = 1 << 22, iters: int = 20) -> list[str]:
     if on_tpu:
         out.append(json.dumps(bench_manifold_pallas()))
     out.append(json.dumps(bench_scene(n=2048 if on_tpu else 256)))
+    out.append(json.dumps(bench_scene_raycast(
+        rays=1 << 18 if on_tpu else 1 << 12,
+        n_shapes=64 if on_tpu else 16)))
+    if on_tpu:
+        out.append(json.dumps(bench_scene_raycast_pallas()))
     out.append(json.dumps(bench_mc()))
     if on_tpu:
         try:

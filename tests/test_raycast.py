@@ -167,3 +167,75 @@ def test_scene_raycast_argmin(rng):
     assert tb.shape == (3,) and ib.shape == (3,) and nb.shape == (3, 2)
     np.testing.assert_allclose(np.array(tb)[:2], [3.0, 1.0], atol=1e-6)
     assert np.isinf(np.array(tb)[2])
+
+
+def test_scene_raycast_pallas_matches_xla(rng):
+    # the fused scene kernel vs the XLA broadcast+argmin, interpret
+    # mode: identical hit/miss and hit-shape decisions away from razor
+    # ties, t/normal to f32 rounding (the kernel pre-normalizes face
+    # normals; ratios are scale-invariant). Exercises R/N padding
+    # (67 rays, 11 shapes), mask padding, and t_max.
+    from collide2d_tpu.ops.raycast_pallas import scene_raycast_pallas
+
+    n, r, k = 11, 67, 7
+    polys = np.stack([
+        _regular_polygon(
+            k, rng.uniform(0.3, 1.2), rng.uniform(-6, 6),
+            rng.uniform(-6, 6), rng.uniform(0, 7))
+        for _ in range(n)
+    ]).astype(np.float32)
+    # Repeat-pad two shapes down to pentagons through the mask path.
+    mask = np.ones((n, k), bool)
+    mask[0, 5:] = False
+    mask[1, 6:] = False
+    o = rng.uniform(-8, 8, (r, 2)).astype(np.float32)
+    d = rng.uniform(-1, 1, (r, 2)).astype(np.float32)
+    for t_max in (np.inf, 4.0):
+        ref_t, ref_i, ref_n = scene_raycast(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(polys),
+            jnp.asarray(mask), t_max=t_max)
+        got_t, got_i, got_n = scene_raycast_pallas(
+            o, d, polys, jnp.asarray(mask), t_max=t_max,
+            block=16, interpret=True)
+        ref_t, got_t = np.array(ref_t), np.array(got_t)
+        assert np.array_equal(np.isinf(ref_t), np.isinf(got_t))
+        assert np.isfinite(ref_t).any() and np.isinf(ref_t).any()
+        m = np.isfinite(ref_t)
+        np.testing.assert_allclose(got_t[m], ref_t[m], atol=1e-5)
+        # Hit-shape agreement away from razor ties: exclude rays whose
+        # two nearest per-shape hits are within the fp tolerance.
+        from collide2d_tpu.ops.raycast import polygon_raycast as praycast
+
+        ts_all = np.array(praycast(
+            jnp.asarray(o)[:, None, :], jnp.asarray(d)[:, None, :],
+            jnp.asarray(polys), jnp.asarray(mask), t_max=t_max)[0])
+        two = np.sort(ts_all, axis=1)[:, :2]
+        with np.errstate(invalid="ignore"):  # inf - inf on all-miss rays
+            clear = m & (
+                np.isinf(two[:, 1]) | (two[:, 1] - two[:, 0] > 1e-4)
+            )
+        assert clear.any()
+        np.testing.assert_array_equal(
+            np.array(got_i)[clear], np.array(ref_i)[clear])
+        np.testing.assert_allclose(
+            np.array(got_n)[clear], np.array(ref_n)[clear], atol=1e-5)
+
+
+def test_scene_raycast_pallas_conventions():
+    # inside-start (t=0, zero normal), miss (t=+inf, idx 0), degenerate
+    # point shape never hit, first-wins tie on coincident shapes.
+    from collide2d_tpu.ops.raycast_pallas import scene_raycast_pallas
+
+    sq = _sq(4.0, 0.0, 1.0)
+    pt = np.tile(np.array([[9.0, 9.0]], np.float32), (4, 1))
+    scene = np.stack([pt, sq, sq])  # duplicate squares tie exactly
+    o = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, -9.0]], np.float32)
+    d = np.array([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]], np.float32)
+    t, idx, nrm = scene_raycast_pallas(o, d, scene, block=8,
+                                       interpret=True)
+    t, idx, nrm = np.array(t), np.array(idx), np.array(nrm)
+    np.testing.assert_allclose(t[0], 3.0, atol=1e-6)
+    assert idx[0] == 1  # first of the tied duplicates, like argmin
+    np.testing.assert_allclose(nrm[0], [-1.0, 0.0], atol=1e-6)
+    assert t[1] == 0.0 and np.all(nrm[1] == 0.0)  # inside start
+    assert np.isinf(t[2]) and idx[2] == 0 and np.all(nrm[2] == 0.0)
