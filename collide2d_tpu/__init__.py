@@ -60,6 +60,7 @@ from collide2d_tpu.ops.raycast import (
 from collide2d_tpu.ops.scene import (
     scene_collision_matrix,
     scene_colliding_pairs,
+    scene_colliding_pairs_swept,
     scene_contact_manifolds,
 )
 from collide2d_tpu.ops.broad_phase import (
@@ -136,6 +137,7 @@ __all__ = [
     "scene_raycast",
     "scene_collision_matrix",
     "scene_colliding_pairs",
+    "scene_colliding_pairs_swept",
     "scene_contact_manifolds",
     "aabb_overlap",
     "candidate_mask",

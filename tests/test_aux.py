@@ -317,7 +317,8 @@ def test_run_all_survives_missing_optax(monkeypatch):
     from collide2d_tpu.utils import benchmarks as bm
 
     legs = ("bench_sat", "bench_manifold", "bench_scene",
-            "bench_scene_raycast", "bench_mc", "bench_e2e")
+            "bench_scene_swept", "bench_scene_raycast", "bench_mc",
+            "bench_e2e")
     for name in legs:
         monkeypatch.setattr(
             bm, name, lambda *a, _n=name, **k: {"metric": _n, "value": 1.0}

@@ -169,3 +169,96 @@ def test_streaming_pairs_match_matrix_large(rng):
         assert count == len(want), (tile, count, len(want))
         np.testing.assert_array_equal(pairs[: len(want)], want)
         assert (pairs[len(want):] == 0).all()
+
+
+def test_swept_full_window_equals_dense(rng):
+    from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
+
+    polys = _random_scene(rng, n=60)
+    dp, dc, dov = map(np.array, scene_colliding_pairs(polys, capacity=256))
+    assert not dov and dc >= 3
+    sp, sc, sov, wex = map(
+        np.array,
+        scene_colliding_pairs_swept(polys, capacity=256, window=59),
+    )
+    # window = N-1 covers every sorted successor: the certificate
+    # must hold and the result must equal the dense query exactly
+    # (same pairs, same row-major order, same zero fill).
+    assert not wex and not sov
+    assert sc == dc
+    np.testing.assert_array_equal(sp, dp)
+
+
+def test_swept_sparse_scene_small_window(rng):
+    from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
+
+    # Spread 250 shapes of radius <= 1.6 over a 60x60 box: few shapes
+    # share any x interval, so a small window certifies exactness.
+    polys = _random_scene(rng, n=250, spread=30.0)
+    dp, dc, dov = map(np.array, scene_colliding_pairs(polys, capacity=512))
+    assert not dov
+    sp, sc, sov, wex = map(
+        np.array,
+        scene_colliding_pairs_swept(polys, capacity=512, window=32),
+    )
+    assert not wex, "sparse scene should fit a window-32 sweep"
+    assert not sov
+    assert sc == dc
+    np.testing.assert_array_equal(sp, dp)
+
+
+def test_swept_window_exceeded_flag(rng):
+    from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
+
+    # A dense cluster: every shape x-overlaps every other, so any
+    # window < N-1 must raise the certificate flag, and every pair the
+    # sweep DOES return must still be genuinely colliding.
+    polys = _random_scene(rng, n=40, spread=0.5)
+    m = np.array(scene_collision_matrix(polys))
+    sp, sc, sov, wex = map(
+        np.array,
+        scene_colliding_pairs_swept(polys, capacity=1024, window=8),
+    )
+    assert wex
+    for i, j in sp[:sc]:
+        assert i < j and m[i, j]
+
+
+def test_swept_capacity_overflow(rng):
+    from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
+
+    polys = _random_scene(rng, n=60)
+    _, dc, _ = map(np.array, scene_colliding_pairs(polys, capacity=256))
+    cap = int(dc) - 1
+    sp, sc, sov, wex = map(
+        np.array,
+        scene_colliding_pairs_swept(polys, capacity=cap, window=59),
+    )
+    assert sov and not wex
+    assert sc == cap
+    m = np.array(scene_collision_matrix(polys))
+    for i, j in sp:
+        assert i < j and m[i, j]  # a valid subset, sweep-ordered
+
+
+def test_swept_mask_padding(rng):
+    from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
+
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    scene = np.stack([
+        np.concatenate([sq, sq[-1:]]),
+        np.concatenate([sq + [0.5, 0.5], (sq + [0.5, 0.5])[-1:]]),
+        np.concatenate([sq + [9.0, 9.0], (sq + [9.0, 9.0])[-1:]]),
+    ])
+    arb = scene.copy()
+    arb[:, -1] = 77.0  # garbage padding slot, masked out
+    mask = jnp.asarray(np.array([[True] * 4 + [False]] * 3))
+    sp, sc, sov, wex = map(
+        np.array,
+        scene_colliding_pairs_swept(
+            jnp.asarray(arb), mask, capacity=8, window=2
+        ),
+    )
+    assert not sov and not wex
+    assert sc == 1
+    np.testing.assert_array_equal(sp[0], [0, 1])
