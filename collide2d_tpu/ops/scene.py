@@ -268,13 +268,17 @@ def scene_colliding_pairs_swept(
     return pairs, count, total > capacity, window_exceeded
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "row_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "row_tile", "broad_phase", "window")
+)
 def scene_contact_manifolds(
     polys: Array,
     mask: Array | None = None,
     *,
     capacity: int,
     row_tile: int = 64,
+    broad_phase: str = "dense",
+    window: int = 64,
 ) -> tuple[Array, Array, Array, Array, Array, Array]:
     """Contact manifolds for every colliding pair in one shape set.
 
@@ -294,9 +298,24 @@ def scene_contact_manifolds(
     from collide2d_tpu.ops.manifold import polygon_contact_manifold
 
     polys = _normalize_padding(jnp.asarray(polys, jnp.float32), mask)
-    pairs, count, _ = scene_colliding_pairs(
-        polys, capacity=capacity, row_tile=row_tile
-    )
+    if broad_phase == "swept":
+        pairs, count, _, window_exceeded = scene_colliding_pairs_swept(
+            polys, capacity=capacity, window=window
+        )
+        # The certificate cannot abort a jit program; an uncertified
+        # sweep silently missing contacts would be a solver correctness
+        # bug, so surface it the fixed-shape way: zero the count (the
+        # caller's filter-by-count contract then yields no manifolds)
+        # rather than return a possibly-incomplete set as if complete.
+        count = jnp.where(window_exceeded, 0, count)
+    elif broad_phase == "dense":
+        pairs, count, _ = scene_colliding_pairs(
+            polys, capacity=capacity, row_tile=row_tile
+        )
+    else:
+        raise ValueError(
+            f"broad_phase must be 'dense' or 'swept', got {broad_phase!r}"
+        )
     p1 = jnp.take(polys, pairs[:, 0], axis=0)
     p2 = jnp.take(polys, pairs[:, 1], axis=0)
     n_contacts, points, depths, normals = polygon_contact_manifold(p1, p2)

@@ -262,3 +262,66 @@ def test_swept_mask_padding(rng):
     assert not sov and not wex
     assert sc == 1
     np.testing.assert_array_equal(sp[0], [0, 1])
+
+
+def test_swept_manifolds_match_dense(rng):
+    from collide2d_tpu.ops.scene import scene_contact_manifolds
+
+    polys = _random_scene(rng, n=250, spread=30.0)
+    dense = tuple(
+        map(np.array, scene_contact_manifolds(polys, capacity=512))
+    )
+    swept = tuple(
+        map(
+            np.array,
+            scene_contact_manifolds(
+                polys, capacity=512, broad_phase="swept", window=32
+            ),
+        )
+    )
+    assert swept[1] == dense[1] and dense[1] >= 1
+    for a, b in zip(dense, swept):
+        np.testing.assert_array_equal(a, b)
+
+    # Uncertified sweep (window too small for a dense cluster) must
+    # yield count 0 — never a silently incomplete manifold set.
+    cluster = _random_scene(rng, n=40, spread=0.5)
+    _, c, *_ = scene_contact_manifolds(
+        cluster, capacity=1024, broad_phase="swept", window=4
+    )
+    assert int(c) == 0
+
+    with pytest.raises(ValueError, match="broad_phase"):
+        scene_contact_manifolds(polys, capacity=8, broad_phase="grid")
+
+
+def test_swept_config_sharded_input(rng):
+    # The swept query under a config mesh: GSPMD handles the argsort
+    # gather and the roll (a collective permute on the sharded axis);
+    # output must match the unsharded run bitwise.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
+    from tests.conftest import cpu_devices
+
+    polys = _random_scene(rng, n=256, spread=30.0)
+    base = tuple(
+        map(
+            np.array,
+            scene_colliding_pairs_swept(polys, capacity=512, window=32),
+        )
+    )
+    assert not base[3]  # certified, so the comparison is meaningful
+    devs = cpu_devices()[:8]
+    mesh = Mesh(np.array(devs), ("config",))
+    sharded = jax.device_put(
+        polys, NamedSharding(mesh, P("config", None, None))
+    )
+    out = tuple(
+        map(
+            np.array,
+            scene_colliding_pairs_swept(sharded, capacity=512, window=32),
+        )
+    )
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(a, b)
