@@ -192,7 +192,8 @@ def scene_colliding_pairs_swept(
     three match `scene_colliding_pairs` (``pairs`` sorted row-major,
     ``i < j`` in ORIGINAL indices; zero-filled past ``count``), except
     that when ``overflow`` is True the retained ``capacity`` pairs are
-    an implementation-ordered subset, not the row-major prefix.
+    a row-major-sorted subset — sorted among themselves, but not
+    necessarily the row-major prefix of the full pair set.
     ``window_exceeded`` is the exactness certificate: False means every
     pair whose x intervals overlap fell inside the window, i.e. the
     result equals the dense query's; True means some x-overlapping
@@ -279,21 +280,36 @@ def scene_contact_manifolds(
     row_tile: int = 64,
     broad_phase: str = "dense",
     window: int = 64,
-) -> tuple[Array, Array, Array, Array, Array, Array]:
+) -> tuple[Array, Array, Array, Array, Array, Array, Array]:
     """Contact manifolds for every colliding pair in one shape set.
 
-    The contact-solver front end: `scene_colliding_pairs` finds the
-    pairs, `ops.manifold.polygon_contact_manifold` runs batched on the
+    The contact-solver front end: a broad phase finds the pairs,
+    `ops.manifold.polygon_contact_manifold` runs batched on the
     gathered (capacity,)-shaped pair buffers. Returns ``(pairs, count,
-    n_contacts, points, depths, normals)``: ``pairs``/``count`` as
-    `scene_colliding_pairs` (count clamps at ``capacity``; re-call
-    larger when more pairs exist), ``n_contacts`` int32 ``(capacity,)``
-    = contact points per pair (0..2), ``points`` float32 ``(capacity,
-    2, 2)``, ``depths`` ``(capacity, 2)``, ``normals`` ``(capacity,
-    2)`` — the normal of row r points FROM shape ``pairs[r, 0]`` INTO
-    shape ``pairs[r, 1]``. Rows past ``count`` are computed on the
-    zero-fill gather (shape 0 vs itself) — filter by ``count``. One
-    jit-compiled program; all shapes static.
+    n_contacts, points, depths, normals, window_exceeded)``:
+    ``pairs``/``count`` as `scene_colliding_pairs` (count clamps at
+    ``capacity``; re-call larger when more pairs exist), ``n_contacts``
+    int32 ``(capacity,)`` = contact points per pair (0..2), ``points``
+    float32 ``(capacity, 2, 2)``, ``depths`` ``(capacity, 2)``,
+    ``normals`` ``(capacity, 2)`` — the normal of row r points FROM
+    shape ``pairs[r, 0]`` INTO shape ``pairs[r, 1]``. Rows past
+    ``count`` are computed on the zero-fill gather (shape 0 vs itself)
+    — filter by ``count``. One jit-compiled program; all shapes static.
+
+    Broad-phase selection: ``broad_phase='dense'`` (default) tests all
+    N^2/2 pairs exactly via `scene_colliding_pairs` (``row_tile``
+    controls its tiling); ``broad_phase='swept'`` uses the O(N *
+    ``window``) `scene_colliding_pairs_swept` sweep-and-prune instead.
+
+    ``window_exceeded`` is the swept broad phase's exactness
+    certificate (always False for 'dense'). When it fires, the sweep
+    may have MISSED colliding pairs, so this function fails closed:
+    ``count`` is zeroed and ``pairs`` is zero-filled — the caller's
+    filter-by-count contract then yields no manifolds rather than a
+    silently incomplete set. A solver seeing ``count == 0`` with
+    ``window_exceeded`` True must re-call with a larger ``window`` (or
+    ``broad_phase='dense'``); ``count == 0`` with the flag False
+    genuinely means no contacts in the scene.
     """
     from collide2d_tpu.ops.manifold import polygon_contact_manifold
 
@@ -304,14 +320,17 @@ def scene_contact_manifolds(
         )
         # The certificate cannot abort a jit program; an uncertified
         # sweep silently missing contacts would be a solver correctness
-        # bug, so surface it the fixed-shape way: zero the count (the
-        # caller's filter-by-count contract then yields no manifolds)
-        # rather than return a possibly-incomplete set as if complete.
+        # bug, so fail closed the fixed-shape way: zero the count AND
+        # the pairs buffer (full zero-fill-past-count contract), and
+        # return the flag so callers can distinguish "no contacts"
+        # from "window too small".
         count = jnp.where(window_exceeded, 0, count)
+        pairs = jnp.where(window_exceeded, 0, pairs)
     elif broad_phase == "dense":
         pairs, count, _ = scene_colliding_pairs(
             polys, capacity=capacity, row_tile=row_tile
         )
+        window_exceeded = jnp.bool_(False)
     else:
         raise ValueError(
             f"broad_phase must be 'dense' or 'swept', got {broad_phase!r}"
@@ -319,4 +338,5 @@ def scene_contact_manifolds(
     p1 = jnp.take(polys, pairs[:, 0], axis=0)
     p2 = jnp.take(polys, pairs[:, 1], axis=0)
     n_contacts, points, depths, normals = polygon_contact_manifold(p1, p2)
-    return pairs, count, n_contacts, points, depths, normals
+    return (pairs, count, n_contacts, points, depths, normals,
+            window_exceeded)

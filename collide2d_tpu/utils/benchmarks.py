@@ -1499,10 +1499,11 @@ def bench_scene_swept(n: int = 32768, k: int = 8, window: int = 128,
     """Sweep-and-prune scene query (ops/scene.py): pair extraction with
     an O(N * window) narrow phase instead of O(N^2). ``value`` is the
     DENSE-EQUIVALENT pair rate (N^2 / dt) — honest only while the run
-    certifies exactness (``window_exceeded`` False, asserted into the
-    output), i.e. the sweep answered the same question the dense query
-    would. ``narrow_pairs_per_sec`` is the raw SAT lanes/s actually
-    executed; the ratio of the two is the measured broad-phase win."""
+    certifies exactness (``window_exceeded`` False, reported in the
+    output; a True there invalidates the dense-equivalent claim), i.e.
+    the sweep answered the same question the dense query would.
+    ``narrow_pairs_per_sec`` is the raw SAT lanes/s actually executed;
+    the ratio of the two is the measured broad-phase win."""
     from collide2d_tpu.ops.scene import scene_colliding_pairs_swept
 
     # Box side scaled so ~max(n*4/side) ~ window/2.5: sparse enough for

@@ -64,7 +64,7 @@ scene = np.stack([
     for r in rng.uniform(0, 1, n)
 ])  # 32 unit-ish hexagons scattered in a 8x8 box
 matrix = scene_collision_matrix(jnp.asarray(scene))
-pairs, n_pairs, n_contacts, pts, deps, normals = scene_contact_manifolds(
+pairs, n_pairs, n_contacts, pts, deps, normals, _ = scene_contact_manifolds(
     jnp.asarray(scene), capacity=128
 )
 print(f"scene: {int(n_pairs)} colliding pairs of {n * (n - 1) // 2}")

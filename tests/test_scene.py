@@ -131,9 +131,10 @@ def test_scene_contact_manifolds(rng):
     from collide2d_tpu.ops.scene import scene_contact_manifolds
 
     polys = _random_scene(rng)
-    pairs, count, n_c, pts, dep, nrm = map(
+    pairs, count, n_c, pts, dep, nrm, wex = map(
         np.array, scene_contact_manifolds(polys, capacity=256)
     )
+    assert not wex  # dense broad phase never fires the certificate
     m = np.array(scene_collision_matrix(polys))
     want = np.argwhere(np.triu(m, k=1))
     assert count == len(want)
@@ -284,12 +285,14 @@ def test_swept_manifolds_match_dense(rng):
         np.testing.assert_array_equal(a, b)
 
     # Uncertified sweep (window too small for a dense cluster) must
-    # yield count 0 — never a silently incomplete manifold set.
+    # yield count 0 + zeroed pairs + the raised flag — never a
+    # silently incomplete manifold set.
     cluster = _random_scene(rng, n=40, spread=0.5)
-    _, c, *_ = scene_contact_manifolds(
+    cp, c, *_, cwex = scene_contact_manifolds(
         cluster, capacity=1024, broad_phase="swept", window=4
     )
-    assert int(c) == 0
+    assert int(c) == 0 and bool(cwex)
+    np.testing.assert_array_equal(np.array(cp), 0)
 
     with pytest.raises(ValueError, match="broad_phase"):
         scene_contact_manifolds(polys, capacity=8, broad_phase="grid")
