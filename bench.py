@@ -84,9 +84,40 @@ def main() -> int:
         bench_stream_bandwidth_pallas,
     )
 
+    digest: dict[str, object] = {}
+
+    def digest_add(res: dict) -> None:
+        # One compact (name -> value) pair per measured metric, plus a
+        # short whitelist of qualitative extras. The digest line prints
+        # on stdout immediately before the final headline so the
+        # driver's 2000-char tail capture always carries the WHOLE
+        # measured surface, not whichever secondaries printed last
+        # (round-3 verdict: only 6 of ~30 metrics survived the tail).
+        name = res.get("metric")
+        if not name:
+            return
+        try:
+            digest[name] = float(f"{float(res['value']):.4g}")
+        except (KeyError, TypeError, ValueError):
+            return
+        for extra, short in (
+            ("ok", "ok"),
+            ("frac_within_005", "frac005"),
+            ("frac_ambiguous_ca", "amb"),
+            ("window_exceeded", "wex"),
+        ):
+            if extra in res:
+                v = res[extra]
+                digest[f"{name}.{short}"] = (
+                    bool(v) if isinstance(v, (bool,)) else
+                    float(f"{float(v):.4g}")
+                )
+
     def log(obj) -> None:
         # '# ' prefix: diagnostics must never parse as the headline line.
         print("# " + json.dumps(obj), file=sys.stderr, flush=True)
+        if isinstance(obj, dict):
+            digest_add(obj)
 
     # Bandwidth anchor first (needed for the headline's sanity check):
     # the LARGER of the XLA streaming reduce (not bandwidth-optimal,
@@ -128,6 +159,7 @@ def main() -> int:
             headline["bandwidth_check"] = "FAILED"
         else:
             headline["bandwidth_check"] = "ok"
+    digest_add(headline)
     line = json.dumps(headline)
     print(line, flush=True)  # early capture, in case secondaries time out
     last_progress[0] = time.monotonic()
@@ -152,6 +184,12 @@ def main() -> int:
     moving_rot.__name__ = "bench_mc_moving_pallas_rotating"
     moving_jnp_rot = functools.partial(bench_mc_moving, rotating=True)
     moving_jnp_rot.__name__ = "bench_mc_moving_jnp_rotating"
+    # A/B: the pure conservative-advancement loop (no screening cascade)
+    # — the round-3 27x perf hole, kept measured in every capture.
+    moving_jnp_rot_nos = functools.partial(
+        bench_mc_moving, rotating=True, screen=False
+    )
+    moving_jnp_rot_nos.__name__ = "bench_mc_moving_jnp_rotating_noscreen"
     moving_poly_rot = functools.partial(bench_mc_moving_polygons,
                                         rotating=True)
     moving_poly_rot.__name__ = "bench_mc_moving_polygons_rotating"
@@ -187,6 +225,7 @@ def main() -> int:
         bench_scene,
         bench_scene_raycast,
         bench_scene_raycast_pallas,
+        bench_scene_swept,
         bench_toi_pallas,
     )
 
@@ -200,6 +239,7 @@ def main() -> int:
         bench_manifold,
         bench_manifold_pallas,
         bench_scene,
+        bench_scene_swept,
         bench_scene_raycast,
         bench_scene_raycast_pallas,
         bench_toi_pallas,
@@ -215,6 +255,7 @@ def main() -> int:
         bench_mc_moving,
         moving_rot,
         moving_jnp_rot,
+        moving_jnp_rot_nos,
         # trajectory k-gons (MovingPolygonConfigs): jnp path by design
         bench_mc_moving_polygons,
         moving_poly_rot,
@@ -241,6 +282,21 @@ def main() -> int:
         last_progress[0] = time.monotonic()
 
     sys.stderr.flush()
+    # The digest: every measured (metric, value) pair in ONE stdout line
+    # right before the final headline, so the driver's tail capture
+    # carries the whole surface. Kept under ~1500 chars (trim the
+    # longest names first if a future metric set overflows).
+    digest_line = json.dumps(
+        {"metric": "digest", "n": len(digest), "metrics": digest},
+        separators=(",", ":"),
+    )
+    while len(digest_line) > 1500 and digest:
+        digest.pop(max(digest, key=len))
+        digest_line = json.dumps(
+            {"metric": "digest", "n": len(digest), "metrics": digest},
+            separators=(",", ":"),
+        )
+    print(digest_line, flush=True)
     print(line, flush=True)  # the contract: headline is the FINAL line
     return 0
 

@@ -294,11 +294,13 @@ def _counts_chunk_polygons(
 def _counts_chunk(
     keys: Array, configs: Configs, robot_wh: Array, n_lanes: int,
     use_vertices: bool, ca_iters: int = 48, ca_tol: float = 1e-4,
+    ca_screen: bool = True,
 ) -> Array:
     """Collision count over ``n_lanes`` samples for each configuration.
 
-    ``ca_iters``/``ca_tol`` apply only to trajectory batches (the
-    conservative-advancement budget of the per-sample TOI predicate)."""
+    ``ca_iters``/``ca_tol``/``ca_screen`` apply only to trajectory
+    batches (the conservative-advancement budget of the per-sample TOI
+    predicate, and the certified screening cascade in front of it)."""
     from collide2d_tpu.mc.moving import (
         MovingConfigs,
         MovingPolygonConfigs,
@@ -308,7 +310,8 @@ def _counts_chunk(
 
     if isinstance(configs, MovingConfigs):
         return counts_chunk_moving(
-            keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol
+            keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol,
+            ca_screen=ca_screen,
         )
     if isinstance(configs, MovingPolygonConfigs):
         return counts_chunk_moving_polygons(
@@ -472,7 +475,7 @@ def mc_round(
 
 @functools.partial(
     jax.jit, static_argnames=("step_samples", "use_vertices", "ca_iters",
-                              "ca_tol")
+                              "ca_tol", "ca_screen")
 )
 def _mc_round_jnp(
     key: Array,
@@ -486,6 +489,7 @@ def _mc_round_jnp(
     use_vertices: bool = False,
     ca_iters: int = 48,
     ca_tol: float = 1e-4,
+    ca_screen: bool = True,
 ) -> Array:
     """threefry round step: ``step_samples`` lanes at a time inside a
     ``fori_loop`` (traced bound) so intermediates stay fused on-chip;
@@ -500,7 +504,7 @@ def _mc_round_jnp(
         )
         return counts + _counts_chunk(
             step_keys, configs, robot_wh, step_samples, use_vertices,
-            ca_iters, ca_tol,
+            ca_iters, ca_tol, ca_screen,
         )
 
     counts0 = jnp.zeros((configs.num,), jnp.int32)

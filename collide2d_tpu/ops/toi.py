@@ -47,9 +47,17 @@ from jax import Array
 from collide2d_tpu.ops.distance import rect_signed_distance
 
 
-def _advance(dist_of_t, bound: Array, t_max: float, iters: int, tol: float):
+def _advance(dist_of_t, bound: Array, t_max: float, iters: int, tol: float,
+             t0: Array | None = None):
     """Shared CA loop: batched t, frozen per-lane once converged or past
-    the horizon."""
+    the horizon.
+
+    ``t0`` (optional, per-lane) warm-starts the advancement at a time
+    the CALLER certifies contact-free before (d(t) > tol for all
+    t < t0): the loop then spends its ``iters`` budget on [t0, t_max]
+    only. With the certificate in hand, the result is at least as
+    converged as starting from 0 — every returned finite t remains a
+    certified impact (d(t) <= tol is re-checked after the loop)."""
     bound = jnp.maximum(bound, jnp.float32(1e-30))
     t_hor = jnp.float32(t_max)
 
@@ -58,7 +66,9 @@ def _advance(dist_of_t, bound: Array, t_max: float, iters: int, tol: float):
         done = (d <= tol) | (t > t_hor)
         return jnp.where(done, t, t + jnp.maximum(d, 0.0) / bound)
 
-    t = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(bound))
+    t_init = (jnp.zeros_like(bound) if t0 is None
+              else jnp.broadcast_to(jnp.asarray(t0, bound.dtype), bound.shape))
+    t = jax.lax.fori_loop(0, iters, body, t_init)
     hit = (dist_of_t(t) <= tol) & (t <= t_hor)
     return jnp.where(hit, t, jnp.float32(jnp.inf))
 

@@ -588,12 +588,16 @@ def bench_mc_moving_pallas(
 
 def bench_mc_moving(
     configs: int = 8192, step_samples: int = 512, iters: int = 10,
-    rotating: bool = False,
+    rotating: bool = False, screen: bool = True,
 ) -> dict:
     """Trajectory-MC sampling on the threefry jnp path (mc.moving) —
     the bitwise-reproducible reference the fused kernel is compared
-    against."""
+    against. ``rotating=True`` measures the certified screening cascade
+    (``screen=False`` keeps the pure conservative-advancement loop in
+    every capture as the A/B baseline — the round-3 27x perf hole) and
+    reports the cascade's lane fractions."""
     from collide2d_tpu.mc.estimator import _mc_round_jnp
+    from collide2d_tpu.mc.moving import counts_chunk_moving
 
     cfgs = _bench_moving_configs(configs, rotating)
     cfgs = jax.tree.map(jax.block_until_ready, cfgs)
@@ -605,13 +609,16 @@ def bench_mc_moving(
         return jnp.sum(_mc_round_jnp(
             jax.random.PRNGKey(3), uids, cfgs, robot, jnp.int32(0),
             n_steps, step_samples=step_samples, ca_iters=ca,
+            ca_screen=screen,
         ))
 
     dt = _diff_time(run, (jnp.int32(1),), (jnp.int32(1 + iters),), iters)
     rate = configs * step_samples / dt
-    return {
-        "metric": ("mc_moving_samples_per_sec_jnp_rotating" if rotating
-                   else "mc_moving_samples_per_sec_jnp"),
+    name = "mc_moving_samples_per_sec_jnp"
+    if rotating:
+        name += "_rotating" if screen else "_rotating_noscreen"
+    out = {
+        "metric": name,
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / SAT_TARGET,
@@ -619,6 +626,18 @@ def bench_mc_moving(
         "ca_iters": ca,
         "seconds_per_iter": dt,
     }
+    if rotating and screen:
+        # One diagnostic chunk outside the timing loop: the cascade's
+        # screened fractions (maybe/probe-certified/ambiguous).
+        keys = jax.random.split(jax.random.PRNGKey(3), configs)
+        _, (maybe, probe, amb) = counts_chunk_moving(
+            keys, cfgs, robot, step_samples, ca_iters=48,
+            return_screen_masks=True,
+        )
+        out["frac_definite_miss"] = round(1.0 - float(jnp.mean(maybe)), 4)
+        out["frac_probe_hit"] = round(float(jnp.mean(probe)), 4)
+        out["frac_ambiguous_ca"] = round(float(jnp.mean(amb)), 4)
+    return out
 
 
 def bench_mc_moving_polygons(
