@@ -37,8 +37,72 @@ jax.config.update("jax_platforms", "cpu")
 _CPU_DEVICES = jax.devices("cpu")
 jax.config.update("jax_default_device", _CPU_DEVICES[0])
 
+import json  # noqa: E402
+import pathlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# ---- fast/slow lanes (data-driven) ---------------------------------------
+# tests/durations.json records per-test wall time from a full-suite run;
+# collection marks anything recorded at >= SLOW_SECONDS as `slow`, so
+#   pytest -m "not slow"   is the <= ~5 min inner loop, and
+#   pytest                 (no filter) stays the full round gate.
+# Unrecorded (new) tests default to the fast lane until the next refresh:
+#   pytest --update-durations        (rewrites the file from this run)
+SLOW_SECONDS = 5.0
+_DURATIONS_FILE = pathlib.Path(__file__).parent / "durations.json"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--update-durations", action="store_true", default=False,
+        help="rewrite tests/durations.json from this run's measured times",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: recorded wall time >= 5s (auto-applied from "
+        "tests/durations.json; deselect with -m 'not slow')",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        recorded = json.loads(_DURATIONS_FILE.read_text())
+    except (OSError, ValueError):
+        recorded = {}
+    for item in items:
+        if recorded.get(item.nodeid, 0.0) >= SLOW_SECONDS:
+            item.add_marker(pytest.mark.slow)
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    if call.when == "call" and item.config.getoption("--update-durations"):
+        store = getattr(item.session, "_collide2d_durations", None)
+        if store is None:
+            store = item.session._collide2d_durations = {}
+        store[item.nodeid] = round(call.duration, 2)
+    return outcome.get_result()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    store = getattr(session, "_collide2d_durations", None)
+    if store and session.config.getoption("--update-durations"):
+        # Merge over the existing record so partial runs (-k, a single
+        # file) refresh only what they measured.
+        try:
+            recorded = json.loads(_DURATIONS_FILE.read_text())
+        except (OSError, ValueError):
+            recorded = {}
+        recorded.update(store)
+        _DURATIONS_FILE.write_text(
+            json.dumps(recorded, indent=0, sort_keys=True) + "\n"
+        )
 
 
 def cpu_devices():

@@ -405,7 +405,7 @@ def test_global_mesh_single_host(devices):
 def test_toi_and_distance_shard_over_config_axis(rng, devices):
     # the geometric query layer composes with the DP mesh: sharding the
     # batch axis is a no-op on values (communication-free map).
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from collide2d_tpu.ops.distance import rect_signed_distance
     from collide2d_tpu.ops.toi import rect_time_of_impact
