@@ -105,6 +105,7 @@ def main() -> int:
             ("frac_within_005", "frac005"),
             ("frac_ambiguous_ca", "amb"),
             ("window_exceeded", "wex"),
+            ("steady_state_configs_per_sec", "steady"),
         ):
             if extra in res:
                 v = res[extra]
@@ -213,6 +214,10 @@ def main() -> int:
     e2e.__name__ = "bench_e2e"
     e2e_tuned = functools.partial(bench_e2e, configs=65536, schedule="tuned")
     e2e_tuned.__name__ = "bench_e2e_tuned"
+    from collide2d_tpu.utils.benchmarks import bench_e2e_polygons
+
+    e2e_poly = functools.partial(bench_e2e_polygons, configs=32768)
+    e2e_poly.__name__ = "bench_e2e_polygons"
     from collide2d_tpu.utils.benchmarks import bench_obb_pallas
 
     from collide2d_tpu.utils.benchmarks import (
@@ -274,6 +279,7 @@ def main() -> int:
         # stderr) keeps a mid-run kill harmless.
         e2e,
         e2e_tuned,
+        e2e_poly,
     ):
         try:
             log(fn())

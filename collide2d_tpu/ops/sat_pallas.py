@@ -195,7 +195,27 @@ def pack_rects_bf16(rects: Array) -> Array:
 # extents, angle — as the reference's own dataset workload is
 # (generate_dataset.cu:207-236 builds every rect from pose/position
 # params). Skipping vertex materialization cuts HBM traffic from 128 to
-# 48 bytes/pair, which is the whole game for a bandwidth-bound test.
+# 48 bytes/pair — worth 1.4x measured (1.5-1.6e10 pairs/s vs the vertex
+# kernel's 1.1e10), NOT the naive 2.7x bandwidth ratio.
+#
+# Why not 2.7x (review r3 weak #5, resolved round 4 by an experiment
+# matrix on-chip): the kernel plateaus at ~1.2-1.6e10 pairs/s
+# (~600-770 GB/s implied) under EVERY variation tried —
+#   - transcendentals: none exist (cos/sin ride in the pack; the
+#     "sincos issue rate" hypothesis was moot on arrival);
+#   - arithmetic: a 2-axis half kernel and a touch-only kernel (loads
+#     streamed, ~2 ops) measure the SAME rate as the full 4-axis test;
+#   - layout: block-major contiguous (M/B,6,8,B) blocks, an 8-row
+#     zero-padded (8,8,M) pack, and a single fused (12,8,M) stream all
+#     measure the same; block size is flat 2048-8192 (>=16384 exceeds
+#     VMEM);
+# while the pure-sum stream probe moves 2.67x the bytes in the same
+# wall time on the same shapes, same process (1.5 TB/s). The numbers
+# are consistent with a VPU issue/VMEM-load bound at ~50 slots/pair
+# (12 loads + ~40 vector ops: 1.6e10 x 50 ~ 8e11 slots/s), which HBM
+# transfer reduction cannot move — so 48 B/pair already sits AT this
+# kernel's real roofline, and the review's 2.2e10 target would need
+# fewer VPU slots per pair, not fewer bytes.
 
 
 def pack_obbs(centers: Array, exts: Array, thetas: Array) -> Array:

@@ -145,8 +145,11 @@ def bench_obb_pallas(pairs: int = 1 << 23, iters: int = 100) -> dict:
     (center/extents/angle — the representation the reference's own
     dataset workload carries, generate_dataset.cu:207-236) without
     vertex materialization. 48 bytes/pair streamed vs the vertex
-    kernel's 128 — the bandwidth-bound ceiling is 2.7x higher, and
-    labels are bitwise-equal to `ops.sat.obb_collide`'s closed form."""
+    kernel's 128; labels bitwise-equal to `ops.sat.obb_collide`'s
+    closed form. The kernel is VPU-issue-bound, NOT bandwidth-bound —
+    ``effective_gbps`` sitting well under the stream probe is its real
+    roofline, established by the round-4 experiment matrix documented
+    at the kernel (ops/sat_pallas.py, param-form section)."""
     from collide2d_tpu.ops.sat_pallas import pack_obbs
 
     key = jax.random.PRNGKey(3)
@@ -1225,6 +1228,13 @@ def bench_agreement(
         "frac_z_gt3": frac3,
         "mean_abs_diff": float(diff.mean()),
         "max_abs_diff": float(diff.max()),
+        # BASELINE.json's acceptance measure in its own units (review
+        # r3 weak #7): fraction of configs whose two independent
+        # estimates agree within +-0.005. NOTE the band is calibrated
+        # for 10k-sample MC noise; at this bench's 65536-sample budget
+        # it is a much STRICTER bar (sigma ~ 0.002 at p = 0.5), so
+        # read it alongside the z-gate, not instead of it.
+        "frac_within_005": float((diff <= 0.005).mean()),
     }
 
 
@@ -1284,6 +1294,7 @@ def bench_e2e(
     def run(warm_threads: bool = False):
         results = {}
         slots = {}
+        done_at = {}
 
         def make(i):
             return lambda: (
@@ -1301,19 +1312,31 @@ def bench_e2e(
         def done_cb(i, r):
             results[i] = r.materialize()
             slots[i] = getattr(r.ops, "dispatched_slots", 0)
+            done_at[i] = time.perf_counter()
 
         t0 = time.perf_counter()
         run_interleaved([make(i) for i in range(batches)], overlap, done_cb)
-        return time.perf_counter() - t0, results, sum(slots.values())
+        return time.perf_counter() - t0, results, sum(slots.values()), done_at
 
     # Warm pass with the SAME keys as the timed pass: the bucket-ladder
     # trajectory is key-dependent, so only an identical run guarantees
     # every compiled shape is warm (a fresh-key warm pass leaves cold
     # rungs that bill remote compiles into the timed pass).
     run(warm_threads=True)
-    dt, results, slots = run()
+    dt, results, slots, done_at = run()
     total = configs * batches
     rate = total / dt
+    # Steady-state window (review r3 weak #8): the whole-run rate bills
+    # the pipeline fill/drain edges (~1/3 of a 6-batch stream) against
+    # the driver; a 100+-batch production run amortizes them away. The
+    # median gap between consecutive batch completions (dropping the
+    # first gap, which still contains fill) is the per-batch steady
+    # cadence — configs/median-gap matches the production-measured
+    # steady state where the whole-run rate undersells it ~40%.
+    gaps = np.diff(sorted(done_at.values()))
+    steady = (
+        configs / float(np.median(gaps[1:])) if len(gaps) >= 3 else rate
+    )
     done = np.concatenate([r[2] for r in results.values()])
     n_used = np.concatenate([r[1] for r in results.values()])
     cp = np.concatenate([r[0] for r in results.values()])
@@ -1329,6 +1352,7 @@ def bench_e2e(
         "overlap": overlap,
         "seconds": dt,
         "configs_per_hour": rate * 3600,
+        "steady_state_configs_per_sec": steady,
         "converged_frac": float(done.mean()),
         "mean_samples_per_config": float(np.asarray(n_used).mean()),
         "mean_cp": float(np.asarray(cp).mean()),
@@ -1337,6 +1361,119 @@ def bench_e2e(
         # effective rate is then padding + ride waste = 1 -
         # slot_efficiency); a dispatched rate well BELOW the kernel rate
         # means host/dispatch/readback stalls.
+        "dispatched_slots_per_sec": slots / dt,
+        "slot_efficiency": (used / slots) if slots else 0.0,
+    }
+
+
+def bench_e2e_polygons(
+    configs: int = 32768, seed: int = 0, batches: int = 6, k: int = 6,
+    schedule=None, ladder: str = "eighth", overlap: int = 3,
+) -> dict:
+    """End-to-end adaptive POLYGON labeling throughput (review r3 weak
+    #3: no bench metric captured polygon e2e at all; the README number
+    predated the round-3 driver). Same methodology as `bench_e2e` —
+    ``batches`` pipelined batches through `run_interleaved`, same-key
+    warm pass, reference-default bins/schedule — but with convex k-gon
+    obstacles (`PolygonConfigs`) through the SAME adaptive driver
+    ('auto' = the fused polygon kernel on TPU). Workload: per-config
+    random convex k-gons with the rect bench's annulus position
+    distribution (a comparable cp mix), pose-noise sigmas in the
+    dataset's range.
+    """
+    from collide2d_tpu.mc.driver import AdaptiveRun, run_interleaved
+    from collide2d_tpu.mc.estimator import AdaptiveConfig, PolygonConfigs
+    from collide2d_tpu.mc.noise import sample_configurations
+
+    key = jax.random.PRNGKey(seed)
+    k_tab, k_cfg, k_mc, k_geo = jax.random.split(key, 4)
+    rngs = jax.random.split(k_tab, 2)
+    poses = jax.random.uniform(
+        rngs[0], (4096, 3), jnp.float32,
+        jnp.asarray([0.1, 0.1, 0.0]), jnp.asarray([5.0, 5.0, 2 * np.pi]),
+    )
+    std_devs = jnp.sqrt(
+        jax.random.uniform(rngs[1], (4096, 5), jnp.float32, 0.0, 0.3)
+        .at[:, 3:].set(0.0)
+    )
+    robot_verts = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    adaptive = AdaptiveConfig(schedule=schedule, ladder=ladder)
+
+    def batch_cfgs(i: int) -> PolygonConfigs:
+        positions, pose_idx, var_idx = sample_configurations(
+            jax.random.fold_in(k_cfg, i), configs, poses, std_devs,
+            r_offset=(4.07 + 1.74) / 4, spread=4.0,
+        )
+        kv = jax.random.fold_in(k_geo, i)
+        ka, kb = jax.random.split(kv)
+        ang = jnp.sort(
+            jax.random.uniform(
+                ka, (configs, k), jnp.float32, 0.0, 2.0 * jnp.pi
+            ),
+            axis=-1,
+        )
+        ab = jax.random.uniform(kb, (configs, 1, 2), jnp.float32, 0.5, 2.5)
+        verts = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1) * ab
+        pose = poses[pose_idx]
+        return PolygonConfigs(
+            position=positions,
+            pose_theta=pose[:, 2],
+            obstacle_verts=verts,
+            std_dev=std_devs[var_idx][:, :3],
+        )
+
+    def run(warm_threads: bool = False):
+        results = {}
+        slots = {}
+        done_at = {}
+
+        def make(i):
+            return lambda: (
+                i,
+                AdaptiveRun(
+                    jax.random.fold_in(k_mc, i),
+                    batch_cfgs(i), robot_verts, adaptive,
+                    warmup=None if (warm_threads and i == 0) else False,
+                ),
+            )
+
+        def done_cb(i, r):
+            results[i] = r.materialize()
+            slots[i] = getattr(r.ops, "dispatched_slots", 0)
+            done_at[i] = time.perf_counter()
+
+        t0 = time.perf_counter()
+        run_interleaved([make(i) for i in range(batches)], overlap, done_cb)
+        return time.perf_counter() - t0, results, sum(slots.values()), done_at
+
+    run(warm_threads=True)
+    dt, results, slots, done_at = run()
+    total = configs * batches
+    rate = total / dt
+    gaps = np.diff(sorted(done_at.values()))
+    steady = (
+        configs / float(np.median(gaps[1:])) if len(gaps) >= 3 else rate
+    )
+    done = np.concatenate([r[2] for r in results.values()])
+    n_used = np.concatenate([r[1] for r in results.values()])
+    used = float(np.asarray(n_used, np.float64).sum())
+    return {
+        "metric": "polygon_configs_labeled_per_sec"
+        + ("_tuned" if schedule == "tuned" else ""),
+        "value": rate,
+        "unit": "configs/s",
+        "vs_baseline": rate,  # no reference number exists (BASELINE.md)
+        "configs": total,
+        "k": k,
+        "batches": batches,
+        "overlap": overlap,
+        "seconds": dt,
+        "steady_state_configs_per_sec": steady,
+        "converged_frac": float(done.mean()),
+        "mean_samples_per_config": float(np.asarray(n_used).mean()),
         "dispatched_slots_per_sec": slots / dt,
         "slot_efficiency": (used / slots) if slots else 0.0,
     }
