@@ -727,6 +727,11 @@ def _add_train(sub: argparse._SubParsersAction) -> None:
                         "these bins first (data/balance truncation — the "
                         "reference's balance_datasets.py step), countering "
                         "the annulus sampler's ~61%% zero-cp mass")
+    p.add_argument("--robot_width", type=float, default=4.07,
+                   help="robot used for the physics feature columns "
+                        "(signed distance at the mean pose) — must match "
+                        "the robot the dataset was labeled with")
+    p.add_argument("--robot_height", type=float, default=1.74)
     p.add_argument("--verbose", type=_bool_flag, default=True)
     p.set_defaults(func=_run_train)
 
@@ -739,8 +744,9 @@ def _run_train(args: argparse.Namespace) -> int:
         train_model,
     )
 
+    robot_wh = (args.robot_width, args.robot_height)
     features, labels = load_training_data(
-        args.data_dir, balance_bins=args.balance_bins
+        args.data_dir, balance_bins=args.balance_bins, robot_wh=robot_wh
     )
     balanced = " (balanced)" if args.balance_bins else ""
     print(f"training on {features.shape[0]} rows from {args.data_dir}"
@@ -758,7 +764,8 @@ def _run_train(args: argparse.Namespace) -> int:
         verbose=args.verbose,
     )
     result = train_model(features, labels, cfg,
-                         accuracy_bins=tuple(args.accuracy_bins))
+                         accuracy_bins=tuple(args.accuracy_bins),
+                         robot_wh=robot_wh)
     save_model(args.out, result, cfg)
     bins = ", ".join(
         f"[{lo:g},{hi:g}): {mae:.4f}"

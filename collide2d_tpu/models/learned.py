@@ -6,13 +6,19 @@ generate_dataset.cu:30-36 — "creates a dataset of collision
 probabilities … using Monte Carlo sampling"); the reference repo stops
 at the dataset. This module closes the loop TPU-natively:
 
-  - **features** (11 per row): the physical quantities a dataset row
+  - **features** (13 per row): the physical quantities a dataset row
     references — robot position (x, y), obstacle (width, height),
     robot angle as (cos θ, sin θ), and the five noise std-devs — i.e.
     exactly the inputs the MC labeler consumed, with table indices
     resolved through poses.npy / variances.npy (schema:
-    data/schemas.py). Standardized by train-set mean/std (stored with
-    the model).
+    data/schemas.py) — PLUS the framework's own physics (round 4,
+    review r3 #4): the exact signed distance between robot and
+    obstacle at the MEAN pose (`ops.distance` closed form — one
+    deterministic query per row, nearly a sufficient statistic for
+    cp) and its σ-scaled margin (distance in units of the combined
+    noise scale, the argument a Gaussian-tail approximation of cp
+    would take). Standardized by train-set mean/std (stored with the
+    model).
   - **model**: an MLP with bfloat16 matmuls accumulating in float32
     (`preferred_element_type`) — the MXU's native regime — and float32
     parameters/optimizer state. One logit out; sigmoid → cp.
@@ -47,23 +53,70 @@ import numpy as np
 import optax
 from jax import Array
 
-NUM_FEATURES = 11
+NUM_FEATURES = 13
+# The reference's default robot (generate_dataset.cu robot_width /
+# robot_height defaults, mirrored by GenerateConfig) — the physics
+# features are computed against this unless the caller passes its own.
+ROBOT_WH = (4.07, 1.74)
 
 
 # ---------------------------------------------------------------------------
 # Features
 
 
+def _physics_cols(x, y, cos_t, sin_t, obs_w, obs_h, sd, robot_wh):
+    """The framework's own physics as features: (N, 2) jnp columns.
+
+    Column 0 — EXACT signed distance between the robot box at its mean
+    pose (center (x, y), angle theta) and the obstacle box at the
+    origin (`ops.distance_pallas.obb_signed_distance_tile`, the same
+    closed form the trajectory sampler advances on). Negative inside:
+    the deterministic label's witness, and nearly a sufficient
+    statistic for cp at small noise.
+
+    Column 1 — the sigma-scaled margin: distance divided by the
+    combined noise scale (positional sigmas in quadrature + the
+    obstacle circumradius times sigma_theta + half the shape sigmas in
+    quadrature — the first-order bound on how far noise moves the
+    gap). This is the argument a Gaussian-tail approximation of cp
+    would take; clipped to +-40 (beyond that cp is saturated and the
+    raw value only skews standardization).
+
+    Shared verbatim by `featurize` (tables path) and
+    `LearnedCollisionModel.cp_from_configs` (surrogate path) so both
+    produce bit-identical features.
+    """
+    rw = jnp.float32(abs(float(robot_wh[0])) * 0.5)
+    rh = jnp.float32(abs(float(robot_wh[1])) * 0.5)
+    from collide2d_tpu.ops.distance_pallas import obb_signed_distance_tile
+
+    d = obb_signed_distance_tile(
+        -x, -y, cos_t, sin_t, rw, rh,
+        jnp.float32(1.0), jnp.float32(0.0),
+        jnp.abs(obs_w) * 0.5, jnp.abs(obs_h) * 0.5,
+    )
+    r_obs = 0.5 * jnp.sqrt(obs_w * obs_w + obs_h * obs_h)
+    s_eff = (
+        jnp.sqrt(sd[:, 0] ** 2 + sd[:, 1] ** 2)
+        + r_obs * sd[:, 2]
+        + 0.5 * jnp.sqrt(sd[:, 3] ** 2 + sd[:, 4] ** 2)
+    )
+    margin = jnp.clip(d / jnp.maximum(s_eff, 1e-3), -40.0, 40.0)
+    return jnp.stack([d, margin], axis=1)
+
+
 def featurize(
-    positions, var_idx, pose_idx, poses, std_devs
+    positions, var_idx, pose_idx, poses, std_devs, robot_wh=ROBOT_WH
 ) -> np.ndarray:
-    """Dataset rows + tables -> (N, 11) float32 feature matrix.
+    """Dataset rows + tables -> (N, 13) float32 feature matrix.
 
     Columns: x, y, obstacle_w, obstacle_h, cos(theta), sin(theta),
-    sigma_x, sigma_y, sigma_theta, sigma_w, sigma_h. ``poses`` is the
-    (P, 3) poses.npy table, ``std_devs`` the (V, 5) STD-DEV table (the
-    on-disk variances.npy holds variances; take sqrt first, as the
-    labeler does — generate_dataset.cu:310-317).
+    sigma_x, sigma_y, sigma_theta, sigma_w, sigma_h, signed distance
+    at the mean pose, sigma-scaled margin (`_physics_cols`; computed
+    against ``robot_wh``, default the reference robot). ``poses`` is
+    the (P, 3) poses.npy table, ``std_devs`` the (V, 5) STD-DEV table
+    (the on-disk variances.npy holds variances; take sqrt first, as
+    the labeler does — generate_dataset.cu:310-317).
     """
     positions = np.asarray(positions, np.float32)
     poses = np.asarray(poses, np.float32)
@@ -80,14 +133,18 @@ def featurize(
         )
     pose = poses[pi]  # (N, 3) w, h, theta
     sd = std_devs[vi]  # (N, 5)
+    cos_t = np.cos(pose[:, 2:3])
+    sin_t = np.sin(pose[:, 2:3])
+    phys = np.asarray(
+        _physics_cols(
+            jnp.asarray(positions[:, 0]), jnp.asarray(positions[:, 1]),
+            jnp.asarray(cos_t[:, 0]), jnp.asarray(sin_t[:, 0]),
+            jnp.asarray(pose[:, 0]), jnp.asarray(pose[:, 1]),
+            jnp.asarray(sd), robot_wh,
+        )
+    )
     return np.concatenate(
-        [
-            positions[:, 0:2],
-            pose[:, 0:2],
-            np.cos(pose[:, 2:3]),
-            np.sin(pose[:, 2:3]),
-            sd,
-        ],
+        [positions[:, 0:2], pose[:, 0:2], cos_t, sin_t, sd, phys],
         axis=1,
     ).astype(np.float32)
 
@@ -227,6 +284,9 @@ class TrainResult:
     val_bce: float
     val_mae: float
     val_mae_per_bin: list  # aligned with accuracy_bins intervals
+    # robot the physics feature columns were computed against (rides
+    # into the saved artifact so predictions reuse the same geometry)
+    robot_wh: tuple = ROBOT_WH
 
 
 def train_model(
@@ -236,6 +296,7 @@ def train_model(
     *,
     accuracy_bins: Sequence[float] = (0.0, 0.01, 0.1, 1.0),
     devices=None,
+    robot_wh=ROBOT_WH,
 ) -> TrainResult:
     """Fit the MLP on (N, 11) features / (N,) cp labels.
 
@@ -348,6 +409,7 @@ def train_model(
         val_bce=val_bce,
         val_mae=val_mae,
         val_mae_per_bin=per_bin,
+        robot_wh=tuple(float(v) for v in robot_wh),
     )
 
 
@@ -379,6 +441,7 @@ def save_model(path, result: TrainResult, cfg: TrainConfig) -> None:
         "hidden": list(cfg.hidden),
         "compute_dtype": cfg.compute_dtype,
         "features": NUM_FEATURES,
+        "robot_wh": list(getattr(result, "robot_wh", ROBOT_WH)),
         "val_bce": result.val_bce,
         "val_mae": result.val_mae,
     }
@@ -400,11 +463,12 @@ class LearnedCollisionModel:
     """Inference wrapper: cp predictions from a saved model artifact."""
 
     def __init__(self, params: dict, norm_mean, norm_std,
-                 compute_dtype="bfloat16"):
+                 compute_dtype="bfloat16", robot_wh=ROBOT_WH):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.norm_mean = jnp.asarray(norm_mean, jnp.float32)
         self.norm_std = jnp.asarray(norm_std, jnp.float32)
         self.compute_dtype = jnp.dtype(compute_dtype)
+        self.robot_wh = tuple(float(v) for v in robot_wh)
 
     @classmethod
     def load(cls, path) -> "LearnedCollisionModel":
@@ -418,6 +482,7 @@ class LearnedCollisionModel:
             return cls(
                 params, z["norm_mean"], z["norm_std"],
                 compute_dtype=meta.get("compute_dtype", "bfloat16"),
+                robot_wh=meta.get("robot_wh", ROBOT_WH),
             )
 
     def cp_from_features(self, features) -> Array:
@@ -434,20 +499,31 @@ class LearnedCollisionModel:
         model as a drop-in SURROGATE for `CollisionProbabilityModel.
         forward` (same batch type in, (N,) cp out, no sampling).
 
-        A Configs row carries exactly the 11 features the model trains
-        on: position, obstacle w/h, cos/sin of the robot angle, and the
-        five noise std-devs. Jittable. The contract is the model's
-        measured accuracy (README "Production validation"), not the MC
+        A Configs row carries exactly the 13 features the model trains
+        on: position, obstacle w/h, cos/sin of the robot angle, the
+        five noise std-devs, and the two physics columns
+        (`_physics_cols`, computed against the model's stored
+        ``robot_wh``). Jittable. The contract is the model's measured
+        accuracy (README "Production validation"), not the MC
         estimator's CI guarantee — use it for cheap dense sweeps, keep
         the adaptive labeler for dataset-grade labels.
         """
+        cos_t = jnp.cos(configs.pose_theta)
+        sin_t = jnp.sin(configs.pose_theta)
+        phys = _physics_cols(
+            configs.position[:, 0], configs.position[:, 1],
+            cos_t, sin_t,
+            configs.obstacle_wh[:, 0], configs.obstacle_wh[:, 1],
+            configs.std_dev, self.robot_wh,
+        )
         feats = jnp.concatenate(
             [
                 configs.position,
                 configs.obstacle_wh,
-                jnp.cos(configs.pose_theta)[:, None],
-                jnp.sin(configs.pose_theta)[:, None],
+                cos_t[:, None],
+                sin_t[:, None],
                 configs.std_dev,
+                phys,
             ],
             axis=1,
         )
@@ -455,7 +531,8 @@ class LearnedCollisionModel:
 
     def cp(self, positions, var_idx, pose_idx, poses, std_devs) -> np.ndarray:
         """Dataset-row form: resolves tables then predicts. (N,) float32."""
-        feats = featurize(positions, var_idx, pose_idx, poses, std_devs)
+        feats = featurize(positions, var_idx, pose_idx, poses, std_devs,
+                          robot_wh=self.robot_wh)
         chunk = 1 << 20
         out = [
             np.asarray(self.cp_from_features(feats[i : i + chunk]))
@@ -482,9 +559,10 @@ def _load_tables(data_dir) -> tuple[np.ndarray, np.ndarray]:
 
 
 def load_training_data(
-    data_dir, balance_bins: Sequence[float] | None = None
+    data_dir, balance_bins: Sequence[float] | None = None,
+    robot_wh=ROBOT_WH,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """All labeled batches in a dataset dir -> ((N, 11) features, (N,) cp).
+    """All labeled batches in a dataset dir -> ((N, 13) features, (N,) cp).
 
     Reads the generator's artifacts exactly as `balance.load_data` does
     (numeric batch files, skipping poses*/variance*/checkpoint*) and
@@ -518,7 +596,8 @@ def load_training_data(
         )
     positions, cp, var_idx, pose_idx = unpack_dataset_rows(rows)
     poses, std_devs = _load_tables(data_dir)
-    return featurize(positions, var_idx, pose_idx, poses, std_devs), cp
+    return featurize(positions, var_idx, pose_idx, poses, std_devs,
+                     robot_wh=robot_wh), cp
 
 
 def predict_file(model_path, input_path, data_dir) -> np.ndarray:

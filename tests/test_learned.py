@@ -45,8 +45,19 @@ def test_featurize_resolves_tables():
     np.testing.assert_allclose(f[0, :2], [1.0, 2.0])
     np.testing.assert_allclose(f[0, 2:4], [5.0, 6.0])  # pose 0 w,h
     np.testing.assert_allclose(f[0, 4:6], [1.0, 0.0])  # cos/sin(0)
-    np.testing.assert_allclose(f[0, 6:], std[1])       # var row 1
+    np.testing.assert_allclose(f[0, 6:11], std[1])     # var row 1
     np.testing.assert_allclose(f[1, 4:6], [0.0, 1.0], atol=1e-6)
+    # physics columns: row 0's robot (4.07x1.74 at (1,2), angle 0)
+    # overlaps the 5x6 obstacle at the origin -> negative signed
+    # distance; the margin is the distance over the combined noise
+    # scale (exact values via the shared helper, ops.distance math)
+    assert f[0, 11] < 0
+    s_eff = (np.hypot(std[1, 0], std[1, 1])
+             + 0.5 * np.hypot(5.0, 6.0) * std[1, 2]
+             + 0.5 * np.hypot(std[1, 3], std[1, 4]))
+    np.testing.assert_allclose(
+        f[0, 12], np.clip(f[0, 11] / max(s_eff, 1e-3), -40, 40), rtol=1e-5
+    )
 
 
 def test_featurize_rejects_out_of_range_indices():
