@@ -214,6 +214,11 @@ def main() -> int:
     e2e.__name__ = "bench_e2e"
     e2e_tuned = functools.partial(bench_e2e, configs=65536, schedule="tuned")
     e2e_tuned.__name__ = "bench_e2e_tuned"
+    # measured-distribution DP schedule (mc.schedule_sim.optimize_
+    # checkpoints): same per-bin CI criterion, checkpoint placement fit
+    # to the workload's estimated convergence-point distribution
+    e2e_opt = functools.partial(bench_e2e, configs=65536, schedule="opt")
+    e2e_opt.__name__ = "bench_e2e_opt"
     from collide2d_tpu.utils.benchmarks import bench_e2e_polygons
 
     e2e_poly = functools.partial(bench_e2e_polygons, configs=32768)
@@ -279,6 +284,7 @@ def main() -> int:
         # stderr) keeps a mid-run kill harmless.
         e2e,
         e2e_tuned,
+        e2e_opt,
         e2e_poly,
     ):
         try:

@@ -44,6 +44,8 @@ __all__ = [
     "simulate_convergence",
     "ProfileOps",
     "simulate_schedule",
+    "min_convergence_points",
+    "optimize_checkpoints",
 ]
 
 
@@ -110,6 +112,139 @@ def simulate_convergence(cp, cfg, seed: int = 0, impl: str = "pallas"):
         open_[newly] = False
         n_prev = n_now
     return n_frozen
+
+
+def min_convergence_points(
+    cp, cfg, *, granule: int = 64, grid_points: int = 192, seed: int = 0
+):
+    """Earliest POSSIBLE convergence sample count per config.
+
+    Like `simulate_convergence`, but replayed on a dense geometric grid
+    of candidate boundaries (multiples of ``granule``) instead of the
+    configured schedule — the per-row lower envelope any checkpoint
+    schedule is then fit against. Rows that never satisfy the CI
+    criterion before the cap return ``cfg.max_samples``.
+    """
+    cap = int(cfg.max_samples)
+    g = np.unique(
+        np.clip(
+            (np.geomspace(granule, cap, grid_points) / granule)
+            .round()
+            .astype(np.int64)
+            * granule,
+            granule,
+            cap,
+        )
+    )
+    if g[-1] != cap:
+        g = np.append(g, cap)
+    rng = np.random.default_rng(seed)
+    cp = np.asarray(cp, np.float64)
+    k = np.zeros(cp.shape, np.int64)
+    n_min = np.full(cp.shape, cap, np.int64)
+    open_ = np.ones(cp.shape, bool)
+    n_prev = 0
+    for n_now in g:
+        idx = np.flatnonzero(open_)
+        if idx.size == 0:
+            break
+        k[idx] += rng.binomial(int(n_now - n_prev), cp[idx])
+        conv = _is_converged_np(
+            n_now, k[idx], cfg.accuracy_bins, cfg.bin_accuracy
+        )
+        newly = idx[conv]
+        n_min[newly] = n_now
+        open_[newly] = False
+        n_prev = n_now
+    return n_min, g
+
+
+def optimize_checkpoints(
+    n_min,
+    cfg,
+    *,
+    grid=None,
+    overhead_samples: float = 256.0,
+    max_checkpoints: int = 24,
+    granule: int = 64,
+):
+    """Choose convergence checkpoints minimizing expected sample slots.
+
+    A checkpoint schedule never changes WHAT a label must satisfy (the
+    per-bin CI criterion is evaluated at every checkpoint, and a row is
+    only emitted once it holds — generate_dataset.cu:243-252 semantics);
+    it only decides WHERE convergence is tested, i.e. how many extra
+    samples a row draws past its earliest possible convergence point.
+    Given the workload's measured ``n_min`` distribution
+    (`min_convergence_points` over estimated cps, or the n_used column
+    of a real run), the expected slot cost of a schedule C is
+
+        sum_rows  min{c in C : c >= n_min_row}        (samples paid)
+      + overhead_samples * sum_{c in C} active(c-)    (sync/dispatch)
+
+    with active(c-) = rows not yet frozen when the checkpoint's round
+    dispatches. Both terms are exact under instant repack; the second
+    prices each extra sync at ``overhead_samples`` per still-active row
+    (measured: one pipelined sync costs the driver the equivalent of a
+    few hundred samples/row). This function minimizes that objective
+    exactly by dynamic programming over a candidate grid (O(G^2)), with
+    ``max_checkpoints`` bounding the compile-shape bill, and returns
+    CUMULATIVE checkpoints (granule-rounded, cap excluded) ready for
+    ``AdaptiveConfig(schedule=...)``.
+
+    The round-3 'tuned' schedule is the K=1 special case of this
+    (one hand-placed rule-of-three checkpoint); the DP typically places
+    3-6 more where the cp distribution's mass converges (review r3 #6).
+    """
+    n_min = np.asarray(n_min, np.int64)
+    cap = int(cfg.max_samples)
+    if grid is None:
+        base = np.geomspace(
+            max(granule, float(np.percentile(n_min, 1))), cap, 160
+        )
+        grid = np.unique(
+            np.clip(
+                (base / granule).round().astype(np.int64) * granule,
+                granule, cap,
+            )
+        )
+    grid = np.asarray(sorted(set(int(x) for x in grid) | {cap}), np.int64)
+    g_count = len(grid)
+    order = np.sort(n_min)
+    rows_leq = np.searchsorted(order, grid, side="right")
+    n_rows = n_min.size
+    # DP over "grid[j] is a chosen checkpoint": rows in (grid[i],
+    # grid[j]] pay grid[j] samples; the sync at grid[j] prices
+    # overhead_samples per row still active after the previous
+    # checkpoint. The overhead term makes sparse schedules win
+    # naturally, so no explicit K bound is needed in the recursion.
+    cost = np.full(g_count, np.inf)
+    prev = np.full(g_count, -1, np.int64)
+    for j in range(g_count):
+        # first checkpoint at grid[j]: everyone active at the sync
+        cost[j] = rows_leq[j] * float(grid[j]) + overhead_samples * n_rows
+        for i in range(j):
+            c = (
+                cost[i]
+                + (rows_leq[j] - rows_leq[i]) * float(grid[j])
+                + overhead_samples * (n_rows - rows_leq[i])
+            )
+            if c < cost[j]:
+                cost[j], prev[j] = c, i
+    # the cap is always the final (flush) boundary
+    pts = []
+    j = g_count - 1
+    while j >= 0:
+        pts.append(int(grid[j]))
+        j = int(prev[j])
+    pts = sorted(set(pts))
+    interior = [p for p in pts if p < cap]
+    if len(interior) > max_checkpoints:
+        # thin evenly, keeping the earliest points (they carry the bulk
+        # of the win: the zero-cp mass converges first)
+        keep = np.linspace(0, len(interior) - 1, max_checkpoints)
+        interior = [interior[int(round(x))] for x in keep]
+    return tuple(interior if interior else pts)
 
 
 class ProfileOps:

@@ -1262,6 +1262,7 @@ def bench_e2e(
     from collide2d_tpu.mc.estimator import AdaptiveConfig, Configs
     from collide2d_tpu.mc.noise import sample_configurations
 
+    sched_name = schedule if isinstance(schedule, str) else None
     key = jax.random.PRNGKey(seed)
     k_tab, k_cfg, k_mc = jax.random.split(key, 3)
     rngs = jax.random.split(k_tab, 2)
@@ -1274,9 +1275,6 @@ def bench_e2e(
         .at[:, 3:].set(0.0)
     )
     robot_wh = jnp.asarray([4.07, 1.74])
-    # reference defaults: bins, schedule, 4e6 cap; schedule="tuned" adds
-    # the rule-of-three checkpoint (same CI guarantees)
-    adaptive = AdaptiveConfig(schedule=schedule, ladder=ladder)
 
     def batch_cfgs(i: int) -> Configs:
         positions, pose_idx, var_idx = sample_configurations(
@@ -1290,6 +1288,31 @@ def bench_e2e(
             obstacle_wh=pose[:, 0:2],
             std_dev=std_devs[var_idx],
         )
+
+    n_checkpoints = None
+    if schedule == "opt":
+        # Measured-distribution schedule (review r3 #6): estimate the
+        # workload's cps with one cheap fixed-budget pass, derive each
+        # config's earliest-possible convergence point, and DP-optimize
+        # checkpoint placement (mc.schedule_sim.optimize_checkpoints).
+        # Checkpoints only move WHERE the CI criterion is tested, never
+        # the criterion, so labels keep the same per-bin guarantee.
+        from collide2d_tpu.mc.estimator import collision_probability
+        from collide2d_tpu.mc.schedule_sim import (
+            min_convergence_points,
+            optimize_checkpoints,
+        )
+
+        est_cp = np.asarray(jax.device_get(collision_probability(
+            jax.random.fold_in(k_mc, 999), batch_cfgs(0), robot_wh, 1 << 14
+        )), np.float64)
+        base = AdaptiveConfig()
+        n_min, _ = min_convergence_points(est_cp, base, seed=5)
+        schedule = optimize_checkpoints(n_min, base)
+        n_checkpoints = len(schedule)
+    # reference defaults: bins, schedule, 4e6 cap; schedule="tuned" adds
+    # the rule-of-three checkpoint (same CI guarantees)
+    adaptive = AdaptiveConfig(schedule=schedule, ladder=ladder)
 
     def run(warm_threads: bool = False):
         results = {}
@@ -1341,10 +1364,14 @@ def bench_e2e(
     n_used = np.concatenate([r[1] for r in results.values()])
     cp = np.concatenate([r[0] for r in results.values()])
     used = float(np.asarray(n_used, np.float64).sum())
+    out_extra = (
+        {"n_checkpoints": n_checkpoints} if n_checkpoints is not None else {}
+    )
     return {
         "metric": "configs_labeled_per_sec"
-        + ("_tuned" if schedule == "tuned" else ""),
+        + (f"_{sched_name}" if sched_name else ""),
         "value": rate,
+        **out_extra,
         "unit": "configs/s",
         "vs_baseline": rate,  # no reference number exists (BASELINE.md)
         "configs": total,

@@ -118,3 +118,63 @@ def test_time_model_counts_dispatches_and_rate():
     # each dispatched slot-batch: t_dispatch + slots/(100*buf)
     # = 0.5 + (100*rounds*buf)/(100*buf) = 0.5 + rounds
     assert ops.time == pytest.approx(0.5 * ops.n_dispatches + 200 / 100)
+
+
+def test_optimize_checkpoints_beats_tuned_in_simulated_slots():
+    """The DP schedule (review r3 #6) must not lose to the hand-placed
+    rule-of-three checkpoint on the workload it was fit to, and its
+    checkpoints must be valid AdaptiveConfig schedules (increasing,
+    granule-rounded, interior)."""
+    import numpy as np
+
+    from collide2d_tpu.mc.estimator import AdaptiveConfig
+    from collide2d_tpu.mc import schedule_sim as ss
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    cp = np.where(rng.random(n) < 0.61, 0.0, rng.beta(0.35, 1.2, n))
+    base = AdaptiveConfig()
+    n_min, _ = ss.min_convergence_points(cp, base, seed=3)
+    pts = ss.optimize_checkpoints(n_min, base)
+    assert pts == tuple(sorted(set(pts)))
+    assert all(p % 64 == 0 for p in pts)
+    assert all(0 < p < base.max_samples for p in pts)
+    assert 1 <= len(pts) <= 24
+
+    # replay all three schedules through the REAL scheduler on an
+    # independent draw of the same distribution
+    cp2 = np.where(rng.random(n) < 0.61, 0.0, rng.beta(0.35, 1.2, n))
+    slots = {}
+    for name, cfg in (
+        ("reference", base),
+        ("tuned", AdaptiveConfig(schedule="tuned")),
+        ("opt", AdaptiveConfig(schedule=pts)),
+    ):
+        prof = ss.simulate_convergence(cp2, cfg, seed=11)
+        slots[name] = ss.simulate_schedule(
+            prof, cfg, eager_resolve=True
+        )["slots"]
+    # The DP schedule must not lose to either hand schedule. (tuned vs
+    # reference is NOT asserted: at small row counts tuned's extra
+    # checkpoint can lose to the reference on ride slots — its win is a
+    # wall-clock result at bench scale, not a universal slot ordering.)
+    assert slots["opt"] <= slots["tuned"]
+    assert slots["opt"] <= slots["reference"]
+
+
+def test_optimize_checkpoints_overhead_thins_schedule():
+    """A higher per-sync price must never produce MORE checkpoints."""
+    import numpy as np
+
+    from collide2d_tpu.mc.estimator import AdaptiveConfig
+    from collide2d_tpu.mc import schedule_sim as ss
+
+    rng = np.random.default_rng(1)
+    cp = np.where(rng.random(2048) < 0.5, 0.0, rng.beta(0.4, 1.0, 2048))
+    base = AdaptiveConfig()
+    n_min, _ = ss.min_convergence_points(cp, base, seed=2)
+    sizes = [
+        len(ss.optimize_checkpoints(n_min, base, overhead_samples=oh))
+        for oh in (32.0, 512.0, 8192.0)
+    ]
+    assert sizes[0] >= sizes[1] >= sizes[2] >= 1
