@@ -383,7 +383,9 @@ def train_model(
         logits = np.asarray(
             _predict_logits(params, xv, compute_dtype)
         )
-        p = 1.0 / (1.0 + np.exp(-logits))
+        # numerically stable sigmoid (exp of the negative magnitude only)
+        ex = np.exp(-np.abs(logits))
+        p = np.where(logits >= 0, 1.0 / (1.0 + ex), ex / (1.0 + ex))
         val_bce = float(
             np.mean(
                 np.logaddexp(0.0, -np.abs(logits))
