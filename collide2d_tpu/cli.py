@@ -38,12 +38,17 @@ def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
     the adaptive driver (flag parity across generate/relabel/ztest/
     polylabel — review r2 finding)."""
     p.add_argument("--schedule", default="reference",
-                   choices=["reference", "tuned"],
+                   choices=["reference", "tuned", "opt"],
                    help="convergence-checkpoint schedule: 'reference' "
-                        "(default; the mode's reference cadence) or "
+                        "(default; the mode's reference cadence), "
                         "'tuned' (one extra rule-of-three checkpoint, "
                         "~26%% fewer samples and +32%% configs/s at "
-                        "65k-config batches, same CI guarantees)")
+                        "65k-config batches, same CI guarantees), or "
+                        "'opt' (generate only: DP-optimized checkpoints "
+                        "fit to a cp-distribution probe of the workload, "
+                        "mc/schedule_sim.optimize_checkpoints — same CI "
+                        "guarantees, checkpoints only move where "
+                        "convergence is tested)")
     p.add_argument("--prune_sigma", type=float, default=0.0,
                    help="label configurations that cannot collide within "
                         "this many noise std-devs as cp=0 without sampling "

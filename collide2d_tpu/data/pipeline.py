@@ -33,7 +33,7 @@ import functools
 import json
 import math
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from pathlib import Path
 from typing import Sequence
 
@@ -310,6 +310,14 @@ def _sample_tables(cfg: GenerateConfig) -> tuple[np.ndarray, np.ndarray]:
 def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
     if cfg.adaptive is not None:
         return cfg.adaptive
+    if getattr(cfg, "schedule", None) == "opt":
+        raise ValueError(
+            "schedule='opt' must be resolved to explicit checkpoints by "
+            "the generate driver (it needs a cp-distribution probe of "
+            "the workload); relabel/ztest inputs have no sampling "
+            "distribution to probe — pass an explicit checkpoint tuple "
+            "or 'tuned' there"
+        )
     kwargs = dict(max_samples=cfg.max_samples)
     if hasattr(cfg, "accuracy_bins"):
         kwargs["accuracy_bins"] = tuple(cfg.accuracy_bins)
@@ -493,10 +501,47 @@ def generate_dataset(cfg: GenerateConfig) -> None:
     save_npy(data_dir / "meta" / "bin_accuracy.npy",
              np.asarray(cfg.bin_accuracy, np.float32))
 
-    adaptive = _adaptive_config(cfg)
     key = _master_key(cfg.seed)
     poses_j = jnp.asarray(poses)
     std_devs_j = jnp.asarray(std_devs)
+
+    if getattr(cfg, "schedule", None) == "opt":
+        # Measured-distribution schedule: probe the workload's cps with
+        # one cheap fixed-budget pass, then DP-optimize checkpoint
+        # placement (mc.schedule_sim). Checkpoints only move WHERE the
+        # per-bin CI criterion is tested — labels keep the exact same
+        # guarantee as 'reference'/'tuned'.
+        from collide2d_tpu.mc.estimator import collision_probability
+        from collide2d_tpu.mc.schedule_sim import (
+            min_convergence_points,
+            optimize_checkpoints,
+        )
+
+        probe_key = jax.random.fold_in(key, 0x5EED)
+        n_probe = int(min(16384, cfg.batch_size))
+        positions, _, _, pose_cols, sd_rows = sample_configuration_batch(
+            probe_key, poses_j, std_devs_j, num_configs=n_probe,
+            r_offset=cfg.r_offset, spread=cfg.spread,
+        )
+        probe_cfgs = Configs(
+            position=positions,
+            pose_theta=pose_cols[:, 2],
+            obstacle_wh=pose_cols[:, 0:2],
+            std_dev=sd_rows,
+        )
+        est_cp = np.asarray(jax.device_get(collision_probability(
+            jax.random.fold_in(probe_key, 1), probe_cfgs,
+            jnp.asarray([cfg.robot_width, cfg.robot_height], jnp.float32),
+            1 << 14,
+        )), np.float64)
+        base = _adaptive_config(_dc_replace(cfg, schedule=None))
+        n_min, _ = min_convergence_points(est_cp, base, seed=0)
+        pts = optimize_checkpoints(n_min, base)
+        _log(cfg, f"opt schedule: {len(pts)} checkpoints from a "
+                  f"{n_probe}-config cp probe: {list(pts)[:8]}...")
+        cfg = _dc_replace(cfg, schedule=tuple(pts))
+
+    adaptive = _adaptive_config(cfg)
 
     _log(cfg, f"Total number of configurations: {cfg.batch_size * cfg.num_batches}")
     _log(cfg, "Begin computation...")
