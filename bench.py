@@ -296,13 +296,14 @@ def main() -> int:
     sys.stderr.flush()
     # The digest: every measured (metric, value) pair in ONE stdout line
     # right before the final headline, so the driver's tail capture
-    # carries the whole surface. Kept under ~1500 chars (trim the
+    # (last 2000 chars of stdout+stderr) carries the whole surface.
+    # Budget: 2000 minus the ~250-char headline, with margin (trim the
     # longest names first if a future metric set overflows).
     digest_line = json.dumps(
         {"metric": "digest", "n": len(digest), "metrics": digest},
         separators=(",", ":"),
     )
-    while len(digest_line) > 1500 and digest:
+    while len(digest_line) > 1700 and digest:
         digest.pop(max(digest, key=len))
         digest_line = json.dumps(
             {"metric": "digest", "n": len(digest), "metrics": digest},
