@@ -96,8 +96,20 @@ def main() -> int:
         name = res.get("metric")
         if not name:
             return
+        # compact: the '_per_sec' suffix is uniform noise (every rate
+        # metric carries it) and integer-valued rates need no '.0' —
+        # together they buy ~300 chars, enough to keep EVERY metric in
+        # the line instead of trimming the longest names.
+        key = name.replace("_per_sec", "")
+        for unit in ("_samples", "_pairs", "_queries", "_rows"):
+            key = key.replace(unit, "")
+
+        def compact(v):
+            v = float(f"{float(v):.3g}")
+            return int(v) if abs(v) >= 1e4 and v == int(v) else v
+
         try:
-            digest[name] = float(f"{float(res['value']):.4g}")
+            digest[key] = compact(res["value"])
         except (KeyError, TypeError, ValueError):
             return
         for extra, short in (
@@ -109,9 +121,8 @@ def main() -> int:
         ):
             if extra in res:
                 v = res[extra]
-                digest[f"{name}.{short}"] = (
-                    bool(v) if isinstance(v, (bool,)) else
-                    float(f"{float(v):.4g}")
+                digest[f"{key}.{short}"] = (
+                    bool(v) if isinstance(v, (bool,)) else compact(v)
                 )
 
     def log(obj) -> None:

@@ -407,8 +407,16 @@ def test_bench_digest_line_contract():
         name = res.get("metric")
         if not name:
             return
+        key = name.replace("_per_sec", "")
+        for unit in ("_samples", "_pairs", "_queries", "_rows"):
+            key = key.replace(unit, "")
+
+        def compact(v):
+            v = float(f"{float(v):.3g}")
+            return int(v) if abs(v) >= 1e4 and v == int(v) else v
+
         try:
-            digest[name] = float(f"{float(res['value']):.4g}")
+            digest[key] = compact(res["value"])
         except (KeyError, TypeError, ValueError):
             return
         for extra, short in (
@@ -418,9 +426,8 @@ def test_bench_digest_line_contract():
         ):
             if extra in res:
                 v = res[extra]
-                digest[f"{name}.{short}"] = (
-                    bool(v) if isinstance(v, bool)
-                    else float(f"{float(v):.4g}")
+                digest[f"{key}.{short}"] = (
+                    bool(v) if isinstance(v, bool) else compact(v)
                 )
 
     # realistic surface: ~34 metrics of representative name length,
