@@ -205,6 +205,10 @@ def main() -> int:
     moving_poly_rot = functools.partial(bench_mc_moving_polygons,
                                         rotating=True)
     moving_poly_rot.__name__ = "bench_mc_moving_polygons_rotating"
+    moving_poly_rot_nos = functools.partial(
+        bench_mc_moving_polygons, rotating=True, screen=False
+    )
+    moving_poly_rot_nos.__name__ = "bench_mc_moving_polygons_rotating_noscreen"
     noshape = functools.partial(bench_mc_pallas, shape_noise=False)
     noshape.__name__ = "bench_mc_pallas_noshape"
     # A/B record of the round-3 normal-draw change (erfinv is the
@@ -234,6 +238,10 @@ def main() -> int:
 
     e2e_poly = functools.partial(bench_e2e_polygons, configs=32768)
     e2e_poly.__name__ = "bench_e2e_polygons"
+    e2e_poly_opt = functools.partial(
+        bench_e2e_polygons, configs=32768, schedule="opt"
+    )
+    e2e_poly_opt.__name__ = "bench_e2e_polygons_opt"
     from collide2d_tpu.utils.benchmarks import bench_obb_pallas
 
     from collide2d_tpu.utils.benchmarks import (
@@ -280,6 +288,7 @@ def main() -> int:
         # trajectory k-gons (MovingPolygonConfigs): jnp path by design
         bench_mc_moving_polygons,
         moving_poly_rot,
+        moving_poly_rot_nos,
         bench_sat_pallas_bf16,
         bench_sat_polygons_pallas,
         poly_bf16,
@@ -297,6 +306,7 @@ def main() -> int:
         e2e_tuned,
         e2e_opt,
         e2e_poly,
+        e2e_poly_opt,
     ):
         try:
             log(fn())

@@ -315,7 +315,8 @@ def _counts_chunk(
         )
     if isinstance(configs, MovingPolygonConfigs):
         return counts_chunk_moving_polygons(
-            keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol
+            keys, configs, robot_wh, n_lanes, ca_iters=ca_iters, tol=ca_tol,
+            ca_screen=ca_screen,
         )
     if isinstance(configs, PolygonConfigs):
         return _counts_chunk_polygons(keys, configs, robot_wh, n_lanes)

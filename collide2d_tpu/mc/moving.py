@@ -84,6 +84,27 @@ CA_TOL = 1e-4
 N_SCREEN_COARSE = 8   # screening-cascade horizon sub-intervals
 
 
+def _row_chunks(mask_rows, r_cap, body_fn, init):
+    """Run ``body_fn(rows_chunk, carry)`` over fixed-size chunks of the
+    row ids where ``mask_rows`` holds — a `while_loop`, so the work
+    scales with the ambiguous-row count, not the batch. Fill ids equal
+    ``len(mask_rows)`` so row scatters with ``mode='drop'`` skip them.
+    Shared by the rectangle and polygon screening cascades."""
+    c_ = mask_rows.shape[0]
+    row_idx = jnp.flatnonzero(mask_rows, size=c_, fill_value=c_)
+    n_rows = jnp.sum(mask_rows, dtype=jnp.int32)
+
+    def cond(state):
+        return state[0] * r_cap < n_rows
+
+    def body(state):
+        chunk_i, carry = state
+        rows = jax.lax.dynamic_slice(row_idx, (chunk_i * r_cap,), (r_cap,))
+        return chunk_i + 1, body_fn(rows, carry)
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(0), init))[1]
+
+
 def _paired_segment_screen(
     ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
     hx1, hy1, c1, s1, r_rob, tol, n_seg,
@@ -258,24 +279,6 @@ def _screened_rotating_hits(
     rrv = jnp.broadcast_to(r_rob, th0.shape)[:, 0]
     false0 = amb_a & False  # varying-axes-correct carry seed (shard_map)
 
-    def row_chunks(mask_rows, r_cap, body_fn, init):
-        """Run ``body_fn(rows_chunk, carry)`` over fixed-size chunks of
-        the row ids where ``mask_rows`` — work scales with the count."""
-        row_idx = jnp.flatnonzero(mask_rows, size=c_, fill_value=c_)
-        n_rows = jnp.sum(mask_rows, dtype=jnp.int32)
-
-        def cond(state):
-            return state[0] * r_cap < n_rows
-
-        def body(state):
-            chunk_i, carry = state
-            rows = jax.lax.dynamic_slice(
-                row_idx, (chunk_i * r_cap,), (r_cap,)
-            )
-            return chunk_i + 1, body_fn(rows, carry)
-
-        return jax.lax.while_loop(cond, body, (jnp.int32(0), init))[1]
-
     def gathers(rows):
         safe = jnp.minimum(rows, c_ - 1)
         g2 = lambda arr: arr[safe]           # (r_cap, S) row gather
@@ -314,7 +317,7 @@ def _screened_rotating_hits(
         )
 
     r_cap_c = min(c_, max(8, -(-c_ // 4)))
-    ca_hits = row_chunks(
+    ca_hits = _row_chunks(
         jnp.any(amb_a, axis=1), r_cap_c, stage_c, false0
     )
     return hit_a | ca_hits, (maybe_a, hit_a, amb_a)
@@ -597,9 +600,128 @@ def moving_polygon_configs(
     )
 
 
+def _polygon_segment_screen(
+    obstacle, obs_axes, obs_alen, m2o, M2o, s2o,
+    rv, rv_len, rv_er, er_valid, r_rob,
+    px, py, vx, vy, th0, w, tol, n_seg,
+):
+    """Certified screening pass for ROTATING k-gon trajectory lanes —
+    the polygon analogue of `_paired_segment_screen`.
+
+    Per horizon segment the robot is frozen at its midpoint angle; the
+    chord bound delta = 2 r sin(min(|w|/(2 n_seg), pi)/2) (r = robot
+    circumradius about the rotation center) gives two proofs:
+
+    - MISS: the rotating robot is contained in the frozen proxy
+      inflated by delta, and inflating a convex polygon by a
+      delta-disc widens its support interval on an axis ``a`` by
+      exactly delta * |a|. Per SAT axis (true edge normals of BOTH
+      polygons — axis NORMS are rigid-motion invariants, so they are
+      per-config constants, no per-lane sqrt), the linear-in-t overlap
+      conditions are endpoint-tested over the segment (division-free,
+      conservative in the right direction): if any axis separates the
+      inflated proxy from the obstacle across the whole segment, then
+      d(t) > tol there — a miss the advancement loop could never
+      overturn.
+    - HIT: the robot scaled by (1 - delta / r_in) about the origin is
+      a subset of the robot eroded by delta (support-function fact:
+      h_P(u) - <0,u> >= r_in for all unit u when the in-disc about
+      the rotation center has radius r_in), hence a subset of the
+      TRUE rotating robot throughout the segment. An exact SAT overlap
+      of that scaled copy against the obstacle at the segment midpoint
+      therefore proves actual penetration (d <= 0 <= tol) — including
+      grazes the advancement loop cannot certify. Disabled per config
+      when delta >= r_in (the subset degenerates).
+
+    Obstacle-side quantities (its own-axis projections and axis
+    velocities) are segment-invariant and passed in precomputed; the
+    per-segment cost is the two cross-projection tensors — about one
+    translation-window evaluation per segment, vs ~4 windows for ONE
+    advancement step (the polygon signed distance).
+
+    Returns ``(maybe, hit_cert, t_first)`` as the rect screen.
+    """
+    from collide2d_tpu.ops.geometry import edge_normals, transform_vertices
+    from collide2d_tpu.ops.sat import _project_all, sat_polygons
+
+    f32 = jnp.float32
+    inv_n = f32(1.0 / n_seg)
+    delta = 2.0 * r_rob * jnp.sin(
+        jnp.minimum(jnp.abs(w) * f32(0.5 / n_seg), f32(jnp.pi)) * 0.5
+    ) + f32(tol)
+    s_ = obstacle.shape[1]
+
+    maybe = None
+    hit_cert = None
+    t_first = None
+    for i in range(n_seg):
+        a, b = i / n_seg, (i + 1) / n_seg
+        tm = f32(0.5 * (a + b))
+        thm = th0 + tm * w  # (C, 1)
+        # Frozen proxy at its t=0 center (the center path is exact
+        # under the window's linear motion; only the angle is frozen).
+        p1m = transform_vertices(
+            rv[None], px[:, 0], py[:, 0], thm[:, 0]
+        )[:, None]  # (C, 1, K2, 2)
+        ax1 = edge_normals(p1m)  # (C, 1, K2, 2)
+
+        # --- robot axes: both projections are cheap (robot per config;
+        # obstacle projected once per segment) -----------------------
+        pr1 = _project_all(ax1, p1m)  # (C, 1, K2, K2)
+        m1r, M1r = jnp.min(pr1, -1), jnp.max(pr1, -1)  # (C, 1, K2)
+        pr2 = _project_all(ax1, obstacle)  # (C, S, K2, K)
+        m2r, M2r = jnp.min(pr2, -1), jnp.max(pr2, -1)  # (C, S, K2)
+        s1 = ax1[..., 0] * (-vx[..., None]) + ax1[..., 1] * (-vy[..., None])
+        dL1 = delta[..., None] * rv_len  # (C, 1, K2)
+
+        def axis_maybe(m1, M1, m2, M2, s, dL, a=a, b=b):
+            # overlap(t): (m2 + t s <= M1 + dL) AND (m1 - dL <= M2 + t s)
+            # each linear in t -> endpoint min over [a, b]; AND of the
+            # two per-axis minima is a conservative superset of "some
+            # common t exists" (valid for the MISS certificate).
+            f1a = m2 + f32(a) * s - (M1 + dL)
+            f1b = m2 + f32(b) * s - (M1 + dL)
+            f2a = (m1 - dL) - (M2 + f32(a) * s)
+            f2b = (m1 - dL) - (M2 + f32(b) * s)
+            return (jnp.minimum(f1a, f1b) <= 0) & (
+                jnp.minimum(f2a, f2b) <= 0
+            )
+
+        okR = jnp.all(axis_maybe(m1r, M1r, m2r, M2r, s1, dL1), axis=-1)
+
+        # --- obstacle axes: its own projections precomputed ---------
+        pr1o = _project_all(obs_axes, p1m)  # (C, S, K, K2)
+        m1o, M1o = jnp.min(pr1o, -1), jnp.max(pr1o, -1)  # (C, S, K)
+        dL2 = delta[..., None] * obs_alen[:, None, :]  # (C, 1, K)
+        okO = jnp.all(axis_maybe(m1o, M1o, m2o, M2o, s2o, dL2), axis=-1)
+        seg_maybe = okR & okO  # (C, S)
+
+        # --- eroded-subset SAT at the midpoint (certified hit) ------
+        p1e = transform_vertices(
+            rv_er, px[:, 0] + tm * vx[:, 0],
+            py[:, 0] + tm * vy[:, 0], thm[:, 0],
+        )[:, None]  # (C, 1, K2, 2)
+        seg_hit = (
+            sat_polygons(
+                jnp.broadcast_to(
+                    p1e, (p1e.shape[0], s_) + p1e.shape[2:]
+                ),
+                obstacle,
+            )
+            == 1
+        ) & er_valid
+
+        maybe = seg_maybe if maybe is None else (maybe | seg_maybe)
+        hit_cert = seg_hit if hit_cert is None else (hit_cert | seg_hit)
+        first = jnp.where(seg_maybe, f32(a), jnp.inf)
+        t_first = first if t_first is None else jnp.minimum(t_first, first)
+    return maybe, hit_cert, t_first
+
+
 def counts_chunk_moving_polygons(
     keys: Array, configs: MovingPolygonConfigs, robot_verts: Array,
     n_lanes: int, *, ca_iters: int = CA_ITERS, tol: float = CA_TOL,
+    ca_screen: bool = True, return_screen_masks: bool = False,
 ) -> Array:
     """Motion-collision count over ``n_lanes`` samples per configuration
     for k-gon pairs. Drop-in for `estimator._counts_chunk_polygons`:
@@ -607,7 +729,16 @@ def counts_chunk_moving_polygons(
     (so a zero-motion batch reproduces the static polygon counts bit for
     bit), then one continuous-collision test per sample instead of one
     static SAT.
-    """
+
+    ``ca_screen`` (default on): rotating lanes run the certified
+    screening cascade (`_polygon_segment_screen` + a t=0 exact SAT +
+    row-compacted warm-started advancement — the k-gon analogue of the
+    rectangle path's `_screened_rotating_hits`, with identical
+    certificate and bitwise-reproducibility contracts). The polygon
+    advancement step (vertex transform + exact convex signed distance)
+    costs ~4 translation windows, so screening pays even harder here
+    than for rectangles. ``ca_screen=False`` keeps the pure loop;
+    ``return_screen_masks=True`` returns the stage-A diagnostics."""
     from collide2d_tpu.ops.distance import polygon_signed_distance
     from collide2d_tpu.ops.geometry import transform_vertices
     from collide2d_tpu.ops.toi import polygon_translation_toi_parts
@@ -668,16 +799,117 @@ def counts_chunk_moving_polygons(
         w = w_eff[:, None]
         vx, vy = v_eff[:, 0:1], v_eff[:, 1:2]
 
-        def dist_of_t(t):  # (C, S) -> (C, S)
-            robot_t = transform_vertices(
-                rv[None, None], px + t * vx, py + t * vy, th0 + t * w
-            )  # (C, S, K2, 2)
-            return polygon_signed_distance(robot_t, obstacle)
+        if ca_screen:
+            from collide2d_tpu.ops.geometry import (
+                edge_normals,
+                polygon_edges,
+            )
+            from collide2d_tpu.ops.sat import _project_all, sat_polygons
 
-        toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
-        hit = jnp.where(rotating, jnp.isfinite(toi), hit_exact)
+            # Segment-invariant obstacle quantities, computed ONCE:
+            # its own-axis projections, axis velocities, and axis norms
+            # (edge lengths are rigid-motion invariants — per config,
+            # never per lane).
+            obs_axes = edge_normals(obstacle)  # (C, S, K, 2)
+            pr2o = _project_all(obs_axes, obstacle)
+            m2o, M2o = jnp.min(pr2o, -1), jnp.max(pr2o, -1)  # (C, S, K)
+            s2o = (obs_axes[..., 0] * (-vx[..., None])
+                   + obs_axes[..., 1] * (-vy[..., None]))
+            base_edges = polygon_edges(configs.obstacle_verts)  # (C, K, 2)
+            obs_alen = jnp.hypot(base_edges[..., 0], base_edges[..., 1])
+            rv_edges = polygon_edges(rv)
+            rv_len = jnp.hypot(
+                rv_edges[..., 0], rv_edges[..., 1]
+            )[None, None]  # (1, 1, K2)
+            # Inradius of the robot about its rotation center (origin):
+            # min signed distance to an edge along the outward normal.
+            rv_n = edge_normals(rv)
+            r_in0 = jnp.min(
+                (rv[..., 0] * rv_n[..., 0] + rv[..., 1] * rv_n[..., 1])
+                / jnp.maximum(
+                    jnp.hypot(rv_n[..., 0], rv_n[..., 1]), 1e-30
+                )
+            )
+            f32 = jnp.float32
+            delta_cfg = 2.0 * r_rob * jnp.sin(
+                jnp.minimum(
+                    jnp.abs(w) * f32(0.5 / N_SCREEN_COARSE), f32(jnp.pi)
+                ) * 0.5
+            ) + f32(tol)  # (C, 1) — matches the screen's per-segment bound
+            er_valid = (r_in0 > 0) & (delta_cfg < r_in0)  # (C, 1)
+            lam = jnp.clip(
+                1.0 - delta_cfg / jnp.maximum(r_in0, 1e-30), 0.0, 1.0
+            )
+            rv_er = lam[:, :, None] * rv[None]  # (C, K2, 2)
+
+            hit0 = sat_polygons(robot0_b, obstacle) == 1  # exact t=0
+            maybe_a, hit_a, t_first_a = _polygon_segment_screen(
+                obstacle, obs_axes, obs_alen, m2o, M2o, s2o,
+                rv, rv_len, rv_er, er_valid, r_rob,
+                px, py, vx, vy, th0, w, tol, N_SCREEN_COARSE,
+            )
+            hit_a = hit_a | hit0
+            amb_a = rotating & maybe_a & ~hit_a
+            t0_full = jnp.clip(
+                jnp.where(jnp.isfinite(t_first_a), t_first_a, 2.0),
+                0.0, 2.0,
+            )
+            c_ = obstacle.shape[0]
+            pxv, pyv = px[:, 0], py[:, 0]
+            vxv, vyv = vx[:, 0], vy[:, 0]
+            thv, wv = th0[:, 0], w[:, 0]
+
+            def stage_c(rows, ca_buf):
+                safe = jnp.minimum(rows, c_ - 1)
+                g2 = lambda arr: arr[safe]
+                g1 = lambda vec: vec[safe][:, None]
+                obst_g = g2(obstacle)
+                pxg, pyg = g1(pxv), g1(pyv)
+                vxg, vyg = g1(vxv), g1(vyv)
+                thg, wg = g1(thv), g1(wv)
+
+                def dist_g(t):
+                    robot_t = transform_vertices(
+                        rv[None, None], pxg + t * vxg, pyg + t * vyg,
+                        thg + t * wg,
+                    )
+                    return polygon_signed_distance(robot_t, obst_g)
+
+                toi = _advance(
+                    dist_g, g2(bound), 1.0, ca_iters, tol, t0=g2(t0_full)
+                )
+                return ca_buf.at[rows].set(
+                    g2(amb_a) & jnp.isfinite(toi), mode="drop"
+                )
+
+            r_cap_c = min(c_, max(8, -(-c_ // 4)))
+            ca_hits = _row_chunks(
+                jnp.any(amb_a, axis=1), r_cap_c, stage_c, amb_a & False
+            )
+            hit_rot = hit_a | ca_hits
+            _screen_masks = (maybe_a, hit_a, amb_a)
+        else:
+            def dist_of_t(t):  # (C, S) -> (C, S)
+                robot_t = transform_vertices(
+                    rv[None, None], px + t * vx, py + t * vy, th0 + t * w
+                )  # (C, S, K2, 2)
+                return polygon_signed_distance(robot_t, obstacle)
+
+            toi = _advance(dist_of_t, bound, 1.0, ca_iters, tol)
+            hit_rot = jnp.isfinite(toi)
+            _screen_masks = None
+        hit = jnp.where(rotating, hit_rot, hit_exact)
     else:
         # ca_iters == 0: the caller asserts the batch is translation-
         # only (the adaptive driver auto-detects this).
         hit = hit_exact
-    return jnp.sum(hit, axis=-1, dtype=jnp.int32)
+        _screen_masks = None
+    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+    if return_screen_masks:
+        if _screen_masks is None:
+            raise ValueError(
+                "return_screen_masks requires ca_screen=True and "
+                "ca_iters > 0"
+            )
+        return counts, _screen_masks
+    return counts

@@ -645,17 +645,21 @@ def bench_mc_moving(
 
 def bench_mc_moving_polygons(
     configs: int = 4096, step_samples: int = 256, iters: int = 10,
-    rotating: bool = False, k: int = 6,
+    rotating: bool = False, k: int = 6, screen: bool = True,
 ) -> dict:
     """Trajectory-MC sampling for convex k-gon pairs
     (`MovingPolygonConfigs`, mc.moving) — the {moving} x {polygon}
     corner of the label matrix. jnp path by design ('auto' resolves
     these batches to jnp; there is no fused kernel): ``rotating=False``
     resolves every sample through the exact k-gon translation window,
-    ``rotating=True`` runs conservative advancement on the exact convex
-    signed distance (48 iterations)."""
+    ``rotating=True`` runs the certified screening cascade
+    (``screen=False`` keeps the pure 48-iteration advancement loop in
+    every capture as the A/B baseline)."""
     from collide2d_tpu.mc.estimator import _mc_round_jnp
-    from collide2d_tpu.mc.moving import moving_polygon_configs
+    from collide2d_tpu.mc.moving import (
+        counts_chunk_moving_polygons,
+        moving_polygon_configs,
+    )
 
     rng = np.random.default_rng(7)
     cfgs = moving_polygon_configs(
@@ -680,13 +684,16 @@ def bench_mc_moving_polygons(
         return jnp.sum(_mc_round_jnp(
             jax.random.PRNGKey(3), uids, cfgs, robot, jnp.int32(0),
             n_steps, step_samples=step_samples, ca_iters=ca,
+            ca_screen=screen,
         ))
 
     dt = _diff_time(run, (jnp.int32(1),), (jnp.int32(1 + iters),), iters)
     rate = configs * step_samples / dt
-    return {
-        "metric": ("mc_moving_polygon_samples_per_sec_jnp_rotating"
-                   if rotating else "mc_moving_polygon_samples_per_sec_jnp"),
+    name = "mc_moving_polygon_samples_per_sec_jnp"
+    if rotating:
+        name += "_rotating" if screen else "_rotating_noscreen"
+    out = {
+        "metric": name,
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / SAT_TARGET,
@@ -695,6 +702,16 @@ def bench_mc_moving_polygons(
         "ca_iters": ca,
         "seconds_per_iter": dt,
     }
+    if rotating and screen:
+        keys = jax.random.split(jax.random.PRNGKey(3), configs)
+        _, (maybe, hitc, amb) = counts_chunk_moving_polygons(
+            keys, cfgs, robot, step_samples, ca_iters=48,
+            return_screen_masks=True,
+        )
+        out["frac_definite_miss"] = round(1.0 - float(jnp.mean(maybe)), 4)
+        out["frac_probe_hit"] = round(float(jnp.mean(hitc)), 4)
+        out["frac_ambiguous_ca"] = round(float(jnp.mean(amb)), 4)
+    return out
 
 
 def bench_sat_polygons_mxu(
@@ -1427,7 +1444,7 @@ def bench_e2e_polygons(
         [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
         jnp.float32,
     )
-    adaptive = AdaptiveConfig(schedule=schedule, ladder=ladder)
+    sched_name = schedule if isinstance(schedule, str) else None
 
     def batch_cfgs(i: int) -> PolygonConfigs:
         positions, pose_idx, var_idx = sample_configurations(
@@ -1451,6 +1468,26 @@ def bench_e2e_polygons(
             obstacle_verts=verts,
             std_dev=std_devs[var_idx][:, :3],
         )
+
+    n_checkpoints = None
+    if schedule == "opt":
+        # Same measured-distribution DP schedule as the rect leg — the
+        # probe runs on the POLYGON workload's own cp distribution.
+        from collide2d_tpu.mc.estimator import collision_probability
+        from collide2d_tpu.mc.schedule_sim import (
+            min_convergence_points,
+            optimize_checkpoints,
+        )
+
+        est_cp = np.asarray(jax.device_get(collision_probability(
+            jax.random.fold_in(k_mc, 999), batch_cfgs(0), robot_verts,
+            1 << 14,
+        )), np.float64)
+        base = AdaptiveConfig()
+        n_min, _ = min_convergence_points(est_cp, base, seed=5)
+        schedule = optimize_checkpoints(n_min, base)
+        n_checkpoints = len(schedule)
+    adaptive = AdaptiveConfig(schedule=schedule, ladder=ladder)
 
     def run(warm_threads: bool = False):
         results = {}
@@ -1487,10 +1524,14 @@ def bench_e2e_polygons(
     done = np.concatenate([r[2] for r in results.values()])
     n_used = np.concatenate([r[1] for r in results.values()])
     used = float(np.asarray(n_used, np.float64).sum())
+    out_extra = (
+        {"n_checkpoints": n_checkpoints} if n_checkpoints is not None else {}
+    )
     return {
         "metric": "polygon_configs_labeled_per_sec"
-        + ("_tuned" if schedule == "tuned" else ""),
+        + (f"_{sched_name}" if sched_name else ""),
         "value": rate,
+        **out_extra,
         "unit": "configs/s",
         "vs_baseline": rate,  # no reference number exists (BASELINE.md)
         "configs": total,
