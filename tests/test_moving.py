@@ -294,3 +294,38 @@ def test_trajectory_checkpoint_resume_identical(rng, tmp_path):
     np.testing.assert_array_equal(n_used, base[1])
     np.testing.assert_array_equal(done, base[2])
     assert not ckpt.exists()
+
+
+def test_screened_counts_strictly_refine_the_pure_ca_loop(rng):
+    """The round-4 screening cascade's contract: per config, screened
+    counts NEVER fall below the pure conservative-advancement loop's
+    (misses are proofs CA agrees with; eroded/overlap certificates add
+    hits CA misses), and capture a meaningful share of the CA-512
+    increment at the CA-48 budget."""
+    from collide2d_tpu.mc.moving import counts_chunk_moving
+
+    n, s = 256, 64
+    cfgs = moving_configs(
+        rng.uniform(-6, 6, (n, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, n).astype(np.float32),
+        rng.uniform(0.5, 5, (n, 2)).astype(np.float32),
+        rng.uniform(0, 0.3, (n, 5)).astype(np.float32),
+        rng.uniform(-2, 2, (n, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, n).astype(np.float32),
+        rng.uniform(0.5, 3, n).astype(np.float32),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    pure = np.array(counts_chunk_moving(keys, cfgs, ROBOT, s,
+                                        ca_screen=False))
+    screened, (maybe, hitc, amb) = counts_chunk_moving(
+        keys, cfgs, ROBOT, s, return_screen_masks=True)
+    screened = np.array(screened)
+    assert (screened >= pure).all()
+    assert screened.sum() > 0
+    # the cascade must actually decide most lanes closed-form
+    assert float(np.array(amb).mean()) < 0.25
+    hi = np.array(counts_chunk_moving(keys, cfgs, ROBOT, s,
+                                      ca_iters=512, ca_screen=False))
+    gap512 = hi.sum() - pure.sum()
+    if gap512 > 0:
+        assert (screened.sum() - pure.sum()) >= 0.3 * gap512

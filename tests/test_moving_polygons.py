@@ -307,3 +307,41 @@ def test_movelabel_cli_polygon_roundtrip(tmp_path, rng):
     with pytest.raises(SystemExit, match="robot_verts"):
         main(["movelabel", "--data_in", str(tmp_path / "bad.npz"),
               "--data_out", str(outp)])
+
+
+def test_polygon_screened_counts_strictly_refine_the_pure_ca_loop(rng):
+    """k-gon analogue of the rectangle cascade contract (round 4):
+    screened rotating counts are a per-config superset of the pure
+    advancement loop's, with most lanes certified closed-form."""
+    from collide2d_tpu.mc.moving import (
+        counts_chunk_moving_polygons,
+        moving_polygon_configs,
+    )
+
+    n, s, k = 192, 48, 6
+    ang = np.sort(rng.uniform(0, 2 * np.pi, (n, k)), axis=-1)
+    ab = rng.uniform(0.5, 3.0, (n, 1, 2))
+    verts = (np.stack([np.cos(ang), np.sin(ang)], -1) * ab).astype(
+        np.float32)
+    cfgs = moving_polygon_configs(
+        rng.uniform(-6, 6, (n, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, n).astype(np.float32),
+        verts,
+        rng.uniform(0, 0.3, (n, 3)).astype(np.float32),
+        rng.uniform(-2, 2, (n, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, n).astype(np.float32),
+        rng.uniform(0.5, 3, n).astype(np.float32),
+    )
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    pure = np.array(counts_chunk_moving_polygons(
+        keys, cfgs, robot, s, ca_screen=False))
+    screened, (maybe, hitc, amb) = counts_chunk_moving_polygons(
+        keys, cfgs, robot, s, return_screen_masks=True)
+    screened = np.array(screened)
+    assert (screened >= pure).all()
+    assert screened.sum() > 0
+    assert float(np.array(amb).mean()) < 0.2
