@@ -44,11 +44,15 @@ def _add_adaptive_extensions(p: argparse.ArgumentParser) -> None:
                         "'tuned' (one extra rule-of-three checkpoint, "
                         "~26%% fewer samples and +32%% configs/s at "
                         "65k-config batches, same CI guarantees), or "
-                        "'opt' (generate only: DP-optimized checkpoints "
-                        "fit to a cp-distribution probe of the workload, "
+                        "'opt' (generate/relabel: DP-optimized "
+                        "checkpoints fit to a cp-distribution probe of "
+                        "the workload — 16k sampled configs for generate, "
+                        "the first input batch for relabel; "
                         "mc/schedule_sim.optimize_checkpoints — same CI "
                         "guarantees, checkpoints only move where "
-                        "convergence is tested)")
+                        "convergence is tested; measured 1.85x steady-"
+                        "state on the production 1e7 generate. ztest "
+                        "rejects it: one file at a fixed cadence)")
     p.add_argument("--prune_sigma", type=float, default=0.0,
                    help="label configurations that cannot collide within "
                         "this many noise std-devs as cp=0 without sampling "

@@ -312,11 +312,11 @@ def _adaptive_config(cfg, fixed_batch=None) -> AdaptiveConfig:
         return cfg.adaptive
     if getattr(cfg, "schedule", None) == "opt":
         raise ValueError(
-            "schedule='opt' must be resolved to explicit checkpoints by "
-            "the generate driver (it needs a cp-distribution probe of "
-            "the workload); relabel/ztest inputs have no sampling "
-            "distribution to probe — pass an explicit checkpoint tuple "
-            "or 'tuned' there"
+            "schedule='opt' must be resolved to explicit checkpoints "
+            "before AdaptiveConfig construction — the generate and "
+            "relabel drivers do this with a cp-distribution probe of "
+            "their workload; other callers should pass an explicit "
+            "checkpoint tuple or 'tuned'"
         )
     kwargs = dict(max_samples=cfg.max_samples)
     if hasattr(cfg, "accuracy_bins"):
@@ -670,6 +670,44 @@ def relabel_dataset(cfg: RelabelConfig) -> None:
     _log(cfg, f"num poses: {len(poses)}")
     _log(cfg, f"num variances: {len(variances)}")
 
+    if cfg.schedule == "opt":
+        # Measured-distribution DP schedule, relabel flavor: the input
+        # rows ARE the workload, so the cp probe runs on the first
+        # input batch's configurations (same criterion-preserving
+        # contract as generate's 'opt').
+        from collide2d_tpu.mc.estimator import collision_probability
+        from collide2d_tpu.mc.schedule_sim import (
+            min_convergence_points,
+            optimize_checkpoints,
+        )
+
+        rows0 = load_npy(batch_path(data_in, 0))
+        pos0, vidx0, pidx0 = schemas.unpack_relabel_rows(rows0)
+        n_probe = int(min(16384, len(pos0)))
+        pidx0 = np.asarray(pidx0, np.int64)[:n_probe]
+        vidx0 = np.asarray(vidx0, np.int64)[:n_probe]
+        _check_table_idx(pidx0, len(poses), "pose_idx")
+        _check_table_idx(vidx0, len(std_devs), "var_idx")
+        probe_cfgs = _batch_configs(
+            pos0[:n_probe], pidx0, vidx0,
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(std_devs, jnp.float32),
+        )
+        est_cp = np.asarray(jax.device_get(collision_probability(
+            jax.random.fold_in(_master_key(cfg.seed), 0x5EED), probe_cfgs,
+            jnp.asarray(cfg.robot_wh, jnp.float32), 1 << 14,
+        )), np.float64)
+        base = AdaptiveConfig(
+            accuracy_bins=tuple(float(x) for x in accuracy_bins),
+            bin_accuracy=tuple(float(x) for x in bin_accuracy),
+            max_samples=cfg.max_samples,
+        )
+        n_min, _ = min_convergence_points(est_cp, base, seed=0)
+        pts = optimize_checkpoints(n_min, base)
+        _log(cfg, f"opt schedule: {len(pts)} checkpoints from a "
+                  f"{n_probe}-row cp probe of the first input batch")
+        cfg = _dc_replace(cfg, schedule=tuple(pts))
+
     adaptive = cfg.adaptive or AdaptiveConfig(
         accuracy_bins=tuple(float(x) for x in accuracy_bins),
         bin_accuracy=tuple(float(x) for x in bin_accuracy),
@@ -795,6 +833,13 @@ def ztest(cfg: ZTestConfig) -> np.ndarray:
     # replaces that fixed cadence with the adaptive one (fixed_batch wins
     # over schedule inside AdaptiveConfig.batch_for, so it must be
     # dropped here for the schedule to take effect).
+    if cfg.schedule == "opt":
+        raise ValueError(
+            "schedule='opt' is a generate/relabel feature (they probe a "
+            "whole workload's cp distribution); ztest validates ONE file "
+            "at a fixed cadence — pass an explicit checkpoint tuple or "
+            "'tuned' to change it"
+        )
     adaptive = cfg.adaptive or AdaptiveConfig(
         accuracy_bins=tuple(float(x) for x in accuracy_bins),
         bin_accuracy=tuple(float(x) for x in bin_accuracy),

@@ -120,3 +120,24 @@ def test_bool_flag_parsing():
 def test_bad_subcommand_exits():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+def test_ztest_rejects_opt_schedule(tmp_path):
+    """'opt' needs a workload distribution to probe; ztest validates one
+    file at a fixed cadence and must fail loudly, not crash later in
+    AdaptiveConfig.checkpoints."""
+    import numpy as np
+    import pytest
+
+    from collide2d_tpu.cli import main
+    from collide2d_tpu.utils.io_npy import save_npy
+
+    d = tmp_path / "data"
+    (d / "tmp").mkdir(parents=True)
+    save_npy(d / "poses.npy", np.ones((4, 3), np.float32))
+    save_npy(d / "variances.npy", np.full((4, 5), 0.01, np.float32))
+    rows = np.zeros((8, 4), np.float32)
+    save_npy(d / "tmp" / "0.npy", rows)
+    with pytest.raises(ValueError, match="fixed cadence"):
+        main(["ztest", "--data_dir", str(d), "--schedule", "opt",
+              "--max_samples", "1000"])
