@@ -18,7 +18,10 @@ Mosaic and the kernel measures 1.5e8 vs the XLA path's 2.5e8 — a
 quantified LOSS, so the adaptive driver's 'auto' resolves rotating
 trajectory batches to impl='jnp' and reserves this kernel for
 translation-only batches (driver readback; explicit impl='pallas' is
-honored). The CA loop still early-exits per (sub, 128) tile
+honored). Since round 4 the jnp rotating path additionally runs the
+certified screening cascade (mc.moving._screened_rotating_hits,
+5.1-5.9e8 samples/s — ~4x this kernel's rotating rate), which widens
+the case for 'auto' keeping XLA on rotation. The CA loop still early-exits per (sub, 128) tile
 (`lax.while_loop`; `ca_iters` stays the hard bound so results are
 identical to the fixed-trip loop).
 
