@@ -87,6 +87,12 @@ from collide2d_tpu.mc.moving import (
     moving_polygon_configs,
     trajectory_collision_probability,
 )
+from collide2d_tpu.mc.schedule_sim import (
+    min_convergence_points,
+    optimize_checkpoints,
+    simulate_convergence,
+    simulate_schedule,
+)
 from collide2d_tpu.models.collision_model import (
     CollisionProbabilityModel,
     PolygonCollisionProbabilityModel,
@@ -156,6 +162,10 @@ __all__ = [
     "MovingPolygonConfigs",
     "moving_configs",
     "moving_polygon_configs",
+    "min_convergence_points",
+    "optimize_checkpoints",
+    "simulate_convergence",
+    "simulate_schedule",
     "trajectory_collision_probability",
     "adaptive_collision_probabilities",
     "CollisionProbabilityModel",
