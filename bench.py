@@ -96,11 +96,22 @@ def main() -> int:
         name = res.get("metric")
         if not name:
             return
+        # A few metrics stay stderr-only: constants (the MXU refutation
+        # pair), a probe of a probe, and an A/B baseline — dropping them
+        # here keeps every LIVE metric inside the 1700-char line.
+        if name in (
+            "hbm_read_gbps_xla",
+            "mc_samples_per_sec_pallas_noshape_box_muller",
+            "sat_polygon_pairs_per_sec_mxu_dot",
+            "sat_polygon_pairs_per_sec_mxu_dot_bf16",
+        ):
+            return
         # compact: the '_per_sec' suffix is uniform noise (every rate
         # metric carries it) and integer-valued rates need no '.0' —
         # together they buy ~300 chars, enough to keep EVERY metric in
         # the line instead of trimming the longest names.
         key = name.replace("_per_sec", "")
+        key = key.replace("pallas_vs_jnp_agreement", "rect_agreement")
         for unit in ("_samples", "_pairs", "_queries", "_rows"):
             key = key.replace(unit, "")
 
@@ -119,6 +130,11 @@ def main() -> int:
             ("window_exceeded", "wex"),
             ("steady_state_configs_per_sec", "steady"),
         ):
+            if (extra == "frac_within_005"
+                    and name != "pallas_vs_jnp_agreement"):
+                # review r3 #7 asked for it on bench_agreement; the
+                # polygon agreements keep theirs on stderr
+                continue
             if extra in res:
                 v = res[extra]
                 digest[f"{key}.{short}"] = (
@@ -182,9 +198,16 @@ def main() -> int:
 
     from collide2d_tpu.utils.benchmarks import (
         bench_agreement,
+        bench_agreement_polygons,
         bench_e2e,
         bench_learned_train,
     )
+
+    agreement_poly = bench_agreement_polygons
+    agreement_poly_moving = functools.partial(
+        bench_agreement_polygons, moving=True
+    )
+    agreement_poly_moving.__name__ = "bench_agreement_polygons_moving"
 
     from collide2d_tpu.utils.benchmarks import (
         bench_mc_moving,
@@ -294,9 +317,14 @@ def main() -> int:
         poly_bf16,
         poly_mxu,
         poly_mxu_bf16,
-        # On-hardware statistical acceptance of the fused MC path
+        # On-hardware statistical acceptance of the fused MC paths
         # (hardware-PRNG distribution vs threefry; ok must be true).
+        # The polygon pair exists because it caught a REAL round-3
+        # label bias (bf16 einsum in the packed tables) that interpret
+        # tests cannot see.
         bench_agreement,
+        agreement_poly,
+        agreement_poly_moving,
         bench_learned_train,
         # LAST: the adaptive-driver metric compiles the whole bucket
         # ladder; under a congested tunnel that can take minutes, and the

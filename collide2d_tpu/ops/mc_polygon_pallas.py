@@ -129,23 +129,40 @@ def pack_polygon_mc_params(
     a = a[:, jnp.asarray(a_keep, jnp.int32)]  # (C, K2A, 2) deduped axes
     k2a = len(a_keep)
 
+    # All projection tables as EXPLICIT mul+add over the length-2
+    # coordinate axis — never einsum/dot. On TPU, XLA lowers f32
+    # contractions to bf16 MXU passes at the default precision, and the
+    # ~0.4% relative error that puts in these tables flips the interval
+    # (and especially the trajectory-WINDOW) tests on boundary
+    # geometries: measured on-chip round 4 as a z~40 per-config label
+    # bias of the moving-polygon kernel vs the threefry path at a FIXED
+    # budget, reproduced at sigma=0 as outright deterministic verdict
+    # flips (~2e-4 of configs) — invisible to interpret-mode tests,
+    # where einsum is exact f32. Elementwise mul+add stays f32 on the
+    # VPU (the same rule `sat._project_all` documents for parity).
+    def _dot2(x, y):  # (C, I, 2) x (C, J, 2) -> (C, I, J), VPU f32
+        return (
+            x[..., 0][:, :, None] * y[..., 0][:, None, :]
+            + x[..., 1][:, :, None] * y[..., 1][:, None, :]
+        )
+
     # Robot's own intervals on its (kept) axes — over ALL robot verts.
-    pr = jnp.einsum("cid,cjd->cij", a, r)  # (C, K2A, K2)
+    pr = _dot2(a, r)  # (C, K2A, K2)
     rmin = jnp.min(pr, axis=-1)
     rmax = jnp.max(pr, axis=-1)
     # Obstacle's own intervals on its own (co-rotating) normals:
     # (R n_j)·(R v_l) = n_j·v_l — rotation-invariant.
-    po = jnp.einsum("cjd,cld->cjl", n, ov)  # (C, K, K)
+    po = _dot2(n, ov)  # (C, K, K)
     nmin = jnp.min(po, axis=-1)
     nmax = jnp.max(po, axis=-1)
     # Blend tables: a_i · R(t) v_j = ct*P1[i,j] + st*P2[i,j]
-    p1 = jnp.einsum("cid,cjd->cij", a, ov)  # (C, K2A, K)
+    p1 = _dot2(a, ov)  # (C, K2A, K)
     p2 = (
         a[..., 1][:, :, None] * ov[..., 0][:, None, :]
         - a[..., 0][:, :, None] * ov[..., 1][:, None, :]
     )  # ay*vx - ax*vy  (the -cross(a, v) term)
     # (R n_j) · r_i = ct*Q1[j,i] + st*Q2[j,i]
-    q1 = jnp.einsum("cjd,cid->cji", n, r)  # (C, K, K2)
+    q1 = _dot2(n, r)  # (C, K, K2)
     q2 = (
         n[..., 0][:, :, None] * r[..., 1][:, None, :]
         - n[..., 1][:, :, None] * r[..., 0][:, None, :]

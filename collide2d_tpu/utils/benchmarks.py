@@ -1255,6 +1255,80 @@ def bench_agreement(
     }
 
 
+def bench_agreement_polygons(
+    configs: int = 4096, n_samples: int = 1 << 16, seed: int = 7,
+    k: int = 6, moving: bool = False,
+) -> dict:
+    """On-hardware statistical acceptance of the fused POLYGON MC
+    kernels vs the threefry path — static (`ops.mc_polygon_pallas`) or
+    translation-only trajectory (`ops.mc_moving_polygon_pallas`,
+    ``moving=True``). Added round 4 after this exact check caught a
+    real label bias: the packed projection tables were built with
+    einsum, which XLA lowers to bf16 MXU passes on TPU — a ~0.4%
+    table error that flipped boundary verdicts per config (z ~ 40,
+    7% of configs beyond z 3; invisible to interpret-mode tests where
+    einsum is exact f32). ``ok`` gate as `bench_agreement`.
+    """
+    from collide2d_tpu.mc.estimator import mc_round
+    from collide2d_tpu.mc.moving import moving_polygon_configs
+    from collide2d_tpu.models.collision_model import example_polygon_configs
+
+    rng = np.random.default_rng(seed)
+    if moving:
+        ang = np.sort(rng.uniform(0, 2 * np.pi, (configs, k)), axis=-1)
+        ab = rng.uniform(0.5, 3.0, (configs, 1, 2))
+        verts = (np.stack([np.cos(ang), np.sin(ang)], -1) * ab).astype(
+            np.float32)
+        cfgs = moving_polygon_configs(
+            rng.uniform(-6, 6, (configs, 2)).astype(np.float32),
+            rng.uniform(0, 2 * np.pi, configs).astype(np.float32),
+            verts,
+            rng.uniform(0, 0.3, (configs, 3)).astype(np.float32),
+            rng.uniform(-2, 2, (configs, 2)).astype(np.float32),
+            0.0,
+            rng.uniform(0.5, 3, configs).astype(np.float32),
+        )
+        robot = jnp.asarray(
+            [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87],
+             [-2.035, 0.87]], jnp.float32)
+        extra = dict(ca_iters=0)
+    else:
+        cfgs = example_polygon_configs(n=configs, k=k, seed=seed)
+        robot = jnp.asarray(
+            [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87],
+             [-2.035, 0.87]], jnp.float32)
+        extra = {}
+    uids = jnp.arange(configs, dtype=jnp.int32)
+    cp = {}
+    for impl in ("pallas", "jnp"):
+        counts = mc_round(
+            jax.random.PRNGKey(seed + 1), uids, cfgs, robot, jnp.int32(0),
+            n_batch=n_samples, impl=impl, **extra,
+        )
+        cp[impl] = np.asarray(jax.device_get(counts), np.float64) / n_samples
+    diff = np.abs(cp["pallas"] - cp["jnp"])
+    pooled = (cp["pallas"] + cp["jnp"]) / 2.0
+    var = pooled * (1.0 - pooled) * (2.0 / n_samples)
+    z = np.where(var > 0, diff / np.sqrt(np.maximum(var, 1e-300)), 0.0)
+    frac3 = float((z > 3.0).mean())
+    max_z = float(z.max())
+    ok = bool(max_z < 6.0 and frac3 <= 3 * 0.0027)
+    return {
+        "metric": ("moving_polygon_agreement" if moving
+                   else "polygon_agreement"),
+        "value": max_z,
+        "unit": "max_zscore",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "ok": ok,
+        "configs": configs,
+        "n_samples": n_samples,
+        "frac_z_gt3": frac3,
+        "mean_abs_diff": float(diff.mean()),
+        "max_abs_diff": float(diff.max()),
+        "frac_within_005": float((diff <= 0.005).mean()),
+    }
+
+
 def bench_e2e(
     configs: int = 65536, seed: int = 0, batches: int = 6, schedule=None,
     ladder: str = "eighth", overlap: int = 3,
