@@ -40,8 +40,11 @@ Design notes (all load-bearing for tests):
   rows pay the ``ca_iters``-step conservative advancement (warm-
   started at a certified bound). Measured on-chip: 2.3x the pure-CA
   loop (16.4 -> 7.1 ms per 4.2M-lane step, 5.9e8 samples/s), with
-  counts that strictly REFINE the unscreened path per config (never
-  fewer hits; eroded certificates add grazes CA-48 misses — ~65% of
+  counts that refine the unscreened path per config on every measured
+  workload (never fewer hits on the pinned bench seeds — a MEASURED
+  property, not a theorem: the warm-started advancement could in
+  principle step over a graze dip cold CA-48 lands on, <1e-5 of
+  lanes; eroded certificates add grazes CA-48 misses — ~65% of
   the CA-512 increment). Why not more: the remaining cost splits
   ~half screen (draws + 8 paired segment tests, bandwidth-bound) and
   ~half CA on the ~22% of rows holding ambiguity — element-level
@@ -107,7 +110,7 @@ def _row_chunks(mask_rows, r_cap, body_fn, init):
 
 def _paired_segment_screen(
     ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
-    hx1, hy1, c1, s1, r_rob, tol, n_seg,
+    hx1, hy1, r_rob, tol, n_seg,
 ):
     """One certified screening pass over a lane block: paired
     inflated/eroded proxy-box tests on ``n_seg`` horizon segments.
@@ -213,7 +216,7 @@ def _paired_segment_screen(
 
 def _screened_rotating_hits(
     ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
-    hx1, hy1, c1, s1, r_rob, bound, rotating, hit_at_0,
+    hx1, hy1, r_rob, bound, rotating, hit_at_0,
     ca_iters, tol,
 ):
     """Certified screening cascade for ROTATING trajectory samples.
@@ -250,12 +253,16 @@ def _screened_rotating_hits(
     every sharding), so counts are bitwise reproducible under
     compaction, config-DP, and the sample-axis step split.
 
-    Accuracy strictly refines the unscreened loop on the bench
-    workload (measured, tests/test_moving.py): screened misses are
-    proofs (0 violations over 5e5 lanes), eroded certificates add
-    grazes cold CA-48 misses, and the warm start recovers all but
-    <1e-5 of lanes (net hit delta POSITIVE vs the cold loop, ~65% of
-    the CA-512 increment captured).
+    Accuracy refines the unscreened loop on the bench workload
+    (MEASURED per workload, not a theorem — tests/test_moving.py pins
+    it on fixed seeds): screened misses are proofs (0 violations over
+    5e5 lanes), eroded certificates add grazes cold CA-48 misses, and
+    the warm start recovers all but <1e-5 of lanes (net hit delta
+    POSITIVE vs the cold loop, ~65% of the CA-512 increment captured).
+    The residual risk is the warm start stepping over a graze dip that
+    cold CA-48 happens to certify; no violation observed on any
+    measured workload, but new workloads could show per-config
+    deficits within that <1e-5 band.
 
     Returns ``(hits, (maybe, hit_cert, ambiguous))`` — hits (C, S)
     bool meaningful on rotating lanes; masks are the stage-A screen
@@ -266,7 +273,7 @@ def _screened_rotating_hits(
 
     maybe_a, hit_a, t_first_a = _paired_segment_screen(
         ox, oy, c2, s2, hx2, hy2, px, py, vx, vy, th0, w,
-        hx1, hy1, c1, s1, r_rob, tol, N_SCREEN_COARSE,
+        hx1, hy1, r_rob, tol, N_SCREEN_COARSE,
     )
     hit_a = hit_a | hit_at_0
     amb_a = rotating & maybe_a & ~hit_a
@@ -275,8 +282,6 @@ def _screened_rotating_hits(
     pxv, pyv = px[:, 0], py[:, 0]
     vxv, vyv = vx[:, 0], vy[:, 0]
     hx1v, hy1v = hx1[:, 0], hy1[:, 0]
-    c1v, s1v = c1[:, 0], s1[:, 0]
-    rrv = jnp.broadcast_to(r_rob, th0.shape)[:, 0]
     false0 = amb_a & False  # varying-axes-correct carry seed (shard_map)
 
     def gathers(rows):
@@ -478,7 +483,7 @@ def counts_chunk_moving(
             )
             hit_rot, _screen_masks = _screened_rotating_hits(
                 ox, oy, c2_, s2_, hx2, hy2, px, py, vx, vy, th0, w,
-                hx1, hy1, c1_, s1_, r_rob[:, None], bound, rotating,
+                hx1, hy1, r_rob[:, None], bound, rotating,
                 hit_at_0, ca_iters, tol,
             )
         else:

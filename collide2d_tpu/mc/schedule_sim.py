@@ -240,11 +240,13 @@ def optimize_checkpoints(
     pts = sorted(set(pts))
     interior = [p for p in pts if p < cap]
     if len(interior) > max_checkpoints:
-        # thin evenly, keeping the earliest points (they carry the bulk
-        # of the win: the zero-cp mass converges first)
-        keep = np.linspace(0, len(interior) - 1, max_checkpoints)
-        interior = [interior[int(round(x))] for x in keep]
-    return tuple(interior if interior else pts)
+        # thin with geometrically spaced indices biased toward the
+        # EARLIEST points (they carry the bulk of the win: the zero-cp
+        # mass converges first, so early checkpoints free the most rows)
+        keep = np.geomspace(1, len(interior), max_checkpoints) - 1
+        interior = sorted({interior[int(round(x))] for x in keep})
+    # cap excluded by contract: the driver always flushes at max_samples
+    return tuple(interior)
 
 
 class ProfileOps:

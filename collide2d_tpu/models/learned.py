@@ -194,7 +194,7 @@ def _num_layers(params: dict) -> int:
 
 
 def apply_model(params: dict, x: Array, compute_dtype=jnp.bfloat16) -> Array:
-    """Logits (N,) for standardized features (N, 11).
+    """Logits (N,) for standardized features (N, NUM_FEATURES).
 
     Matmuls run with ``compute_dtype`` inputs and FLOAT32 accumulation
     (`preferred_element_type`) — bf16 ins + f32 out is the MXU's native
@@ -298,7 +298,7 @@ def train_model(
     devices=None,
     robot_wh=ROBOT_WH,
 ) -> TrainResult:
-    """Fit the MLP on (N, 11) features / (N,) cp labels.
+    """Fit the MLP on (N, NUM_FEATURES) features / (N,) cp labels.
 
     Standardizes features by train-split statistics, trains
     ``cfg.epochs`` one-program epochs, and reports validation BCE/MAE
@@ -476,6 +476,14 @@ class LearnedCollisionModel:
     def load(cls, path) -> "LearnedCollisionModel":
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta_json"]).decode())
+            n_feat = int(meta.get("features", z["norm_mean"].shape[0]))
+            if n_feat != NUM_FEATURES:
+                raise ValueError(
+                    f"model artifact {path} was trained on {n_feat} "
+                    f"features but this build featurizes "
+                    f"{NUM_FEATURES} (physics features added round 4); "
+                    "retrain with `collide2d train`"
+                )
             params = {
                 k[len("param_"):]: z[k]
                 for k in z.files
@@ -488,7 +496,7 @@ class LearnedCollisionModel:
             )
 
     def cp_from_features(self, features) -> Array:
-        """(N, 11) raw features -> (N,) predicted cp. Jittable."""
+        """(N, NUM_FEATURES) raw features -> (N,) predicted cp. Jittable."""
         x = (jnp.asarray(features, jnp.float32) - self.norm_mean) / (
             self.norm_std
         )

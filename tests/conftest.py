@@ -74,9 +74,25 @@ def pytest_collection_modifyitems(config, items):
         recorded = json.loads(_DURATIONS_FILE.read_text())
     except (OSError, ValueError):
         recorded = {}
+    unrecorded = []
     for item in items:
         if recorded.get(item.nodeid, 0.0) >= SLOW_SECONDS:
             item.add_marker(pytest.mark.slow)
+        elif recorded and item.nodeid not in recorded:
+            unrecorded.append(item.nodeid)
+    if unrecorded:
+        # A new test rides the fast lane by default no matter how slow
+        # it is; surface that so the next full run refreshes the record
+        # (review r4 #8 — the lane boundary must not decay silently).
+        import warnings
+
+        warnings.warn(
+            f"{len(unrecorded)} test(s) have no recorded duration in "
+            f"tests/durations.json and default to the fast lane "
+            f"(first: {unrecorded[0]}); refresh with "
+            f"`pytest --update-durations`",
+            stacklevel=1,
+        )
 
 
 @pytest.hookimpl(hookwrapper=True)

@@ -383,14 +383,7 @@ def test_checkpoint_resume_with_unemitted_done_rows(tmp_path):
     assert (np.array(out[1]) > 0).all()  # no row lost its sample budget
 
 
-def test_bench_digest_line_contract():
-    """The driver's tail capture (last 2000 chars) must always carry the
-    digest + headline: the digest builder in bench.py must emit ONE
-    json line under 1500 chars holding every metric's value, shrinking
-    by dropping the longest names first if a future metric set
-    overflows. Exercised here against a synthetic 40-metric surface
-    (larger than the real ~33)."""
-    import json
+def _load_bench_module():
     import importlib.util
     from pathlib import Path
 
@@ -399,40 +392,26 @@ def test_bench_digest_line_contract():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)  # import only; main() not called
+    return bench
 
-    # replicate the digest logic the way main() builds it
+
+def test_bench_digest_line_contract():
+    """The driver's tail capture (last 2000 chars) must always carry the
+    digest + headline: bench.py's ACTUAL digest builder (digest_add +
+    build_digest_line — module-level precisely so this test exercises
+    the real exclusion list, key compaction, and trim loop, review r4
+    advisor) must emit ONE json line under DIGEST_BUDGET chars holding
+    every metric's value, shrinking by dropping the longest names first
+    if a future metric set overflows. Exercised against a synthetic
+    surface larger than the real one."""
+    import json
+
+    bench = _load_bench_module()
     digest = {}
-
-    def digest_add(res):
-        name = res.get("metric")
-        if not name:
-            return
-        key = name.replace("_per_sec", "")
-        for unit in ("_samples", "_pairs", "_queries", "_rows"):
-            key = key.replace(unit, "")
-
-        def compact(v):
-            v = float(f"{float(v):.3g}")
-            return int(v) if abs(v) >= 1e4 and v == int(v) else v
-
-        try:
-            digest[key] = compact(res["value"])
-        except (KeyError, TypeError, ValueError):
-            return
-        for extra, short in (
-            ("ok", "ok"), ("frac_within_005", "frac005"),
-            ("frac_ambiguous_ca", "amb"), ("window_exceeded", "wex"),
-            ("steady_state_configs_per_sec", "steady"),
-        ):
-            if extra in res:
-                v = res[extra]
-                digest[f"{key}.{short}"] = (
-                    bool(v) if isinstance(v, bool) else compact(v)
-                )
-
-    # realistic surface: ~34 metrics of representative name length,
-    # extras on a handful (agreement ok, e2e steady states, screen frac)
-    for i in range(34):
+    # realistic surface: metrics of representative name length, extras
+    # on a handful (agreement ok, e2e steady states, screen frac, and
+    # the round-5 median spread fields)
+    for i in range(40):
         res = {
             "metric": f"mc_family_{i:02d}_samples_per_sec_pallas",
             "value": 1.23456789e10 * (i + 1),
@@ -440,18 +419,45 @@ def test_bench_digest_line_contract():
         if i % 6 == 0:
             res["ok"] = True
             res["steady_state_configs_per_sec"] = 2.345e5
-        digest_add(res)
-    line = json.dumps(
-        {"metric": "digest", "n": len(digest), "metrics": digest},
-        separators=(",", ":"),
+        if i % 5 == 0:
+            res["spread"] = 0.084
+        bench.digest_add(digest, res)
+    # the exclusion list is honored by the real builder
+    bench.digest_add(
+        digest, {"metric": bench.DIGEST_STDERR_ONLY[0], "value": 1.0}
     )
-    while len(line) > 1700 and digest:
-        digest.pop(max(digest, key=len))
-        line = json.dumps(
-            {"metric": "digest", "n": len(digest), "metrics": digest},
-            separators=(",", ":"),
-        )
-    assert len(line) <= 1700
+    assert not any(
+        k.startswith(bench.DIGEST_STDERR_ONLY[0].replace("_per_sec", ""))
+        for k in digest
+    )
+    # spread fields land as compact .spr keys (pre-trim: the trim loop
+    # may legitimately drop long keys on an oversized surface)
+    assert digest["mc_family_00_pallas.spr"] == 0.084
+    line = bench.build_digest_line(digest)
+    assert len(line) <= bench.DIGEST_BUDGET
     parsed = json.loads(line)
     assert parsed["metric"] == "digest"
     assert len(parsed["metrics"]) >= 25  # the judge's bar (r3 verdict #2)
+
+
+def test_fast_lane_recorded_budget():
+    """The inner loop's honesty contract (review r4 #8): the FAST lane
+    (recorded wall time < SLOW_SECONDS) must total under 6 minutes in
+    tests/durations.json, or `pytest -m "not slow"` silently stops
+    being an inner loop. If this fails, either move the offender's work
+    to a slow test or re-balance (the conftest warning already flags
+    tests with no recorded duration at collection time)."""
+    import json
+    import pathlib
+
+    from tests.conftest import SLOW_SECONDS
+
+    durations = json.loads(
+        (pathlib.Path(__file__).parent / "durations.json").read_text()
+    )
+    assert durations, "durations.json missing or empty"
+    fast_total = sum(v for v in durations.values() if v < SLOW_SECONDS)
+    assert fast_total < 360.0, (
+        f"fast lane's recorded total {fast_total:.0f}s exceeds the 6-min "
+        "budget; rebalance or demote tests to the slow lane"
+    )

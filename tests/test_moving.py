@@ -297,11 +297,18 @@ def test_trajectory_checkpoint_resume_identical(rng, tmp_path):
 
 
 def test_screened_counts_strictly_refine_the_pure_ca_loop(rng):
-    """The round-4 screening cascade's contract: per config, screened
-    counts NEVER fall below the pure conservative-advancement loop's
-    (misses are proofs CA agrees with; eroded/overlap certificates add
-    hits CA misses), and capture a meaningful share of the CA-512
-    increment at the CA-48 budget."""
+    """The round-4 screening cascade's MEASURED refinement property:
+    per config, screened counts never fall below the pure conservative-
+    advancement loop's (misses are proofs CA agrees with; eroded/
+    overlap certificates add hits CA misses), and capture a meaningful
+    share of the CA-512 increment at the CA-48 budget.
+
+    NOTE: the per-config superset is measured-per-workload, not a
+    theorem — the warm-started advancement can in principle step over a
+    graze dip cold CA-48 lands on (<1e-5 of lanes; mc/moving.py module
+    docstring). This test pins the property on these fixed seeds; if a
+    future workload change makes it fail by a handful of counts, the
+    correct fix is an aggregate tolerance, not a cascade change."""
     from collide2d_tpu.mc.moving import counts_chunk_moving
 
     n, s = 256, 64
