@@ -282,6 +282,7 @@ def main() -> int:
         bench_mc_moving,
         bench_mc_moving_pallas,
         bench_mc_moving_polygons,
+        bench_mc_moving_polygons_pallas,
     )
 
     moving_rot = functools.partial(bench_mc_moving_pallas, rotating=True)
@@ -388,8 +389,10 @@ def main() -> int:
         moving_rot,
         moving_jnp_rot,
         moving_jnp_rot_nos,
-        # trajectory k-gons (MovingPolygonConfigs): jnp path by design
+        # trajectory k-gons (MovingPolygonConfigs): jnp default +
+        # the fused translation-window kernel (impl='pallas')
         bench_mc_moving_polygons,
+        bench_mc_moving_polygons_pallas,
         moving_poly_rot,
         moving_poly_rot_nos,
         bench_sat_pallas_bf16,

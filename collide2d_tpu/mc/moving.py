@@ -38,26 +38,30 @@ Design notes (all load-bearing for tests):
   (`_screened_rotating_hits`): paired inflated/eroded proxy-window
   certificates decide ~96% of lanes closed-form, and only ambiguous
   rows pay the ``ca_iters``-step conservative advancement (warm-
-  started at a certified bound). Measured on-chip: 2.3x the pure-CA
-  loop (16.4 -> 7.1 ms per 4.2M-lane step, 5.9e8 samples/s), with
-  counts that refine the unscreened path per config on every measured
-  workload (never fewer hits on the pinned bench seeds — a MEASURED
-  property, not a theorem: the warm-started advancement could in
-  principle step over a graze dip cold CA-48 lands on, <1e-5 of
-  lanes; eroded certificates add grazes CA-48 misses — ~65% of
-  the CA-512 increment). Why not more: the remaining cost splits
-  ~half screen (draws + 8 paired segment tests, bandwidth-bound) and
-  ~half CA on the ~22% of rows holding ambiguity — element-level
-  compaction is refuted on TPU by measurement (flatnonzero over the
-  flat lane axis 42 ms, element gathers 3.5 ms/array vs the path's
-  whole 2.7 ms budget at 6x), and sub-row granularity is defeated by
-  ambiguity clustering at CONFIG level (a prone config's ambiguity
-  spreads uniformly over its lanes). Grazing trajectories that
-  neither certificates nor ``ca_iters`` steps can certify are counted
-  as misses — the estimator remains a LOWER bound converging as
-  ``ca_iters`` grows, with a thinner uncertified tail than the
-  unscreened loop (48 -> 512 shift < 0.02 for ~99% of configs;
-  ``ca_screen=False`` keeps the pure loop for A/B).
+  started at a certified bound). Measured on-chip (round 5,
+  8192x512-lane step, fresh-process A/B): 2.1x the pure-CA loop
+  (16.2 -> 7.6 ms, 5.5e8 samples/s), with counts that refine the
+  unscreened path per config on every measured workload (never fewer
+  hits on the pinned bench seeds — a MEASURED property, not a
+  theorem: the warm-started advancement could in principle step over
+  a graze dip cold CA-48 lands on, <1e-5 of lanes; eroded
+  certificates add grazes CA-48 misses — ~65% of the CA-512
+  increment). Why not more (round-5 decomposition): draws+assembly
+  ~1.0 ms, screen ~2.6, advancement ~4.0 on the ~22% of rows holding
+  ambiguity — and every finer-granularity attack on that advancement
+  is refuted by on-chip measurement: element-level compaction
+  (flatnonzero over the flat lane axis 42 ms, element gathers
+  3.5 ms/array, round 4), within-row LANE compaction (the
+  take_along_axis feeds measured 5x WORSE end to end, round 5 —
+  module header), sub-row slicing (ambiguity clusters at CONFIG
+  level, round 4), and a finer stage-B rescreen before the
+  advancement (costs more than the row reduction it buys, round 5 —
+  see N_SCREEN_FINE). Grazing trajectories that neither certificates
+  nor ``ca_iters`` steps can certify are counted as misses — the
+  estimator remains a LOWER bound converging as ``ca_iters`` grows,
+  with a thinner uncertified tail than the unscreened loop (48 -> 512
+  shift < 0.02 for ~99% of configs; ``ca_screen=False`` keeps the
+  pure loop for A/B).
 - Per-config ``t_max`` folds into the motion (v*t_max, omega*t_max on a
   unit horizon), so one compiled program serves every horizon.
 """
@@ -85,6 +89,35 @@ CA_TOL = 1e-4
 
 
 N_SCREEN_COARSE = 8   # screening-cascade horizon sub-intervals
+# Stage-B rescreen granularity (0 disables). DEFAULT OFF: measured
+# on-chip (round 5, fresh-process A/B at 8192x512 lanes), a 32-segment
+# rescreen of the stage-A-ambiguous rows costs MORE than it saves —
+# 8.87 ms/step vs 7.60 without — because ambiguity clusters at config
+# level: the rescreen cuts ambiguous LANES 2.8% -> 0.68% but the
+# ambiguous-ROW count (what the row-compacted advancement bills by)
+# barely moves, so the CA stage shrinks ~15% while the rescreen adds
+# ~17% (n_seg=16 and 64 measured worse still: 9.0 / 9.1 ms). Kept
+# behind this knob as the measured refutation of review r4 #1's
+# stage-B avenue.
+N_SCREEN_FINE = 0
+# Row-chunk granularity (rows per while_loop chunk = C / frac) for the
+# compacted stages. The advancement's cost is ceil(amb_rows / r_cap)
+# CHUNKS of ca_iters dense distance evals — coarse chunks quantize away
+# ambiguity sparsity (at C/4, any ambiguity <= 25% of rows is ONE full
+# chunk), finer chunks track the actual ambiguous-row count at the
+# price of smaller per-step blocks. C/16 measured best on-chip for the
+# CA stage (round 5: 7.60 ms/step vs 7.91 at C/4, rect bench workload).
+R_CAP_FRAC_B = 4
+R_CAP_FRAC_C = 16
+# Within-row LANE compaction for the advancement stage is REFUTED on
+# TPU by measurement (round 5, fresh-process A/B on the bench
+# workload): a per-row cumsum + scatter built (r, S/4) compacted lane
+# indices cheaply, but the `take_along_axis` gathers that feed the
+# advancement (9 arrays for rects, the (r, k, K, 2) obstacle tensor for
+# k-gons) are dynamic minor-axis shuffles — the measured step went
+# 7.9 ms -> 39.5 ms (5x WORSE) despite a 4x lane reduction, the same
+# slow path as round 4's element-gather refutation (3.5 ms/array).
+# Ambiguity is handled at ROW granularity only (`_row_chunks`).
 
 
 def _row_chunks(mask_rows, r_cap, body_fn, init):
@@ -144,11 +177,15 @@ def _paired_segment_screen(
     angles), so a segment costs ~35 flops/lane with ZERO per-lane
     transcendentals and zero divides — the property that lets
     ``n_seg`` segments undercut even a couple of distance evaluations.
-    All segments evaluate as ONE broadcast graph over a trailing
-    (..., n_seg) axis reduced with any/min at the end — measured 2x
-    faster on-chip than a `fori_loop` over segments (and ~3x faster
-    than an unrolled Python loop, whose per-segment intermediates
-    round-trip HBM).
+    All segments evaluate as ONE broadcast graph over a MIDDLE
+    (C, n_seg, S) segment axis reduced with any/min at the end —
+    measured 2x faster on-chip than a `fori_loop` over segments (and
+    ~3x faster than an unrolled Python loop, whose per-segment
+    intermediates round-trip HBM). The SAMPLE axis stays minor-most
+    (round 5): TPU vector registers are (8, 128) tiles over the last
+    two dims, so a trailing 8-wide segment axis padded its lane
+    dimension 16x; keeping S last makes every broadcast full-width
+    (measured 2.3x on the screen-dominated cascade).
 
     Returns ``(maybe, hit_cert, t_first)``: union of possibly-
     colliding segments, union of certified-hit segments, and the START
@@ -177,9 +214,11 @@ def _paired_segment_screen(
     dx, dy = ox - px, oy - py
     vrx, vry = -vx, -vy  # obstacle velocity relative to the robot
 
-    # Broadcast layout: lanes (C, S, 1) x segments (C, 1, n_seg).
-    E = lambda lane: lane[..., None]
-    G = lambda seg_: seg_[..., None, :]
+    # Broadcast layout: lanes (C, 1, S) x segments (C, n_seg, 1) — the
+    # sample axis stays minor-most (TPU lane dim; see docstring).
+    E = lambda lane: lane[:, None, :]
+    G = lambda seg_: seg_[..., None]
+    a_, b_, tm_ = a_[:, None], b_[:, None], tm_[:, None]
     cmG, smG = G(cm), G(sm)
     cd = jnp.abs(cmG * E(c2) + smG * E(s2))
     sd = jnp.abs(smG * E(c2) - cmG * E(s2))
@@ -206,10 +245,10 @@ def _paired_segment_screen(
         ok_e = jnp.abs(p0 + tm_ * s_) <= r_sh + r_add_e
         seg_maybe = ok_i if seg_maybe is None else (seg_maybe & ok_i)
         seg_hit = ok_e if seg_hit is None else (seg_hit & ok_e)
-    maybe = jnp.any(seg_maybe, axis=-1)
-    hit_cert = jnp.any(seg_hit, axis=-1)
+    maybe = jnp.any(seg_maybe, axis=-2)
+    hit_cert = jnp.any(seg_hit, axis=-2)
     t_first = jnp.min(
-        jnp.where(seg_maybe, a_, jnp.inf), axis=-1
+        jnp.where(seg_maybe, a_, jnp.inf), axis=-2
     ).astype(f32)
     return maybe, hit_cert, t_first
 
@@ -282,6 +321,7 @@ def _screened_rotating_hits(
     pxv, pyv = px[:, 0], py[:, 0]
     vxv, vyv = vx[:, 0], vy[:, 0]
     hx1v, hy1v = hx1[:, 0], hy1[:, 0]
+    rrv = jnp.broadcast_to(r_rob, (c_, 1))[:, 0]
     false0 = amb_a & False  # varying-axes-correct carry seed (shard_map)
 
     def gathers(rows):
@@ -294,9 +334,54 @@ def _screened_rotating_hits(
         jnp.where(jnp.isfinite(t_first_a), t_first_a, 2.0), 0.0, 2.0
     )
 
-    # Stage C: the advancement loop, only on rows holding stage-A
-    # ambiguity, warm-started at the certified first-maybe-segment
-    # bound.
+    r_cap_b = min(c_, max(8, -(-c_ // R_CAP_FRAC_B)))
+    r_cap_c = min(c_, max(8, -(-c_ // R_CAP_FRAC_C)))
+
+    # Stage B: a FINER certified rescreen (N_SCREEN_FINE segments, 4x
+    # stage A's resolution so the chord bound delta shrinks 4x) on the
+    # rows stage A left ambiguous, BEFORE any advancement. Same
+    # certificates at a tighter bound: finer misses are still proofs,
+    # finer eroded hits still penetration witnesses, and the finer
+    # first-maybe-segment start is a still-certified (and never
+    # earlier) warm-start bound. Rows whose every lane resolves here
+    # drop out of stage C's while_loop entirely — that row count, not
+    # per-lane flops, is what the advancement bills by.
+    hit_b, amb_b, t0_b = hit_a & False, amb_a, t0_full
+    if N_SCREEN_FINE:
+        def stage_b(rows, carry):
+            hit_buf, amb_buf, t0_buf = carry
+            _, g2, g1 = gathers(rows)
+            maybe_f, hit_f, t_first_f = _paired_segment_screen(
+                g2(ox), g2(oy), g2(c2), g2(s2), g2(hx2), g2(hy2),
+                g1(pxv), g1(pyv), g1(vxv), g1(vyv), g1(th0v), g1(wv),
+                g1(hx1v), g1(hy1v), g1(rrv), tol, N_SCREEN_FINE,
+            )
+            amb_g = g2(amb_a)
+            t0_f = jnp.clip(
+                jnp.where(jnp.isfinite(t_first_f), t_first_f, 2.0),
+                0.0, 2.0,
+            )
+            return (
+                hit_buf.at[rows].set(amb_g & hit_f, mode="drop"),
+                amb_buf.at[rows].set(
+                    amb_g & maybe_f & ~hit_f, mode="drop"
+                ),
+                t0_buf.at[rows].set(
+                    jnp.maximum(g2(t0_full), t0_f), mode="drop"
+                ),
+            )
+
+        hit_b, amb_b, t0_b = _row_chunks(
+            jnp.any(amb_a, axis=1), r_cap_b, stage_b,
+            (false0, amb_a, t0_full),
+        )
+
+    # Stage C: the advancement loop, only on rows STILL holding
+    # ambiguity after the (optional) rescreen, warm-started at the
+    # finest certified first-maybe-segment bound. Dense over each
+    # gathered row's lanes — both finer granularities are refuted by
+    # on-chip measurement (element/lane compaction: module header;
+    # sub-row slicing: ambiguity clusters at CONFIG level, round 4).
     def stage_c(rows, ca_buf):
         _, g2, g1 = gathers(rows)
         oxg, oyg = g2(ox), g2(oy)
@@ -315,17 +400,17 @@ def _screened_rotating_hits(
             )
 
         toi = _advance(
-            dist_g, g2(bound), 1.0, ca_iters, tol, t0=g2(t0_full)
+            dist_g, g2(bound), 1.0, ca_iters, tol, t0=g2(t0_b)
         )
         return ca_buf.at[rows].set(
-            g2(amb_a) & jnp.isfinite(toi), mode="drop"
+            g2(amb_b) & jnp.isfinite(toi), mode="drop"
         )
 
-    r_cap_c = min(c_, max(8, -(-c_ // 4)))
     ca_hits = _row_chunks(
-        jnp.any(amb_a, axis=1), r_cap_c, stage_c, false0
+        jnp.any(amb_b, axis=1), r_cap_c, stage_c, false0
     )
-    return hit_a | ca_hits, (maybe_a, hit_a, amb_a)
+    hit_all = hit_a | hit_b | ca_hits
+    return hit_all, (maybe_a, hit_a | hit_b, amb_b)
 
 
 class MovingConfigs(NamedTuple):
@@ -607,7 +692,7 @@ def moving_polygon_configs(
 
 def _polygon_segment_screen(
     obstacle, obs_axes, obs_alen, m2o, M2o, s2o,
-    rv, rv_len, rv_er, er_valid, r_rob,
+    rv, rv_len, lam, er_valid, r_rob,
     px, py, vx, vy, th0, w, tol, n_seg,
 ):
     """Certified screening pass for ROTATING k-gon trajectory lanes —
@@ -628,56 +713,138 @@ def _polygon_segment_screen(
       inflated proxy from the obstacle across the whole segment, then
       d(t) > tol there — a miss the advancement loop could never
       overturn.
-    - HIT: the robot scaled by (1 - delta / r_in) about the origin is
-      a subset of the robot eroded by delta (support-function fact:
-      h_P(u) - <0,u> >= r_in for all unit u when the in-disc about
-      the rotation center has radius r_in), hence a subset of the
+    - HIT: the robot scaled by ``lam`` = (1 - delta / r_in) about the
+      origin is a subset of the robot eroded by delta (support-function
+      fact: h_P(u) - <0,u> >= r_in for all unit u when the in-disc
+      about the rotation center has radius r_in), hence a subset of the
       TRUE rotating robot throughout the segment. An exact SAT overlap
       of that scaled copy against the obstacle at the segment midpoint
       therefore proves actual penetration (d <= 0 <= tol) — including
       grazes the advancement loop cannot certify. Disabled per config
-      when delta >= r_in (the subset degenerates).
+      when delta >= r_in (``er_valid``; the subset degenerates).
 
-    Obstacle-side quantities (its own-axis projections and axis
-    velocities) are segment-invariant and passed in precomputed; the
-    per-segment cost is the two cross-projection tensors — about one
-    translation-window evaluation per segment, vs ~4 windows for ONE
-    advancement step (the polygon signed distance).
+    ALL segments evaluate as ONE broadcast graph — the form the
+    rectangle screen measured 2x a `fori_loop` and ~3x an unrolled
+    Python loop whose per-segment intermediates round-trip HBM
+    (`_paired_segment_screen`; round-4 review #2 flagged this function
+    for using exactly that loop form). What makes the broadcast
+    affordable here is a reformulation that hoists every heavy
+    projection OUT of the segment axis: for a fixed axis or vertex the
+    only per-segment quantity is the frozen angle theta_m, and a
+    rotation inside a dot product is a 2-term trigonometric
+    combination of SEGMENT-INVARIANT projections,
+
+        R(th) n . o  =  cos(th) (n . o)  +  sin(th) (n_perp . o),
+        a . R(th) v  =  cos(th) (a . v)  +  sin(th) (a . v_perp),
+
+    with x_perp = (-x_y, x_x). So the four (C, kA, kV, S) projection
+    tables (obstacle verts on robot axes A/B, robot verts on obstacle
+    axes U/V) are computed ONCE, and each segment costs one FMA per
+    table entry fused into the min/max vertex reductions — no
+    per-segment `transform_vertices`/`edge_normals`/`_project_all`, and
+    the eroded-hit SAT reuses the same tables (scaling by ``lam`` about
+    the rotation center scales the vertex projections linearly; no
+    per-segment `sat_polygons` call). Layout: the SAMPLE axis is kept
+    MINOR-MOST throughout (TPU vector tiles are (8, 128) over the last
+    two dims; a trailing k- or segment-sized axis pads the 128-lane
+    dimension ~16-20x) — every broadcast runs at full vector width and
+    the vertex/segment axes ride the sublane dim.
+
+    MEASURED tradeoff (round 5, on-chip, 4096x256 lanes, k=6, fresh
+    processes — the full experiment the round-4 review asked for):
+
+    - round-4 unrolled loop (recomputes transform/normals/projections
+      per segment), C/4 advancement chunks ......... 4.64e7 samples/s
+    - ONE broadcast graph over a segment axis (trailing AND S-minor
+      layouts), hoisted tables ..................... 3.87e7 (!)
+      The 5-D (C, kA, seg, kV, S) broadcasts round-trip more HBM than
+      the loop's 4-D transients — the rect screen's 2-3x broadcast win
+      does NOT transfer to the polygon screen's table shapes.
+    - round-4 loop + C/16 advancement chunks ....... 5.40e7
+    - THIS form (hoisted tables + Python segment loop + C/16) ...
+      ............................................. 5.97e7  (+29% r4)
+
+    The screen is also not where most of the time goes: decomposed,
+    the advancement stage is 17.4 ms of the 24.5 ms step at C/4
+    chunks, screen+prep 7.2, draws+window 1.4 — which is why the
+    advancement chunk granularity (R_CAP_FRAC_C) moves the end-to-end
+    number more than any screen form, and why the review's 1.5e8 ask
+    (premised on the screen rewrite alone giving 3x) is not reachable
+    from the screen side: even a FREE screen caps the path at ~1e8
+    until the advancement shrinks.
 
     Returns ``(maybe, hit_cert, t_first)`` as the rect screen.
     """
-    from collide2d_tpu.ops.geometry import edge_normals, transform_vertices
-    from collide2d_tpu.ops.sat import _project_all, sat_polygons
+    from collide2d_tpu.ops.geometry import edge_normals
 
     f32 = jnp.float32
-    inv_n = f32(1.0 / n_seg)
+    ii = jnp.arange(n_seg, dtype=f32)
+    thm = th0 + (ii[None, :] + 0.5) * (w * f32(1.0 / n_seg))  # (C, seg)
+    cm, sm = jnp.cos(thm), jnp.sin(thm)              # (C, seg)
     delta = 2.0 * r_rob * jnp.sin(
         jnp.minimum(jnp.abs(w) * f32(0.5 / n_seg), f32(jnp.pi)) * 0.5
-    ) + f32(tol)
-    s_ = obstacle.shape[1]
+    ) + f32(tol)                                     # (C, 1)
+
+    # ---- segment-invariant tables (the heavy projections), ONCE,
+    # sample axis minor-most ------------------------------------------
+    rn = edge_normals(rv)                            # (K2, 2) robot axes
+    oxT = jnp.swapaxes(obstacle[..., 0], 1, 2)       # (C, K, S)
+    oyT = jnp.swapaxes(obstacle[..., 1], 1, 2)
+    # obstacle verts on the rotating robot axes: R(th)n_j . o_k
+    A = (rn[:, 0][:, None, None] * oxT[:, None]
+         + rn[:, 1][:, None, None] * oyT[:, None])   # (C, K2, K, S)
+    B = (-rn[:, 1][:, None, None] * oxT[:, None]
+         + rn[:, 0][:, None, None] * oyT[:, None])
+    # robot self-projection on its own axes: rotation-invariant
+    sp = (rn[:, 0][:, None] * rv[None, :, 0]
+          + rn[:, 1][:, None] * rv[None, :, 1])      # (K2 axes, K2 verts)
+    m1b, M1b = jnp.min(sp, -1), jnp.max(sp, -1)      # (K2,)
+    # per-config axis offsets: n(th).p and n(th).(-v) trig pairs
+    np_ = rn[None, :, 0] * px + rn[None, :, 1] * py          # (C, K2)
+    npp = -rn[None, :, 1] * px + rn[None, :, 0] * py
+    nv = rn[None, :, 0] * (-vx) + rn[None, :, 1] * (-vy)
+    nvp = -rn[None, :, 1] * (-vx) + rn[None, :, 0] * (-vy)
+    # robot verts on the (static) obstacle axes: a_k . R(th) rv_j
+    axT = jnp.swapaxes(obs_axes[..., 0], 1, 2)       # (C, K, S)
+    ayT = jnp.swapaxes(obs_axes[..., 1], 1, 2)
+    U = (axT[:, :, None] * rv[None, None, :, 0, None]
+         + ayT[:, :, None] * rv[None, None, :, 1, None])  # (C, K, K2, S)
+    V = (axT[:, :, None] * (-rv[None, None, :, 1, None])
+         + ayT[:, :, None] * rv[None, None, :, 0, None])
+    pxE, pyE = px[:, 0][:, None, None], py[:, 0][:, None, None]  # (C,1,1)
+    W = axT * pxE + ayT * pyE                        # (C, K, S): a.p
+    m2oT = jnp.swapaxes(m2o, 1, 2)                   # (C, K, S)
+    M2oT = jnp.swapaxes(M2o, 1, 2)
+    s2oT = jnp.swapaxes(s2o, 1, 2)
+
+    # ---- per-config per-segment scalars, then a Python loop over the
+    # segments: each iteration's 4-D (C, kA, kV, S) transient is freed
+    # before the next, where a broadcast segment axis made 5-D tensors
+    # that round-trip HBM (measured slower; docstring) ---------------
+    cmC, smC = cm[:, None, :], sm[:, None, :]        # (C, 1, seg)
+    off = cmC * np_[..., None] + smC * npp[..., None]    # (C, K2, seg)
+    s1 = cmC * nv[..., None] + smC * nvp[..., None]      # (C, K2, seg)
+    dl1 = (delta[:, 0][:, None] * rv_len[0, 0][None])[
+        ..., None]                                   # (C, K2, 1)
+    dL2 = (delta * obs_alen)[..., None]              # (C, K, 1)
+    lamE = lam[:, 0][:, None, None]                  # (C, 1, 1)
+    erv = er_valid[:, 0][:, None]                    # (C, 1)
+    inv_n = 1.0 / n_seg
 
     maybe = None
     hit_cert = None
     t_first = None
     for i in range(n_seg):
-        a, b = i / n_seg, (i + 1) / n_seg
-        tm = f32(0.5 * (a + b))
-        thm = th0 + tm * w  # (C, 1)
-        # Frozen proxy at its t=0 center (the center path is exact
-        # under the window's linear motion; only the angle is frozen).
-        p1m = transform_vertices(
-            rv[None], px[:, 0], py[:, 0], thm[:, 0]
-        )[:, None]  # (C, 1, K2, 2)
-        ax1 = edge_normals(p1m)  # (C, 1, K2, 2)
-
-        # --- robot axes: both projections are cheap (robot per config;
-        # obstacle projected once per segment) -----------------------
-        pr1 = _project_all(ax1, p1m)  # (C, 1, K2, K2)
-        m1r, M1r = jnp.min(pr1, -1), jnp.max(pr1, -1)  # (C, 1, K2)
-        pr2 = _project_all(ax1, obstacle)  # (C, S, K2, K)
-        m2r, M2r = jnp.min(pr2, -1), jnp.max(pr2, -1)  # (C, S, K2)
-        s1 = ax1[..., 0] * (-vx[..., None]) + ax1[..., 1] * (-vy[..., None])
-        dL1 = delta[..., None] * rv_len  # (C, 1, K2)
+        a, b, tm = i * inv_n, (i + 1) * inv_n, (i + 0.5) * inv_n
+        cmi = cm[:, i][:, None, None, None]          # (C, 1, 1, 1)
+        smi = sm[:, i][:, None, None, None]
+        # robot axes: obstacle interval min/max over K verts
+        prj = cmi * A + smi * B                      # (C, K2, K, S)
+        m2r, M2r = jnp.min(prj, -2), jnp.max(prj, -2)    # (C, K2, S)
+        offi = off[:, :, i][..., None]               # (C, K2, 1)
+        s1i = s1[:, :, i][..., None]
+        m1r = m1b[None, :, None] + offi
+        M1r = M1b[None, :, None] + offi
 
         def axis_maybe(m1, M1, m2, M2, s, dL, a=a, b=b):
             # overlap(t): (m2 + t s <= M1 + dL) AND (m1 - dL <= M2 + t s)
@@ -692,29 +859,29 @@ def _polygon_segment_screen(
                 jnp.minimum(f2a, f2b) <= 0
             )
 
-        okR = jnp.all(axis_maybe(m1r, M1r, m2r, M2r, s1, dL1), axis=-1)
+        okR = jnp.all(
+            axis_maybe(m1r, M1r, m2r, M2r, s1i, dl1), axis=1
+        )  # (C, S)
+        # obstacle axes: robot interval min/max over K2 verts
+        pro = cmi * U + smi * V                      # (C, K, K2, S)
+        mro, Mro = jnp.min(pro, -2), jnp.max(pro, -2)    # (C, K, S)
+        m1o, M1o = W + mro, W + Mro
+        okO = jnp.all(
+            axis_maybe(m1o, M1o, m2oT, M2oT, s2oT, dL2), axis=1
+        )
+        seg_maybe = okR & okO                        # (C, S)
 
-        # --- obstacle axes: its own projections precomputed ---------
-        pr1o = _project_all(obs_axes, p1m)  # (C, S, K, K2)
-        m1o, M1o = jnp.min(pr1o, -1), jnp.max(pr1o, -1)  # (C, S, K)
-        dL2 = delta[..., None] * obs_alen[:, None, :]  # (C, 1, K)
-        okO = jnp.all(axis_maybe(m1o, M1o, m2o, M2o, s2o, dL2), axis=-1)
-        seg_maybe = okR & okO  # (C, S)
-
-        # --- eroded-subset SAT at the midpoint (certified hit) ------
-        p1e = transform_vertices(
-            rv_er, px[:, 0] + tm * vx[:, 0],
-            py[:, 0] + tm * vy[:, 0], thm[:, 0],
-        )[:, None]  # (C, 1, K2, 2)
-        seg_hit = (
-            sat_polygons(
-                jnp.broadcast_to(
-                    p1e, (p1e.shape[0], s_) + p1e.shape[2:]
-                ),
-                obstacle,
-            )
-            == 1
-        ) & er_valid
+        # eroded-subset SAT at the segment midpoint (certified hit),
+        # from the SAME tables: the lam-scaled robot at center p + tm v
+        # vs the static obstacle, exact interval overlap per axis
+        # (robot axes: n(th).v = -s1; obstacle axes: a.v = -s2o)
+        offmi = offi - f32(tm) * s1i                 # (C, K2, 1)
+        okjR = ((lamE * M1b[None, :, None] + offmi >= m2r)
+                & (lamE * m1b[None, :, None] + offmi <= M2r))
+        shift = W - f32(tm) * s2oT                   # (C, K, S)
+        okjO = ((lamE * Mro + shift >= m2oT)
+                & (lamE * mro + shift <= M2oT))
+        seg_hit = jnp.all(okjR, axis=1) & jnp.all(okjO, axis=1) & erv
 
         maybe = seg_maybe if maybe is None else (maybe | seg_maybe)
         hit_cert = seg_hit if hit_cert is None else (hit_cert | seg_hit)
@@ -845,12 +1012,11 @@ def counts_chunk_moving_polygons(
             lam = jnp.clip(
                 1.0 - delta_cfg / jnp.maximum(r_in0, 1e-30), 0.0, 1.0
             )
-            rv_er = lam[:, :, None] * rv[None]  # (C, K2, 2)
 
             hit0 = sat_polygons(robot0_b, obstacle) == 1  # exact t=0
             maybe_a, hit_a, t_first_a = _polygon_segment_screen(
                 obstacle, obs_axes, obs_alen, m2o, M2o, s2o,
-                rv, rv_len, rv_er, er_valid, r_rob,
+                rv, rv_len, lam, er_valid, r_rob,
                 px, py, vx, vy, th0, w, tol, N_SCREEN_COARSE,
             )
             hit_a = hit_a | hit0
@@ -887,7 +1053,7 @@ def counts_chunk_moving_polygons(
                     g2(amb_a) & jnp.isfinite(toi), mode="drop"
                 )
 
-            r_cap_c = min(c_, max(8, -(-c_ // 4)))
+            r_cap_c = min(c_, max(8, -(-c_ // R_CAP_FRAC_C)))
             ca_hits = _row_chunks(
                 jnp.any(amb_a, axis=1), r_cap_c, stage_c, amb_a & False
             )

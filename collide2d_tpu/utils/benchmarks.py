@@ -648,10 +648,13 @@ def bench_mc_moving_polygons(
     rotating: bool = False, k: int = 6, screen: bool = True,
 ) -> dict:
     """Trajectory-MC sampling for convex k-gon pairs
-    (`MovingPolygonConfigs`, mc.moving) — the {moving} x {polygon}
-    corner of the label matrix. jnp path by design ('auto' resolves
-    these batches to jnp; there is no fused kernel): ``rotating=False``
-    resolves every sample through the exact k-gon translation window,
+    (`MovingPolygonConfigs`, mc.moving) on the threefry jnp path — the
+    {moving} x {polygon} corner of the label matrix. 'auto' resolves
+    these batches to jnp (bitwise-reproducible labels); translation-only
+    batches can opt into the fused hardware-PRNG kernel with
+    impl='pallas' (`ops.mc_moving_polygon_pallas`, measured by
+    `bench_mc_moving_polygons_pallas`). ``rotating=False`` resolves
+    every sample through the exact k-gon translation window,
     ``rotating=True`` runs the certified screening cascade
     (``screen=False`` keeps the pure 48-iteration advancement loop in
     every capture as the A/B baseline)."""
@@ -712,6 +715,75 @@ def bench_mc_moving_polygons(
         out["frac_probe_hit"] = round(float(jnp.mean(hitc)), 4)
         out["frac_ambiguous_ca"] = round(float(jnp.mean(amb)), 4)
     return out
+
+
+def bench_mc_moving_polygons_pallas(
+    configs: int = 4096, k: int = 6, iters: int = 20,
+) -> dict:
+    """Fused trajectory-MC kernel for k-gons
+    (`ops.mc_moving_polygon_pallas`): hardware-PRNG noise draw + the
+    exact per-axis translation window, translation-only by contract
+    (the adaptive driver dispatches here for ``impl='pallas'``
+    translation-only batches and raises on rotating rows). Same
+    workload distribution as `bench_mc_moving_polygons(rotating=False)`
+    so the pair is the fused-vs-XLA A/B (review r4 #4: this kernel was
+    shipped and agreement-gated but never throughput-measured in the
+    digest)."""
+    from collide2d_tpu.mc.moving import moving_polygon_configs
+    from collide2d_tpu.ops.mc_moving_polygon_pallas import (
+        mc_moving_poly_counts_pallas,
+        pack_moving_polygon_mc_params,
+    )
+    from collide2d_tpu.ops.mc_polygon_pallas import dedup_robot_axes
+
+    rng = np.random.default_rng(7)
+    cfgs = moving_polygon_configs(
+        rng.uniform(-6, 6, (configs, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, configs).astype(np.float32),
+        np.asarray(_random_convex_polygons(configs, k, 2, 10.0)),
+        rng.uniform(0, 0.3, (configs, 3)).astype(np.float32),
+        rng.uniform(-2, 2, (configs, 2)).astype(np.float32),
+        0.0,
+        rng.uniform(0.5, 3, configs).astype(np.float32),
+    )
+    robot = jnp.asarray(
+        [[-2.035, -0.87], [2.035, -0.87], [2.035, 0.87], [-2.035, 0.87]],
+        jnp.float32,
+    )
+    a_keep = dedup_robot_axes(robot)
+    params = jax.block_until_ready(
+        pack_moving_polygon_mc_params(cfgs, robot, a_keep)
+    )
+    seed = jnp.asarray([123, 456], jnp.int32)
+    sub, n_steps = 64, 4
+
+    @jax.jit
+    def loop(params, iters):
+        def body(i, acc):
+            return acc + jnp.sum(
+                mc_moving_poly_counts_pallas(
+                    seed + i, params, jnp.int32(n_steps), sub=sub, k=k,
+                    k2=4, k2_axes=len(a_keep),
+                ),
+                dtype=jnp.int32,
+            )
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    dt = _diff_time(
+        loop, (params, jnp.int32(1)), (params, jnp.int32(1 + iters)), iters
+    )
+    rate = params.shape[1] * sub * n_steps / dt
+    return {
+        "metric": "mc_moving_polygon_samples_per_sec_pallas",
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / SAT_TARGET,
+        "seconds_per_iter": dt,
+        "configs": params.shape[1],
+        "k": k,
+        "samples_per_config_per_iter": sub * n_steps,
+    }
 
 
 def bench_sat_polygons_mxu(
