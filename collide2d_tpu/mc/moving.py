@@ -195,7 +195,9 @@ def _paired_segment_screen(
     vs the cold loop while the eroded certificates gain ~1.7e-3).
     """
     f32 = jnp.float32
-    ii = jnp.arange(n_seg, dtype=f32)
+    # int iota + cast: Mosaic (the Pallas screen kernel traces this
+    # function in-kernel) has no float iota
+    ii = jnp.arange(n_seg, dtype=jnp.int32).astype(f32)
     a_ = ii * f32(1.0 / n_seg)                       # (n_seg,)
     b_ = a_ + f32(1.0 / n_seg)
     tm_ = a_ + f32(0.5 / n_seg)
@@ -467,6 +469,7 @@ def counts_chunk_moving(
     keys: Array, configs: MovingConfigs, robot_wh: Array, n_lanes: int,
     *, ca_iters: int = CA_ITERS, tol: float = CA_TOL,
     ca_screen: bool = True, return_screen_masks: bool = False,
+    screen_impl: str = "jnp", screen_interpret: bool = False,
 ) -> Array:
     """Motion-collision count over ``n_lanes`` samples per configuration.
 
@@ -489,10 +492,25 @@ def counts_chunk_moving(
     misses). ``ca_screen=False`` keeps the pure advancement path (the
     A/B baseline). ``return_screen_masks=True`` (requires the screen)
     additionally returns the cascade's (maybe, probe_hit, ambiguous)
-    (C, S) masks — the bench's screened-fraction diagnostic."""
+    (C, S) masks — the bench's screened-fraction diagnostic.
+
+    ``screen_impl='pallas'`` fuses the whole stage-A front half (noise
+    scaling, obstacle assembly, t=0 SAT, translation window, paired
+    segment screen) into one VMEM kernel over the SAME threefry draws
+    (`ops.screen_pallas` — same tile functions, so it can only diverge
+    by backend transcendental rounding). Measured 0.95x the jnp path
+    end to end on-chip — kept as the measured refutation of the
+    fused-screen avenue, not a production default (the kernel header
+    has the full accounting).
+    """
     z = jax.vmap(lambda k: jax.random.normal(k, (n_lanes, 5), jnp.float32))(
         keys
     )
+    if (screen_impl == "pallas" and ca_screen and ca_iters > 0):
+        return _counts_chunk_fused_screen(
+            z, configs, robot_wh, ca_iters, tol, return_screen_masks,
+            interpret=screen_interpret,
+        )
     d = z * configs.std_dev[:, None, :]  # (C, S, 5)
 
     rw = jnp.broadcast_to(
@@ -590,6 +608,100 @@ def counts_chunk_moving(
                 "ca_iters > 0"
             )
         return counts, _screen_masks
+    return counts
+
+
+def _counts_chunk_fused_screen(
+    z, configs, robot_wh, ca_iters, tol, return_screen_masks,
+    *, interpret=False,
+):
+    """The rotating cascade with the Pallas fused stage-A screen
+    (`ops.screen_pallas.rotating_screen_pallas`): one kernel reads the
+    raw threefry draws + 16 config scalars and emits per-lane
+    {maybe, certified-hit, window-verdict} + the certified warm-start
+    bound; only the rows holding ambiguity then rebuild their obstacle
+    arrays (from the SAME gathered z rows) for the row-compacted
+    advancement — the full (C, S) obstacle tensors never exist.
+
+    Contract vs the jnp cascade: screen masks, window verdicts, and
+    warm starts are BITWISE equal (interpret-mode pinned,
+    tests/test_pallas.py); total counts can differ on tolerance-
+    boundary grazes (observed 1 lane in 8192x128 on CPU) because the
+    advancement's mul+add chains fuse differently across the two
+    program shapes (FMA contraction — the same class as the SAT
+    bit-parity notes in ops/sat.py::_project_all). Use the jnp default
+    wherever the uid-stream bitwise-label contract matters; this
+    variant is for throughput, like the impl='pallas' kernels."""
+    from collide2d_tpu.ops.screen_pallas import (
+        pack_screen_params,
+        rotating_screen_pallas,
+    )
+
+    c_, s_, _ = z.shape
+    rw = jnp.broadcast_to(
+        jnp.asarray(robot_wh, jnp.float32), configs.position.shape)
+    flags, t0_full = rotating_screen_pallas(
+        jnp.moveaxis(z, 2, 0), pack_screen_params(configs, rw),
+        n_seg=N_SCREEN_COARSE, tol=tol, interpret=interpret,
+    )
+    maybe_a = (flags & 1) != 0
+    hit_a = (flags & 2) != 0
+    hit_exact = (flags & 4) != 0
+
+    v_eff = configs.velocity * configs.t_max[:, None]
+    w_eff = configs.omega * configs.t_max
+    r_rob = 0.5 * jnp.hypot(rw[:, 0], rw[:, 1])
+    rotating = (w_eff != 0)[:, None]
+    amb_a = rotating & maybe_a & ~hit_a
+    bound = (jnp.hypot(v_eff[:, 0], v_eff[:, 1])
+             + jnp.abs(w_eff) * r_rob)[:, None] + 0.0 * t0_full
+
+    pxv, pyv = configs.position[:, 0], configs.position[:, 1]
+    vxv, vyv = v_eff[:, 0], v_eff[:, 1]
+    thv, wv = configs.pose_theta, w_eff
+    hx1v = jnp.abs(rw[:, 0]) * 0.5
+    hy1v = jnp.abs(rw[:, 1]) * 0.5
+    sd, whv = configs.std_dev, configs.obstacle_wh
+    false0 = amb_a & False
+
+    def stage_c(rows, ca_buf):
+        safe = jnp.minimum(rows, c_ - 1)
+        g2 = lambda arr: arr[safe]
+        g1 = lambda vec: vec[safe][:, None]
+        dg = g2(z) * sd[safe][:, None, :]        # (r, S, 5)
+        oxg, oyg = dg[..., 0], dg[..., 1]
+        c2g, s2g = jnp.cos(dg[..., 2]), jnp.sin(dg[..., 2])
+        ext = whv[safe][:, None, :] + dg[..., 3:5]
+        hx2g = jnp.abs(ext[..., 0]) * 0.5
+        hy2g = jnp.abs(ext[..., 1]) * 0.5
+        pxg, pyg = g1(pxv), g1(pyv)
+        vxg, vyg = g1(vxv), g1(vyv)
+        thg, wg = g1(thv), g1(wv)
+        hx1g, hy1g = g1(hx1v), g1(hy1v)
+
+        def dist_g(t):
+            a1 = thg + t * wg
+            return obb_signed_distance_tile(
+                oxg - (pxg + t * vxg), oyg - (pyg + t * vyg),
+                jnp.cos(a1), jnp.sin(a1), hx1g, hy1g,
+                c2g, s2g, hx2g, hy2g,
+            )
+
+        toi = _advance(
+            dist_g, g2(bound), 1.0, ca_iters, tol, t0=g2(t0_full)
+        )
+        return ca_buf.at[rows].set(
+            g2(amb_a) & jnp.isfinite(toi), mode="drop"
+        )
+
+    r_cap_c = min(c_, max(8, -(-c_ // R_CAP_FRAC_C)))
+    ca_hits = _row_chunks(
+        jnp.any(amb_a, axis=1), r_cap_c, stage_c, false0
+    )
+    hit = jnp.where(rotating, hit_a | ca_hits, hit_exact)
+    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+    if return_screen_masks:
+        return counts, (maybe_a, hit_a, amb_a)
     return counts
 
 
@@ -778,7 +890,9 @@ def _polygon_segment_screen(
     from collide2d_tpu.ops.geometry import edge_normals
 
     f32 = jnp.float32
-    ii = jnp.arange(n_seg, dtype=f32)
+    # int iota + cast: Mosaic (the Pallas screen kernel traces this
+    # function in-kernel) has no float iota
+    ii = jnp.arange(n_seg, dtype=jnp.int32).astype(f32)
     thm = th0 + (ii[None, :] + 0.5) * (w * f32(1.0 / n_seg))  # (C, seg)
     cm, sm = jnp.cos(thm), jnp.sin(thm)              # (C, seg)
     delta = 2.0 * r_rob * jnp.sin(

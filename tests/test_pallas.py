@@ -984,3 +984,49 @@ def test_mc_moving_polygon_axis_dedup_interpret(rng, monkeypatch):
             )
         )
     np.testing.assert_array_equal(counts["dedup"], counts["full"])
+
+
+def test_rotating_screen_kernel_interpret(rng):
+    """Fused stage-A screen kernel (ops.screen_pallas): interpret-mode
+    agreement with the jnp cascade. Masks and warm starts must be
+    BITWISE (the kernel calls the SAME tile functions); counts may
+    differ on tolerance-boundary grazes because the advancement's
+    mul+add chains fuse differently across program shapes (FMA
+    contraction; _counts_chunk_fused_screen docstring) — bounded here
+    to a handful of lanes. Zero-omega batches ride the exact window
+    and must agree bitwise end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from collide2d_tpu.mc.moving import counts_chunk_moving, moving_configs
+
+    n, s = 64, 128
+    cfgs = moving_configs(
+        rng.uniform(-6, 6, (n, 2)).astype(np.float32),
+        rng.uniform(0, 2 * np.pi, n).astype(np.float32),
+        rng.uniform(0.5, 5, (n, 2)).astype(np.float32),
+        rng.uniform(0, 0.3, (n, 5)).astype(np.float32),
+        rng.uniform(-2, 2, (n, 2)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, n).astype(np.float32),
+        rng.uniform(0.5, 3, n).astype(np.float32),
+    )
+    robot = jnp.asarray([4.07, 1.74], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    cj, (mj, hj, aj) = counts_chunk_moving(
+        keys, cfgs, robot, s, return_screen_masks=True
+    )
+    cp, (mp, hp, ap) = counts_chunk_moving(
+        keys, cfgs, robot, s, return_screen_masks=True,
+        screen_impl="pallas", screen_interpret=True,
+    )
+    np.testing.assert_array_equal(np.array(mj), np.array(mp))
+    np.testing.assert_array_equal(np.array(hj), np.array(hp))
+    np.testing.assert_array_equal(np.array(aj), np.array(ap))
+    assert int(np.abs(np.array(cj) - np.array(cp)).sum()) <= 4
+
+    cfg0 = cfgs._replace(omega=jnp.zeros_like(cfgs.omega))
+    c0j = np.array(counts_chunk_moving(keys, cfg0, robot, s))
+    c0p = np.array(counts_chunk_moving(
+        keys, cfg0, robot, s, screen_impl="pallas", screen_interpret=True
+    ))
+    np.testing.assert_array_equal(c0j, c0p)
