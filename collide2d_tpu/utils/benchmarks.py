@@ -1192,9 +1192,13 @@ def bench_mc_polygons_pallas(
     production path (robot-axis dedup: the rectangle robot keeps 2 of
     its 4 axes).
 
-    Measured (axon chip, 4-gon robot, deduped axes): 8.2e9 samples/s at
-    k=6 and 7.4e9 at k=8 — ~2.2x the XLA jnp path (3.8e9 / 3.2e9); the
-    dedup itself is worth +19%/+14% over the full axis set."""
+    Measured (axon chip, 4-gon robot, deduped axes; round-5 median-of-3
+    with the f32 projection tables): 8.4e9 samples/s at k=6 and 7.4e9
+    at k=8 — ~2.2x the XLA jnp path (3.8e9 / 3.2e9); the dedup itself
+    is worth +19%/+14% over the full axis set. Single draws swing
+    6.9-9.2e9 with tunnel load; the round-4 f32-table fix (454e51f)
+    cannot move this metric — the tables build once, outside the timed
+    sampling loop."""
     from collide2d_tpu.models.collision_model import example_polygon_configs
     from collide2d_tpu.ops.mc_polygon_pallas import (
         dedup_robot_axes,
