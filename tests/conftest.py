@@ -78,7 +78,11 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if recorded.get(item.nodeid, 0.0) >= SLOW_SECONDS:
             item.add_marker(pytest.mark.slow)
-        elif recorded and item.nodeid not in recorded:
+        elif (recorded and item.nodeid not in recorded
+              and not item.get_closest_marker("skip")
+              and not item.get_closest_marker("skipif")):
+            # skip-marked tests (the TPU-gated ones) never record a
+            # duration under the CPU harness — not a lane-decay signal
             unrecorded.append(item.nodeid)
     if unrecorded:
         # A new test rides the fast lane by default no matter how slow
