@@ -10,18 +10,24 @@ advancement time-of-impact query per sample (the `mc.moving` predicate)
 Measured reality on a v5e (``bench_mc_moving*``, difference-quotient
 timing): on TRANSLATION-ONLY batches — every sample resolved by the
 exact first-contact window, the planner-common case — the kernel
-streams 6.9e9 samples/s vs the threefry XLA path's 5.4e9 (1.3x, both
-within ~2x of the static sampler because the window test is ~60
-branch-free flops). On ROTATING batches the conservative-advancement
-loop (4 transcendentals per step per sample) is trig-issue-bound in
-Mosaic and the kernel measures 1.5e8 vs the XLA path's 2.5e8 — a
-quantified LOSS, so the adaptive driver's 'auto' resolves rotating
-trajectory batches to impl='jnp' and reserves this kernel for
-translation-only batches (driver readback; explicit impl='pallas' is
-honored). Since round 4 the jnp rotating path additionally runs the
-certified screening cascade (mc.moving._screened_rotating_hits,
-5.1-5.9e8 samples/s — ~4x this kernel's rotating rate), which widens
-the case for 'auto' keeping XLA on rotation. The CA loop still early-exits per (sub, 128) tile
+streams 6.9-7.1e9 samples/s across rounds; the threefry XLA path's
+draws on the SAME metric have swung 4.4e9 (round 4) to 8.1e9 (round
+5) with NO code change on that path (toi/estimator untouched since
+round 3) — this pair dispatches ~0.5-1 ms programs, deep in
+remote-tunnel RTT jitter, so treat kernel-vs-jnp here as WITHIN
+SPREAD rather than a stable ranking ('auto' keeps the kernel for
+translation: its draws are the stabler of the two, and explicit
+impl='jnp' restores the bitwise uid-stream path when that contract
+matters). On ROTATING batches the conservative-advancement loop (4
+transcendentals per step per sample) is trig-issue-bound in Mosaic
+and the kernel measures 1.5e8 vs the XLA path's 2.5e8 — a quantified
+LOSS, so the adaptive driver's 'auto' resolves rotating trajectory
+batches to impl='jnp' and reserves this kernel for translation-only
+batches (driver readback; explicit impl='pallas' is honored). Since
+round 4 the jnp rotating path additionally runs the certified
+screening cascade (mc.moving._screened_rotating_hits, 5.3-5.6e8
+samples/s — ~4x this kernel's rotating rate), which widens the case
+for 'auto' keeping XLA on rotation. The CA loop still early-exits per (sub, 128) tile
 (`lax.while_loop`; `ca_iters` stays the hard bound so results are
 identical to the fixed-trip loop).
 
